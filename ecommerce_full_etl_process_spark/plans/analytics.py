@@ -1,0 +1,131 @@
+"""Analytic query catalog over the driver testdata corpus.
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame; each is
+registered in ``__spark_entry__.queries()`` with a DuckDB oracle SQL string.
+Together they exercise every operator family of SURVEY.md §2 (scans, filters,
+predicates, joins incl. semi/anti/as-of, aggregation, windows/top-k, dedup,
+set ops, scalar functions) on the TPC-H-ish corpus.
+
+Design rules:
+- Every computed column is aliased identically to its oracle SQL.
+- Money aggregates are rounded to 2dp on BOTH sides so double summation
+  order (Spark partial aggregation vs DuckDB serial) cannot flip the hash.
+- Plans stay fully declarative: Catalyst handles pushdown/pruning; small
+  dimension sides are explicitly broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Flagship: revenue by nation (scan → filter → 4-way join → agg → sort)
+# ---------------------------------------------------------------------------
+
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: revenue per nation, big fact joined to small
+    broadcast dims (reference analogue: the star-schema group-by analytics of
+    demo.ipynb cell 16 / SURVEY §2.5 A3, at warehouse scale).
+
+    Scale: lineitem⋈orders shuffles on orderkey; customer/nation/region are
+    broadcast so only the two big tables shuffle once each.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(nation.n_name.alias("nation"), region.r_name.alias("region"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+FLAGSHIP_ORACLE = """
+SELECT n_name AS nation,
+       r_name AS region,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+ORDER BY revenue DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary (wide aggregation; SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + filter + groupBy with sum/avg/count — the aggregation workhorse.
+
+    Map-side partial aggregation keeps the shuffle tiny (4 groups) at any
+    scale; the shipdate filter pushes down to the parquet scan.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""

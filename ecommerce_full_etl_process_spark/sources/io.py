@@ -1,0 +1,139 @@
+"""Readers / writers / table bootstrap (SURVEY §2.1, S1-S9).
+
+The reference's scans are SQLite ``SELECT``s (``ETL/etl.py:146-168``) and its
+sinks are row-at-a-time ``INSERT``s (``ETL/etl.py:183-373``). Here every
+source is a parquet scan behind Catalyst (predicate pushdown + column pruning
++ partition pruning are free) and every sink is a partitioned bulk parquet
+write.
+
+Scale notes (100 TB design):
+- Fact tables are written partitioned by ``date_id`` so the daily incremental
+  read (reference ``WHERE t.date = ?``, ETL/etl.py:166) is partition pruning,
+  not a scan.
+- Dimension overwrites are atomic via versioned directories + a tiny manifest
+  pointer (SURVEY §7.5): write ``<table>/v=<n+1>/`` then flip the manifest —
+  readers never observe a half-written dim, and a failed run leaves the old
+  version live. This is the plain-parquet analogue of Delta's ACID commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_testdata(
+    spark: SparkSession, sf_dir: str, tables: Iterable[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load the driver corpus tables as DataFrames (TESTDATA.md)."""
+    names = tuple(tables) if tables is not None else TESTDATA_TABLES
+    return {
+        name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for name in names
+    }
+
+
+class TableStore:
+    """A directory-of-parquet-tables catalog with atomic overwrite.
+
+    Plays the role of the reference's three SQLite files (OLTP/OLAP/ETL dbs).
+    Layout per table::
+
+        <root>/<table>/_manifest.json   -> {"version": n}
+        <root>/<table>/v=<n>/*.parquet
+
+    ``append`` tables (facts, logs) write straight into the current version
+    directory; ``overwrite`` (dims, SCD2 rewrite) writes v=n+1 then flips the
+    manifest, which is the atomicity story for re-runs (SURVEY §7.4/§7.5).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest helpers ---------------------------------------------------
+
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "_manifest.json")
+
+    def _current_version(self, table: str) -> int | None:
+        path = self._manifest_path(table)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return int(json.load(f)["version"])
+
+    def _set_version(self, table: str, version: int) -> None:
+        # atomic flip: write temp file in same dir, then rename (POSIX atomic)
+        d = self._table_dir(table)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self._manifest_path(table))
+
+    def _data_dir(self, table: str, version: int) -> str:
+        return os.path.join(self._table_dir(table), f"v={version}")
+
+    # -- public API ---------------------------------------------------------
+
+    def exists(self, table: str) -> bool:
+        return self._current_version(table) is not None
+
+    def create_if_not_exists(self, table: str, schema: T.StructType) -> None:
+        """Bootstrap an empty table (reference S7: CREATE TABLE IF NOT EXISTS,
+        ETL/etl.py:44-56)."""
+        if not self.exists(table):
+            empty = self.spark.createDataFrame([], schema)
+            self.overwrite(table, empty)
+
+    def read(self, table: str) -> DataFrame:
+        version = self._current_version(table)
+        if version is None:
+            raise FileNotFoundError(f"table {table!r} not found in {self.root}")
+        return self.spark.read.parquet(self._data_dir(table, version))
+
+    def overwrite(
+        self, table: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> None:
+        """Write a full new version then atomically flip the manifest."""
+        current = self._current_version(table)
+        new_version = (current or 0) + 1
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._data_dir(table, new_version))
+        self._set_version(table, new_version)
+
+    def append(
+        self, table: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> None:
+        """Append into the current version directory (facts / audit logs)."""
+        version = self._current_version(table)
+        if version is None:
+            self.overwrite(table, df, partition_by=partition_by)
+            return
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._data_dir(table, version))
+
+    def drop(self, table: str) -> None:
+        import shutil
+
+        d = self._table_dir(table)
+        if os.path.exists(d):
+            shutil.rmtree(d)
