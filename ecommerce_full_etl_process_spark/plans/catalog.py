@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import analytics
+from . import operator_queries as oq
 
 # name -> (callable, oracle_sql | None)
 _REGISTRY: dict[
@@ -26,6 +27,85 @@ _REGISTRY: dict[
         analytics.pricing_summary,
         analytics.PRICING_SUMMARY_ORACLE,
     ),
+    # SURVEY §2.1 scans
+    "filtered_incremental_scan": (
+        oq.filtered_incremental_scan,
+        oq.FILTERED_INCREMENTAL_SCAN_ORACLE,
+    ),
+    # §2.2 projections / predicates
+    "projection_filter": (oq.projection_filter, oq.PROJECTION_FILTER_ORACLE),
+    "regex_predicate": (oq.regex_predicate, oq.REGEX_PREDICATE_ORACLE),
+    "domain_predicate": (oq.domain_predicate, oq.DOMAIN_PREDICATE_ORACLE),
+    "null_blank_predicate": (
+        oq.null_blank_predicate,
+        oq.NULL_BLANK_PREDICATE_ORACLE,
+    ),
+    "price_tolerance_check": (
+        oq.price_tolerance_check,
+        oq.PRICE_TOLERANCE_CHECK_ORACLE,
+    ),
+    # §2.4 joins
+    "semi_join_customers_with_orders": (
+        oq.semi_join_customers_with_orders,
+        oq.SEMI_JOIN_ORACLE,
+    ),
+    "anti_join_customers_without_orders": (
+        oq.anti_join_customers_without_orders,
+        oq.ANTI_JOIN_ORACLE,
+    ),
+    "latest_order_per_customer": (
+        oq.latest_order_per_customer,
+        oq.LATEST_ORDER_PER_CUSTOMER_ORACLE,
+    ),
+    "asof_events_to_orders": (
+        oq.asof_events_to_orders,
+        oq.ASOF_EVENTS_TO_ORDERS_ORACLE,
+    ),
+    # §2.6 / §2.7 SCD2 + change detection
+    "scd2_intervals_from_orders": (
+        oq.scd2_intervals_from_orders,
+        oq.SCD2_INTERVALS_ORACLE,
+    ),
+    "change_detect_events": (
+        oq.change_detect_events,
+        oq.CHANGE_DETECT_EVENTS_ORACLE,
+    ),
+    # §2.5 aggregations / distinct / dedup
+    "first_occurrence_dedup": (
+        oq.first_occurrence_dedup,
+        oq.FIRST_OCCURRENCE_DEDUP_ORACLE,
+    ),
+    "groupby_count_desc": (oq.groupby_count_desc, oq.GROUPBY_COUNT_DESC_ORACLE),
+    "conditional_counters": (
+        oq.conditional_counters,
+        oq.CONDITIONAL_COUNTERS_ORACLE,
+    ),
+    "max_key_allocation": (oq.max_key_allocation, oq.MAX_KEY_ALLOCATION_ORACLE),
+    "distinct_keys": (oq.distinct_keys, oq.DISTINCT_KEYS_ORACLE),
+    # §2.10 set ops
+    "union_split_streams": (oq.union_split_streams, oq.UNION_SPLIT_STREAMS_ORACLE),
+    # §2.8 scalar functions
+    "calendar_decomposition": (
+        oq.calendar_decomposition,
+        oq.CALENDAR_DECOMPOSITION_ORACLE,
+    ),
+    "multiformat_date_parse": (
+        oq.multiformat_date_parse,
+        oq.MULTIFORMAT_DATE_PARSE_ORACLE,
+    ),
+    # §2.3 validation pattern
+    "validation_rule_counts": (
+        oq.validation_rule_counts,
+        oq.VALIDATION_RULE_COUNTS_ORACLE,
+    ),
+    # §2.9 sorts / top-k / sampling
+    "top_orders_by_value": (oq.top_orders_by_value, oq.TOP_ORDERS_BY_VALUE_ORACLE),
+    "deterministic_sample": (
+        oq.deterministic_sample,
+        oq.DETERMINISTIC_SAMPLE_ORACLE,
+    ),
+    # beyond-reference: JSON column ops
+    "json_extract_events": (oq.json_extract_events, oq.JSON_EXTRACT_EVENTS_ORACLE),
 }
 
 

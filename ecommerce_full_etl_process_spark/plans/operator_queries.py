@@ -1,0 +1,687 @@
+"""Per-operator query catalog (SURVEY §2) over the driver testdata corpus.
+
+One named query per operator family, each with a DuckDB oracle. These are
+the driver-visible correctness surface for: scans (S3), projections/filters
+(P1-P10), joins J1-J7 (semi/anti/current-version/as-of), aggregations A1-A7,
+sorts/top-k O1-O5, set ops (§2.10), scalar functions F1-F5 (§2.8), the
+validation errors-array pattern (§2.3), SCD2 interval construction (§2.6)
+and change-detection snapshots (§2.7).
+
+Conventions: every computed column aliased identically in Spark and SQL;
+doubles rounded identically on both sides; deterministic tie-breaks on every
+top-k.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.dates import date_id, iso_week, iso_weekday, parse_date_multi
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; read nanos as long and convert to a
+    microsecond timestamp (matching DuckDB's ns→us truncation)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# S3 — filtered incremental scan (reference WHERE t.date = ?, ETL/etl.py:166)
+# ---------------------------------------------------------------------------
+
+def filtered_incremental_scan(spark, sf_dir):
+    """Day-slice scan with projection; filter + pruning push to parquet."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+    )
+
+
+FILTERED_INCREMENTAL_SCAN_ORACLE = """
+SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# P1/P7 — projection + numeric threshold
+# ---------------------------------------------------------------------------
+
+def projection_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size") < 15)
+        .select("p_partkey", "p_name", "p_size")
+    )
+
+
+PROJECTION_FILTER_ORACLE = """
+SELECT p_partkey, p_name, p_size FROM part WHERE p_size < 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# P5 — regex predicate (reference email rlike, ETL/validation.py:19)
+# ---------------------------------------------------------------------------
+
+def regex_predicate(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").rlike("window .*hash"))
+        .select("doc_id", "lang")
+    )
+
+
+REGEX_PREDICATE_ORACLE = """
+SELECT doc_id, lang FROM documents WHERE regexp_matches(text, 'window .*hash')
+"""
+
+
+# ---------------------------------------------------------------------------
+# P8/P10 — set-membership domain predicate
+# ---------------------------------------------------------------------------
+
+def domain_predicate(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.lower(F.col("o_orderstatus")).isin("o", "f"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+DOMAIN_PREDICATE_ORACLE = """
+SELECT o_orderstatus, count(*) AS n
+FROM orders
+WHERE lower(o_orderstatus) IN ('o', 'f')
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# P4 — null/blank predicate (counted so the result is non-empty)
+# ---------------------------------------------------------------------------
+
+def null_blank_predicate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.sum(
+            (F.col("text").isNull() | (F.trim("text") == "")).cast("long")
+        ).alias("n_blank"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+NULL_BLANK_PREDICATE_ORACLE = """
+SELECT sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS n_blank,
+       count(*) AS n_total
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# P9/J5 — arithmetic tolerance predicate over a broadcast price lookup
+# (reference price-mismatch rule, ETL/validation.py:161-165)
+# ---------------------------------------------------------------------------
+
+def price_tolerance_check(spark, sf_dir):
+    """Lines whose implied unit price drifts >50% from the part's list price
+    — the reference's unit-price-drift warning at TPC-H shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    return (
+        li.where(F.col("l_quantity") > 0)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(
+            F.abs(
+                F.col("l_extendedprice") / F.col("l_quantity")
+                - F.col("p_retailprice")
+            )
+            > F.col("p_retailprice") * 0.5
+        )
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_drifting"))
+    )
+
+
+PRICE_TOLERANCE_CHECK_ORACLE = """
+SELECT p_partkey, count(*) AS n_drifting
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity > 0
+  AND abs(l_extendedprice / l_quantity - p_retailprice) > p_retailprice * 0.5
+GROUP BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 — left semi join (FK existence)
+# ---------------------------------------------------------------------------
+
+def semi_join_customers_with_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_semi").select("c_custkey", "c_mktsegment")
+
+
+SEMI_JOIN_ORACLE = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4/J6 — left anti join (orphans / idempotent-load complement)
+# ---------------------------------------------------------------------------
+
+def anti_join_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+ANTI_JOIN_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2 + O2 — current-version lookup: latest order per customer joined back
+# (reference current_flag probe ETL/etl.py:271-275 + LIMIT-1 pattern)
+# ---------------------------------------------------------------------------
+
+def latest_order_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        o.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+    c = _t(spark, sf_dir, "customer")
+    return latest.join(
+        F.broadcast(c), latest.o_custkey == c.c_custkey
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.round("o_totalprice", 2).alias("latest_totalprice"),
+    )
+
+
+LATEST_ORDER_PER_CUSTOMER_ORACLE = """
+SELECT c_custkey, c_name,
+       o_orderkey AS latest_orderkey,
+       round(o_totalprice, 2) AS latest_totalprice
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) o JOIN customer ON o_custkey = c_custkey
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3 — as-of (point-in-time) join: each event resolved to the user's most
+# recent order at event time (reference SK resolution, ETL/etl.py:326-352)
+# ---------------------------------------------------------------------------
+
+def asof_events_to_orders(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    joined = e.join(F.broadcast(o), "user_id", "left").where(
+        F.col("o_orderdate") <= F.col("ts")
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", F.col("o_orderkey").alias("asof_orderkey"))
+    )
+
+
+ASOF_EVENTS_TO_ORDERS_ORACLE = """
+SELECT event_id, user_id, o_orderkey AS asof_orderkey
+FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 — SCD2 interval construction from version history
+# ---------------------------------------------------------------------------
+
+def scd2_intervals_from_orders(spark, sf_dir):
+    """Treat each customer's orders as successive 'versions': start at the
+    order date, end the day before the next version, newest current — the
+    lead()-based SCD2 build."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("start_date"),
+        F.date_sub(
+            F.lead(F.col("o_orderdate").cast("date")).over(w), 1
+        ).alias("end_date"),
+        (F.lead("o_orderkey").over(w).isNull()).alias("current_flag"),
+    )
+
+
+SCD2_INTERVALS_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS start_date,
+       lead(CAST(o_orderdate AS DATE)) OVER w - 1 AS end_date,
+       lead(o_orderkey) OVER w IS NULL AS current_flag
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — change-detection snapshot (lag-based)
+# ---------------------------------------------------------------------------
+
+def change_detect_events(spark, sf_dir):
+    """Keep only events whose value changed vs the user's previous event —
+    the stock-history change filter re-expressed."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_value", F.lag("value").over(w))
+        .where(F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value")))
+        .select("event_id", "user_id", F.round("value", 6).alias("value"))
+    )
+
+
+CHANGE_DETECT_EVENTS_ORACLE = """
+SELECT event_id, user_id, round(value, 6) AS value
+FROM (
+  SELECT *, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+  FROM events
+)
+WHERE prev_value IS NULL OR value <> prev_value
+"""
+
+
+# ---------------------------------------------------------------------------
+# A7 — in-batch first-occurrence dedup
+# ---------------------------------------------------------------------------
+
+def first_occurrence_dedup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+FIRST_OCCURRENCE_DEDUP_ORACLE = """
+SELECT user_id, event_type, event_id AS first_event_id
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3 — group-by count ordered desc (the error-breakdown query shape)
+# ---------------------------------------------------------------------------
+
+def groupby_count_desc(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+    )
+
+
+GROUPBY_COUNT_DESC_ORACLE = """
+SELECT event_type, count(*) AS cnt
+FROM events GROUP BY event_type ORDER BY cnt DESC, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5 — multi-accumulator conditional aggregation (run counters shape)
+# ---------------------------------------------------------------------------
+
+def conditional_counters(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("n_finished"),
+        F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("n_open"),
+        F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("n_pending"),
+        F.round(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)), 2).alias("finished_value"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+CONDITIONAL_COUNTERS_ORACLE = """
+SELECT sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS finished_value,
+       count(*) AS n_total
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4 — max-key allocation (next-id pattern)
+# ---------------------------------------------------------------------------
+
+def max_key_allocation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.agg(F.max("o_orderkey").alias("max_orderkey")).crossJoin(
+        c.agg(F.max("c_custkey").alias("max_custkey"))
+    )
+
+
+MAX_KEY_ALLOCATION_ORACLE = """
+SELECT (SELECT max(o_orderkey) FROM orders) AS max_orderkey,
+       (SELECT max(c_custkey) FROM customer) AS max_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6 — distinct keyset
+# ---------------------------------------------------------------------------
+
+def distinct_keys(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+    )
+
+
+DISTINCT_KEYS_ORACLE = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.10 — union of complementary filtered streams (valid ∪ rejected shape)
+# ---------------------------------------------------------------------------
+
+def union_split_streams(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    small = p.where(F.col("p_size") < 25).withColumn("stream", F.lit("small"))
+    large = p.where(~(F.col("p_size") < 25)).withColumn("stream", F.lit("large"))
+    return (
+        small.unionByName(large)
+        .groupBy("stream")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("p_retailprice"), 6).alias("avg_price"))
+    )
+
+
+UNION_SPLIT_STREAMS_ORACLE = """
+SELECT stream, count(*) AS n, round(avg(p_retailprice), 6) AS avg_price
+FROM (
+  SELECT 'small' AS stream, p_retailprice FROM part WHERE p_size < 25
+  UNION ALL
+  SELECT 'large' AS stream, p_retailprice FROM part WHERE NOT (p_size < 25)
+)
+GROUP BY stream
+"""
+
+
+# ---------------------------------------------------------------------------
+# F1/F2 — date_id encoding + ISO calendar decomposition
+# ---------------------------------------------------------------------------
+
+def calendar_decomposition(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.select(
+            date_id(d).alias("date_id"),
+            F.year(d).alias("year"),
+            F.month(d).alias("month"),
+            F.dayofmonth(d).alias("day"),
+            iso_week(d).alias("week"),
+            iso_weekday(d).alias("weekday"),
+        )
+        .groupBy("date_id", "year", "month", "day", "week", "weekday")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+CALENDAR_DECOMPOSITION_ORACLE = """
+SELECT CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS INT) AS date_id,
+       CAST(year(o_orderdate) AS INT) AS year,
+       CAST(month(o_orderdate) AS INT) AS month,
+       CAST(day(o_orderdate) AS INT) AS day,
+       CAST(weekofyear(o_orderdate) AS INT) AS week,
+       CAST(isodow(o_orderdate) AS INT) AS weekday,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ALL
+"""
+
+
+# ---------------------------------------------------------------------------
+# F5 — multi-format tolerant date parse (round-trip through 4+2 formats)
+# ---------------------------------------------------------------------------
+
+def multiformat_date_parse(spark, sf_dir):
+    """Render each shipdate in one of six formats (4 parseable, 2 not — the
+    reference's accepted/rejected format split) then run the engine's
+    tolerant parser; count parse outcomes per format."""
+    li = _t(spark, sf_dir, "lineitem")
+    fmt = (F.col("l_orderkey") % 6).alias("fmt")
+    d = F.col("l_shipdate")
+    rendered = li.select(
+        fmt,
+        d,
+        F.when(F.col("l_orderkey") % 6 == 0, F.date_format(d, "yyyy-MM-dd"))
+        .when(F.col("l_orderkey") % 6 == 1, F.date_format(d, "yyyy/MM/dd"))
+        .when(F.col("l_orderkey") % 6 == 2, F.concat(F.date_format(d, "yyyy-MM-dd"), F.lit("T00:00:00")))
+        .when(F.col("l_orderkey") % 6 == 3, F.date_format(d, "yyyyMMdd"))
+        .when(F.col("l_orderkey") % 6 == 4, F.date_format(d, "dd-MM-yyyy"))
+        .otherwise(F.date_format(d, "MMM dd, yyyy"))
+        .alias("rendered"),
+    )
+    parsed = rendered.withColumn("parsed", parse_date_multi(F.col("rendered")))
+    return parsed.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("parsed").isNotNull().cast("long")).alias("n_parsed"),
+        F.sum(
+            F.when(F.col("parsed") == F.col("l_shipdate").cast("date"), 1)
+            .otherwise(0)
+            .cast("long")
+        ).alias("n_roundtrip"),
+    )
+
+
+MULTIFORMAT_DATE_PARSE_ORACLE = """
+WITH rendered AS (
+  SELECT l_orderkey % 6 AS fmt,
+         CAST(l_shipdate AS DATE) AS d,
+         CASE l_orderkey % 6
+           WHEN 0 THEN strftime(l_shipdate, '%Y-%m-%d')
+           WHEN 1 THEN strftime(l_shipdate, '%Y/%m/%d')
+           WHEN 2 THEN strftime(l_shipdate, '%Y-%m-%d') || 'T00:00:00'
+           WHEN 3 THEN strftime(l_shipdate, '%Y%m%d')
+           WHEN 4 THEN strftime(l_shipdate, '%d-%m-%Y')
+           ELSE strftime(l_shipdate, '%b %d, %Y')
+         END AS rendered
+  FROM lineitem
+), parsed AS (
+  SELECT fmt, d,
+         coalesce(
+           CAST(try_strptime(rendered, '%Y-%m-%d') AS DATE),
+           CAST(try_strptime(rendered, '%Y/%m/%d') AS DATE),
+           CASE WHEN contains(rendered, 'T')
+                THEN CAST(try_strptime(split_part(rendered, 'T', 1), '%Y-%m-%d') AS DATE) END,
+           CASE WHEN regexp_matches(rendered, '^[0-9]{8}$')
+                THEN CAST(try_strptime(rendered, '%Y%m%d') AS DATE) END
+         ) AS parsed
+  FROM rendered
+)
+SELECT fmt, count(*) AS n,
+       sum(CASE WHEN parsed IS NOT NULL THEN 1 ELSE 0 END) AS n_parsed,
+       sum(CASE WHEN parsed = d THEN 1 ELSE 0 END) AS n_roundtrip
+FROM parsed GROUP BY fmt
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — validation errors-array pattern (rule engine shape on orders)
+# ---------------------------------------------------------------------------
+
+def validation_rule_counts(spark, sf_dir):
+    """The errors-array pattern: evaluate rules, explode, count per type."""
+    o = _t(spark, sf_dir, "orders")
+    rules = F.filter(
+        F.array(
+            F.when(
+                F.col("o_totalprice") > 400000,
+                F.struct(
+                    F.lit("high_value").alias("error_type"),
+                    F.lit("warning").alias("severity"),
+                ),
+            ),
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P"),
+                F.struct(
+                    F.lit("bad_status").alias("error_type"),
+                    F.lit("error").alias("severity"),
+                ),
+            ),
+            F.when(
+                F.year("o_orderdate") < 1996,
+                F.struct(
+                    F.lit("stale_order").alias("error_type"),
+                    F.lit("warning").alias("severity"),
+                ),
+            ),
+        ),
+        lambda e: e.isNotNull(),
+    )
+    return (
+        o.withColumn("errors", rules)
+        .select(F.explode("errors").alias("e"))
+        .groupBy(
+            F.col("e.error_type").alias("error_type"),
+            F.col("e.severity").alias("severity"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+VALIDATION_RULE_COUNTS_ORACLE = """
+SELECT error_type, severity, count(*) AS cnt FROM (
+  SELECT 'high_value' AS error_type, 'warning' AS severity FROM orders WHERE o_totalprice > 400000
+  UNION ALL
+  SELECT 'bad_status', 'error' FROM orders WHERE o_orderstatus NOT IN ('O','F','P')
+  UNION ALL
+  SELECT 'stale_order', 'warning' FROM orders WHERE year(o_orderdate) < 1996
+) GROUP BY error_type, severity
+"""
+
+
+# ---------------------------------------------------------------------------
+# O2 global — top-k with deterministic tie-break
+# ---------------------------------------------------------------------------
+
+def top_orders_by_value(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+TOP_ORDERS_BY_VALUE_ORACLE = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# O5 — deterministic sampling (hash-mod; RANDOM() is not oracle-able)
+# ---------------------------------------------------------------------------
+
+def deterministic_sample(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+DETERMINISTIC_SAMPLE_ORACLE = """
+SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (events.props — beyond-reference scope, FIXTURES.md §B)
+# ---------------------------------------------------------------------------
+
+def json_extract_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+JSON_EXTRACT_EVENTS_ORACLE = """
+SELECT event_type,
+       sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
