@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import analytics
+from . import llm_queries as lq
 from . import operator_queries as oq
 
 # name -> (callable, oracle_sql | None)
@@ -106,6 +107,42 @@ _REGISTRY: dict[
     ),
     # beyond-reference: JSON column ops
     "json_extract_events": (oq.json_extract_events, oq.JSON_EXTRACT_EVENTS_ORACLE),
+    # LLM-data-pipeline: deduplication
+    "dedup_exact_summary": (lq.dedup_exact_summary, lq.DEDUP_EXACT_SUMMARY_ORACLE),
+    "dedup_exact_groups": (lq.dedup_exact_groups, lq.DEDUP_EXACT_GROUPS_ORACLE),
+    "doc_fingerprints": (lq.doc_fingerprints, lq.DOC_FINGERPRINTS_ORACLE),
+    "ngram_jaccard_planted_pairs": (
+        lq.ngram_jaccard_planted_pairs,
+        lq.NGRAM_JACCARD_PLANTED_PAIRS_ORACLE,
+    ),
+    "minhash_lsh_neardups": (
+        lq.minhash_lsh_neardups,
+        lq.MINHASH_LSH_NEARDUPS_ORACLE,
+    ),
+    "simhash_planted_pairs": (
+        lq.simhash_planted_pairs,
+        lq.SIMHASH_PLANTED_PAIRS_ORACLE,
+    ),
+    # LLM-data-pipeline: similarity search
+    "similarity_topk_bruteforce": (
+        lq.similarity_topk_bruteforce,
+        lq.SIMILARITY_TOPK_BRUTEFORCE_ORACLE,
+    ),
+    "similarity_topk_bucketed": (
+        lq.similarity_topk_bucketed,
+        lq.SIMILARITY_TOPK_BUCKETED_ORACLE,
+    ),
+    "embedding_neardup_pairs": (
+        lq.embedding_neardup_pairs,
+        lq.EMBEDDING_NEARDUP_PAIRS_ORACLE,
+    ),
+    # LLM-data-pipeline: text analysis
+    "text_quality_stats": (lq.text_quality_stats, lq.TEXT_QUALITY_STATS_ORACLE),
+    "language_id_heuristic": (
+        lq.language_id_heuristic,
+        lq.LANGUAGE_ID_HEURISTIC_ORACLE,
+    ),
+    "token_count_bpe": (lq.token_count_bpe, lq.TOKEN_COUNT_BPE_ORACLE),
 }
 
 

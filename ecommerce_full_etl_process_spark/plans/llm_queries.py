@@ -1,0 +1,461 @@
+"""LLM-data-pipeline query catalog (dedup / similarity / text analysis)
+over the ``documents`` and ``embeddings`` testdata tables.
+
+Each query is a driver-contract entry with a DuckDB oracle. Where the
+corpus has no natural near-duplicates (both tables are synthetic noise),
+the query deterministically AUGMENTS the table with perturbed copies —
+truncated texts, perturbed vectors — inside the query itself, identically
+in Spark and SQL, so the near-dup operators demonstrably find the planted
+pairs and the oracle can verify them.
+
+The MinHash/SimHash oracle SQL is generated from the same constants as the
+Spark implementation (operators/dedup.py) so both engines compute
+bit-identical hashes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import textstats as T
+
+OFFSET = 1_000_000  # id offset for planted near-duplicate copies
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-dup copies: every 10th doc re-appears under
+    doc_id+OFFSET with its last two words dropped."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    mutated = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + OFFSET).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1)))
+            ).alias("text"),
+        )
+    )
+    return d.select("doc_id", "text").unionByName(mutated)
+
+
+_AUGMENTED_DOCS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {OFFSET} AS doc_id,
+         array_to_string(w[1:greatest(len(w) - 2, 1)], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE doc_id % 10 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact_summary(spark, sf_dir):
+    """Corpus-level exact-dup profile per source (hash-groupBy dedup)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+    )
+
+
+DEDUP_EXACT_SUMMARY_ORACLE = """
+SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct
+FROM documents GROUP BY source
+"""
+
+
+def dedup_exact_groups(spark, sf_dir):
+    """Exact duplicate groups on the augmented corpus (each planted copy of
+    an unchanged doc would group; truncation means groups only appear for
+    docs short enough to be unchanged — plus a count guard)."""
+    return D.exact_dup_groups(
+        _augmented_docs(spark, sf_dir), "doc_id", "text"
+    )
+
+
+DEDUP_EXACT_GROUPS_ORACLE = f"""
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM ({_AUGMENTED_DOCS_SQL})
+GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# fingerprint (canonical-form hash)
+# ---------------------------------------------------------------------------
+
+def doc_fingerprints(spark, sf_dir):
+    return T.fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+
+
+DOC_FINGERPRINTS_ORACLE = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard on planted pairs
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_planted_pairs(spark, sf_dir):
+    """Jaccard(original, truncated copy) for every planted pair — verifies
+    the shingle/Jaccard math yields high-but-sub-1 similarity."""
+    aug = _augmented_docs(spark, sf_dir)
+    orig = aug.where(F.col("doc_id") < OFFSET).select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    copy = aug.where(F.col("doc_id") >= OFFSET).select(
+        (F.col("doc_id") - OFFSET).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("text_b"),
+    )
+    pairs = orig.join(copy, "id_a")
+    return D.ngram_jaccard_pairs(pairs, "text_a", "text_b").select(
+        "id_a", "id_b", "jaccard_sim"
+    )
+
+
+def _shingle_sql(text_expr: str, n: int = 3) -> str:
+    return (
+        f"list_distinct([array_to_string(w[i:i+{n - 1}], ' ') "
+        f"for i in range(1, greatest(len(w) - {n - 2}, 1))]) "
+    )
+
+
+NGRAM_JACCARD_PLANTED_PAIRS_ORACLE = f"""
+WITH aug AS ({_AUGMENTED_DOCS_SQL}),
+sh AS (
+  SELECT doc_id, {_shingle_sql('text')} AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM aug)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN len(list_distinct(a.shingles || b.shingles)) > 0
+             THEN len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                  / len(list_distinct(a.shingles || b.shingles))
+             ELSE 0.0 END, 6) AS jaccard_sim
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + {OFFSET}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs (full pipeline, oracle-checked)
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_neardups(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        _augmented_docs(spark, sf_dir), "doc_id", "text", n=3, min_jaccard=0.5
+    )
+
+
+def _minhash_oracle() -> str:
+    P = D.MINHASH_PRIME
+    sig_exprs = ", ".join(
+        f"list_min([ (h * {a} + {b}) % {P} for h in hs ])"
+        for a, b in zip(D.MINHASH_A, D.MINHASH_B)
+    )
+    n_bands = D.NUM_HASHES // D.ROWS_PER_BAND
+    band_structs = ", ".join(
+        "struct_pack(band := {b}, bh := md5({parts}))".format(
+            b=b,
+            parts=" || ',' || ".join(
+                f"sig[{b * D.ROWS_PER_BAND + r + 1}]::VARCHAR"
+                for r in range(D.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH aug AS ({_AUGMENTED_DOCS_SQL}),
+sh AS (
+  SELECT doc_id, {_shingle_sql('text')} AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM aug)
+),
+hashed AS (
+  SELECT doc_id, shingles,
+         [ ('0x' || substr(md5(s), 1, 8))::BIGINT for s in shingles ] AS hs
+  FROM sh WHERE len(shingles) > 0
+),
+sigs AS (
+  SELECT doc_id, shingles, [ {sig_exprs} ] AS sig FROM hashed
+),
+bands0 AS (
+  SELECT doc_id, shingles, unnest([ {band_structs} ]) AS b FROM sigs
+),
+bands AS (
+  SELECT doc_id, shingles, b.band AS band, b.bh AS bh FROM bands0
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
+  WHERE l.doc_id < r.doc_id
+),
+verified AS (
+  SELECT p.id_a, p.id_b,
+         round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard_sim
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b
+)
+SELECT id_a, id_b, jaccard_sim FROM verified WHERE jaccard_sim >= 0.5
+"""
+
+
+MINHASH_LSH_NEARDUPS_ORACLE = _minhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs
+# ---------------------------------------------------------------------------
+
+def simhash_planted_pairs(spark, sf_dir):
+    """SimHash Hamming distance between each original and its planted
+    truncated copy."""
+    aug = _augmented_docs(spark, sf_dir)
+    fps = D.simhash_fingerprints(aug, "doc_id", "text")
+    a = fps.where(F.col("doc_id") < OFFSET).select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b = fps.where(F.col("doc_id") >= OFFSET).select(
+        (F.col("doc_id") - OFFSET).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    return a.join(b, "id_a").select(
+        "id_a",
+        "id_b",
+        D.hamming60(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+    )
+
+
+def _simhash_oracle() -> str:
+    bits = D.SIMHASH_BITS
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN 2 * s{b} > n THEN {2 ** b}::BIGINT ELSE 0::BIGINT END"
+        for b in range(bits)
+    )
+    return f"""
+WITH aug AS ({_AUGMENTED_DOCS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM aug
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+s AS (
+  SELECT doc_id, count(*) AS n, {sums} FROM h GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, {fp} AS simhash FROM s
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON b.doc_id = a.doc_id + {OFFSET}
+"""
+
+
+SIMHASH_PLANTED_PAIRS_ORACLE = _simhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def similarity_topk_bruteforce(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return S.brute_force_topk(e, q, k=10)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    # explicit double-precision sequential dot product — mirrors
+    # operators/similarity.dot's fold order exactly
+    def _d(v):
+        return f"list_transform({v}, x -> CAST(x AS DOUBLE))"
+
+    dot = f"list_dot_product({_d(a)}, {_d(b)})"
+    return (
+        f"({dot} / (sqrt(list_dot_product({_d(a)}, {_d(a)}))"
+        f" * sqrt(list_dot_product({_d(b)}, {_d(b)}))))"
+    )
+
+
+SIMILARITY_TOPK_BRUTEFORCE_ORACLE = f"""
+WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round({_cos_sql('embedding', 'q')}, 6) AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def similarity_topk_bucketed(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return S.bucketed_topk(e, q, k=10)
+
+
+def _bucket_sql(v: str) -> str:
+    terms = " + ".join(
+        f"CASE WHEN CAST({v}[{j + 1}] AS DOUBLE) > 0 THEN {2 ** j}::BIGINT ELSE 0::BIGINT END"
+        for j in range(S.BUCKET_BITS)
+    )
+    return f"({terms})"
+
+
+SIMILARITY_TOPK_BUCKETED_ORACLE = f"""
+WITH q AS (SELECT embedding AS q, {_bucket_sql('embedding')} AS qb
+           FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round({_cos_sql('embedding', 'q')}, 6) AS cos_sim
+FROM embeddings, q
+WHERE {_bucket_sql('embedding')} = qb
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def embedding_neardup_pairs(spark, sf_dir):
+    """Cosine near-dup detection against planted perturbed copies: every
+    20th vector re-appears (vec_id+OFFSET) with each component nudged by
+    10% of its circular neighbor; pairs with cos >= 0.9 are reported."""
+    e = _embs(spark, sf_dir).select("vec_id", "label", "embedding")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    n = F.size(F.col("embedding"))
+    perturbed = F.transform(
+        v,
+        lambda x, i: x
+        + F.lit(0.1) * F.element_at(v, ((i + 1) % n) + 1),
+    )
+    copies = e.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + OFFSET).alias("vec_id"),
+        F.col("label"),
+        perturbed.alias("embedding"),
+    )
+    orig = e.where(F.col("vec_id") < OFFSET).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    cop = copies.select(
+        (F.col("vec_id") - OFFSET).alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    return (
+        orig.join(cop, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.9)
+    )
+
+
+EMBEDDING_NEARDUP_PAIRS_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+copies AS (
+  SELECT vec_id + {OFFSET} AS vec_id,
+         [ v[i] + 0.1 * v[(i % len(v)) + 1] for i in range(1, len(v) + 1) ] AS v
+  FROM v WHERE vec_id % 20 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM v a JOIN copies b ON b.vec_id = a.vec_id + {OFFSET}
+)
+SELECT id_a, id_b, round({_cos_sql('va', 'vb')}, 6) AS cos_sim
+FROM pairs WHERE round({_cos_sql('va', 'vb')}, 6) >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def text_quality_stats(spark, sf_dir):
+    return T.quality_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+TEXT_QUALITY_STATS_ORACLE = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_words,
+       round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+             / len(string_split(text, ' ')), 6) AS mean_word_len,
+       round(len(list_filter(string_split(text, ' '),
+                 w -> lower(w) IN {tuple(T.STOPWORDS)}))::DOUBLE
+             / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+             / length(text), 6) AS alpha_ratio
+FROM documents
+"""
+
+
+def language_id_heuristic(spark, sf_dir):
+    """Marker-word langid predictions summarized as a (lang, pred_lang)
+    confusion-style count."""
+    pred = T.language_id(_docs(spark, sf_dir), "doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        pred.join(d, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _langid_sql() -> str:
+    score = {
+        lang: (
+            f"len(list_filter(list_distinct(string_split(lower(text), ' ')),"
+            f" w -> w IN {tuple(m)}))"
+        )
+        for lang, m in T.LANG_MARKERS.items()
+    }
+    # same strict-> fold order as textstats.language_id (sorted lang codes)
+    pred = "'und'"
+    best = "0"
+    for lang in sorted(T.LANG_MARKERS):
+        s = score[lang]
+        pred = f"CASE WHEN {s} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN {s} > {best} THEN {s} ELSE {best} END"
+    return f"""
+SELECT lang, {pred} AS pred_lang, count(*) AS n
+FROM documents GROUP BY lang, pred_lang
+"""
+
+
+LANGUAGE_ID_HEURISTIC_ORACLE = _langid_sql()
+
+
+def token_count_bpe(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+TOKEN_COUNT_BPE_ORACLE = f"""
+SELECT doc_id, len(regexp_extract_all(text, '{T.BPE_TOKEN_PATTERN}')) AS n_tokens
+FROM documents
+"""
