@@ -1,0 +1,152 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines (BASELINE.json north-star extension).
+
+Media payloads are opaque ``binary`` columns plus a typed metadata struct;
+decode / feature-extraction / frame-sampling run as Arrow-batched
+``mapInPandas`` passes — the correct Spark shape for Python-only media
+libraries (one python worker per partition, columnar Arrow transfer, no
+per-row pickling).
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
+decode kernels are STUBBED: ``decode=fake`` produces deterministic
+pseudo-features derived from the payload bytes (so tests can assert exact
+values); ``decode=real`` raises NotImplementedError at the call site where
+the codec would run. The Spark-side plumbing — schema, batching, partition
+behavior, UDF signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META, True),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content_md5", T.StringType(), True),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), True),
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table: each document's text bytes become the
+    payload (stands in for image/audio bytes; real pipelines read the bytes
+    from object storage with ``binaryFile`` or a manifest join)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(64).cast("int").alias("width"),
+            F.lit(64).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.length("text") % 16 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real feature extractor: FEATURE_DIM
+    doubles derived from the md5 digest."""
+    digest = hashlib.md5(payload).digest()
+    return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    ``decode='real'`` marks where an actual image/audio decoder would run —
+    unavailable in this environment (NotImplementedError)."""
+    if decode not in ("fake", "real"):
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real media decode requires PIL/librosa/ffmpeg, "
+                    "not present in this container"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "content_md5": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                    "features": payloads.map(
+                        lambda b: _fake_features(b) if b is not None else None
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _batches, schema=FEATURES_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_nth: int = 4, decode: str = "fake") -> DataFrame:
+    """Frame sampling: one output row per sampled frame (a 1→N mapInPandas
+    expansion). Fake decode slices the payload deterministically."""
+    if decode == "real":
+        raise NotImplementedError("real video decode unavailable (no ffmpeg)")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_idx, out_payload = [], [], []
+            for _, row in pdf.iterrows():
+                n = int(row["n_frames"] or 0)
+                payload = row["payload"] or b""
+                for frame in range(0, n, every_nth):
+                    start = (frame * 7) % max(len(payload), 1)
+                    out_ids.append(row["media_id"])
+                    out_idx.append(frame)
+                    out_payload.append(payload[start : start + 16])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_payload": pd.Series(out_payload, dtype=object),
+                }
+            )
+
+    src = media.select(
+        "media_id", "payload", F.col("meta.n_frames").alias("n_frames")
+    )
+    return src.mapInPandas(_batches, schema=FRAMES_SCHEMA)

