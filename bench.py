@@ -29,6 +29,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "flagship_revenue_by_nation",
     "pricing_summary",
+    "filtered_incremental_scan",
+    "asof_events_to_orders",
+    "latest_order_per_customer",
+    "scd2_intervals_from_orders",
+    "first_occurrence_dedup",
+    "price_tolerance_check",
+    "minhash_lsh_neardups",
+    "simhash_planted_pairs",
+    "similarity_topk_bruteforce",
+    "text_quality_stats",
+    "token_count_bpe",
+    "json_extract_events",
 ]
 
 

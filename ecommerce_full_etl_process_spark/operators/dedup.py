@@ -77,37 +77,48 @@ def hash60(c: Column) -> Column:
 
 def minhash_signature(shingle_hashes: Column) -> Column:
     """MinHash signature: for each permutation i, min((a_i*h + b_i) mod P)
-    over the document's shingle hashes. Empty docs → NULL signature."""
-    def _perm(a: int, b: int):
-        # real closure: PySpark infers lambda arity from the Python
-        # signature, so default-arg captures would break it
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+    over the document's shingle hashes. Empty docs → NULL signature.
 
-    parts = [
-        F.array_min(F.transform(shingle_hashes, _perm(a, b)))
-        for a, b in zip(MINHASH_A, MINHASH_B)
-    ]
-    return F.when(F.size(shingle_hashes) > 0, F.array(*parts))
+    Plan note: expressed as ONE ``transform`` over a literal array of
+    permutation constants, so ``shingle_hashes`` is referenced exactly once.
+    Building 32 separate ``array_min(transform(...))`` expressions instead
+    lets Catalyst's projection collapse inline (= recompute) the upstream
+    md5 shingle hashing 32×, which measured ~5× slower end-to-end."""
+    perms = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+    )
+    sig = F.transform(
+        perms,
+        lambda p: F.array_min(
+            F.transform(
+                shingle_hashes,
+                lambda h: (h * p["a"] + p["b"]) % F.lit(MINHASH_PRIME),
+            )
+        ),
+    )
+    return F.when(F.size(shingle_hashes) > 0, sig)
 
 
 def lsh_band_hashes(signature: Column) -> Column:
-    """Banded LSH keys: md5 of each ROWS_PER_BAND-slice of the signature."""
+    """Banded LSH keys: md5 of each ROWS_PER_BAND-slice of the signature.
+    Single ``transform`` over band indices — references ``signature`` once
+    (same projection-collapse hazard as minhash_signature)."""
     n_bands = NUM_HASHES // ROWS_PER_BAND
-    return F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at(signature, band * ROWS_PER_BAND + r + 1).cast(
-                            "string"
-                        )
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                )
+    bands = F.sequence(F.lit(0), F.lit(n_bands - 1))
+    return F.transform(
+        bands,
+        lambda b: F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice(signature, b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                    lambda v: v.cast("string"),
+                ),
+                ",",
             )
-            for band in range(n_bands)
-        ]
+        ),
     )
 
 
@@ -127,6 +138,18 @@ def hamming60(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 # operators
 # ---------------------------------------------------------------------------
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the source is
+    under-partitioned (e.g. one small parquet file) — the per-row hashing
+    below is CPU-bound, so idle cores are the bottleneck, and the text
+    shuffle is cheap by comparison. No-op when the input already has enough
+    partitions (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups by content hash: (text_hash, n_docs, keep_id).
@@ -153,35 +176,83 @@ def minhash_lsh_pairs(
     """Near-duplicate candidate pairs via MinHash + banded LSH, verified
     with exact Jaccard: (id_a, id_b, jaccard_sim). Pairs are emitted once
     (id_a < id_b) regardless of how many bands collide."""
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
-    ).withColumn("sh_hashes", F.transform(F.col("shingles"), lambda s: hash32(s)))
-    sigs = base.withColumn("sig", minhash_signature(F.col("sh_hashes"))).where(
-        F.col("sig").isNotNull()
+    src = _spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     )
-    banded = sigs.select(
+    shingled = src.select(
+        "doc_id", word_shingles(F.col("__text"), n).alias("shingles")
+    )
+
+    # Phase 1 — candidates. Explode shingle hashes and compute the MinHash
+    # signature as 32 plain ``min()`` aggregates — whole-stage-codegen'd,
+    # map-side combined — instead of nested higher-order lambdas, which run
+    # interpreted (~4× slower measured at sf0.1). The groupBy is also the
+    # plan barrier that stops Catalyst's projection collapse from inlining
+    # (= recomputing) the md5 pass into downstream references. Shuffles are
+    # skinny: (doc_id, 32 longs) after partial aggregation, then the
+    # (band, band_hash, doc_id) triples. Bucket skew: identical docs land in
+    # one bucket and pair expansion is quadratic in bucket size — run
+    # exact_dup_groups first at scale so exact clones never reach LSH.
+    exploded = shingled.select(
         "doc_id",
-        "shingles",
-        F.posexplode(lsh_band_hashes(F.col("sig"))).alias("band", "band_hash"),
+        F.explode(
+            F.transform(F.col("shingles"), lambda s: hash32(s))
+        ).alias("h"),
     )
-    left = banded.select(
-        F.col("band"),
-        F.col("band_hash"),
-        F.col("doc_id").alias("id_a"),
-        F.col("shingles").alias("sh_a"),
+    sig_cols = exploded.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
     )
-    right = banded.select(
-        F.col("band"),
-        F.col("band_hash"),
-        F.col("doc_id").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
+    sig_array = F.array(*[F.col(f"m{i}") for i in range(NUM_HASHES)])
+    banded = sig_cols.select(
+        "doc_id",
+        F.posexplode(lsh_band_hashes(sig_array)).alias("band", "band_hash"),
     )
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    candidates = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+        .cache()
+    )
+    candidates.count()  # materialize: later references must not re-run LSH
+
+    # Phase 2 — verification. Recompute shingles ONLY for docs that appear
+    # in a candidate pair (semi-join prune), then exact Jaccard. The pruned
+    # shingle set is cached + materialized because the pair join references
+    # it twice (id_a side and id_b side).
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("doc_id"))
+        .union(candidates.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingled.join(F.broadcast(cand_ids), "doc_id", "left_semi").cache()
+    sh.count()
     pairs = (
-        left.join(right, ["band", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        candidates.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        ).join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
     )
     return (
         pairs.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
@@ -213,7 +284,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     (``2*ones > n`` — a tie votes negative). Shape: explode tokens → one
     hash-aggregate per doc with per-bit conditional sums (map-side partial
     aggregation keeps the shuffle at one row per doc)."""
-    tokens = df.select(
+    tokens = _spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     ).withColumn("h", hash60(F.col("tok")))

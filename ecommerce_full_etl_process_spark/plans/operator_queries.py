@@ -252,20 +252,25 @@ WHERE rn = 1
 # ---------------------------------------------------------------------------
 
 def asof_events_to_orders(spark, sf_dir):
+    """Per event: the latest (o_orderdate, o_orderkey) at or before ts.
+
+    Plan note: expressed as ``max(struct(date, key))`` per event — a hash
+    aggregate with map-side partial aggregation — instead of a row_number
+    window, which would sort every (event × candidate-order) row. Same
+    semantics (struct compare = lexicographic = the DESC/DESC tie-break),
+    one shuffle of pre-aggregated rows.
+    """
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
     )
-    joined = e.join(F.broadcast(o), "user_id", "left").where(
+    joined = e.join(F.broadcast(o), "user_id").where(
         F.col("o_orderdate") <= F.col("ts")
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("event_id", "user_id", F.col("o_orderkey").alias("asof_orderkey"))
+    return joined.groupBy("event_id", "user_id").agg(
+        F.max(F.struct("o_orderdate", "o_orderkey"))["o_orderkey"].alias(
+            "asof_orderkey"
+        )
     )
 
 
