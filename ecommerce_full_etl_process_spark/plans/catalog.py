@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import analytics
 from . import llm_queries as lq
 from . import operator_queries as oq
+from . import scd2_queries as sq
 
 # name -> (callable, oracle_sql | None)
 _REGISTRY: dict[
@@ -143,6 +144,17 @@ _REGISTRY: dict[
         lq.LANGUAGE_ID_HEURISTIC_ORACLE,
     ),
     "token_count_bpe": (lq.token_count_bpe, lq.TOKEN_COUNT_BPE_ORACLE),
+    # §2.6 SCD2 merge (the centerpiece) + §2.4 J7 change-comparison join
+    "scd2_merge_customers": (
+        sq.scd2_merge_customers,
+        sq.SCD2_MERGE_CUSTOMERS_ORACLE,
+    ),
+    "change_comparison_join": (
+        sq.change_comparison_join,
+        sq.CHANGE_COMPARISON_JOIN_ORACLE,
+    ),
+    # multimodal: Arrow mapInPandas feature extraction vs SQL-derived oracle
+    "multimodal_features": (sq.multimodal_features, sq.MULTIMODAL_FEATURES_ORACLE),
 }
 
 

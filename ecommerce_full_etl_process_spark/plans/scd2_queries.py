@@ -1,0 +1,208 @@
+"""Oracle-checked catalog entries for the SCD2 centerpiece (SURVEY §2.6),
+the J7 change-comparison join, and the multimodal mapInPandas path.
+
+The SCD2 merge query builds a deterministic scenario from the customer
+table entirely inside the query (initial load + a mutated incoming batch),
+runs the engine's ``scd2_merge``, and returns the full post-merge dimension
+— which a DuckDB CTE chain reproduces exactly, surrogate keys included.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.scd2 import Scd2Config, scd2_merge
+
+EFFECTIVE = date(2026, 2, 1)
+INITIAL_START = date(2026, 1, 1)
+
+CUSTOMER_SCD2 = Scd2Config(
+    natural_key="c_custkey",
+    surrogate_key="c_sk",
+    tracked_cols=("c_name", "c_acctbal", "c_mktsegment"),
+    carried_cols=(),
+    new_key_start_col=None,
+)
+
+
+def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+
+
+def scd2_merge_customers(spark, sf_dir):
+    """Full SCD2 merge: initial dim = every customer (version 1, sk dense by
+    custkey); incoming batch mutates acctbal for custkey%5==0 and drops
+    custkey%7==0 (absent keys stay untouched). Returns the merged dim.
+
+    Expected oracle-verifiable effects: changed keys close (end_date =
+    eff-1, current=false) and reopen with a new max+row_number sk; unchanged
+    and absent keys keep version 1 current.
+    """
+    c = _customer(spark, sf_dir)
+    w = Window.orderBy("c_custkey")
+    dim = c.select(
+        F.row_number().over(w).cast("long").alias("c_sk"),
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit(INITIAL_START).cast("date").alias("start_date"),
+        F.lit(None).cast("date").alias("end_date"),
+        F.lit(True).alias("current_flag"),
+    )
+    incoming = c.where(F.col("c_custkey") % 7 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.round(F.col("c_acctbal") + 100.0, 2)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    result = scd2_merge(dim, incoming, CUSTOMER_SCD2, EFFECTIVE)
+    return result.dim.select(
+        "c_sk",
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+        "start_date",
+        "end_date",
+        "current_flag",
+    )
+
+
+SCD2_MERGE_CUSTOMERS_ORACLE = f"""
+WITH dim AS (
+  SELECT row_number() OVER (ORDER BY c_custkey) AS c_sk,
+         c_custkey, c_name, c_acctbal, c_mktsegment,
+         DATE '{INITIAL_START}' AS start_date,
+         CAST(NULL AS DATE) AS end_date,
+         TRUE AS current_flag
+  FROM customer
+),
+incoming AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 100.0, 2)
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 7 != 0
+),
+classified AS (
+  SELECT i.*, d.c_sk AS old_sk,
+         (i.c_name IS DISTINCT FROM d.c_name
+          OR i.c_acctbal IS DISTINCT FROM d.c_acctbal
+          OR i.c_mktsegment IS DISTINCT FROM d.c_mktsegment) AS changed
+  FROM incoming i JOIN dim d ON i.c_custkey = d.c_custkey
+),
+closed AS (
+  SELECT d.c_sk, d.c_custkey, d.c_name, d.c_acctbal, d.c_mktsegment,
+         d.start_date,
+         DATE '{EFFECTIVE}' - 1 AS end_date,
+         FALSE AS current_flag
+  FROM dim d JOIN classified c ON d.c_custkey = c.c_custkey AND c.changed
+),
+untouched AS (
+  SELECT d.* FROM dim d
+  WHERE d.c_custkey NOT IN (SELECT c_custkey FROM classified WHERE changed)
+),
+new_versions AS (
+  SELECT (SELECT max(c_sk) FROM dim)
+           + row_number() OVER (ORDER BY c_custkey) AS c_sk,
+         c_custkey, c_name, c_acctbal, c_mktsegment,
+         DATE '{EFFECTIVE}' AS start_date,
+         CAST(NULL AS DATE) AS end_date,
+         TRUE AS current_flag
+  FROM classified WHERE changed
+)
+SELECT c_sk, c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, c_mktsegment,
+       start_date, end_date, current_flag
+FROM (
+  SELECT * FROM untouched
+  UNION ALL SELECT * FROM closed
+  UNION ALL SELECT * FROM new_versions
+)
+"""
+
+
+def change_comparison_join(spark, sf_dir):
+    """J7 (SCD2 diff classification): incoming snapshot vs current table —
+    count new / changed / unchanged keys, change detected via exact
+    null-safe attribute compare (reference ETL/etl.py:193-195,241-243)."""
+    p = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    incoming = p.withColumn(
+        "p_retailprice",
+        F.when(
+            F.col("p_partkey") % 7 == 0, F.round(F.col("p_retailprice") * 1.1, 2)
+        ).otherwise(F.col("p_retailprice")),
+    )
+    current = p.select(
+        "p_partkey",
+        F.col("p_name").alias("cur_name"),
+        F.col("p_retailprice").alias("cur_price"),
+    )
+    joined = incoming.join(current, "p_partkey", "left")
+    status = (
+        F.when(F.col("cur_name").isNull(), F.lit("new"))
+        .when(
+            ~F.col("p_name").eqNullSafe(F.col("cur_name"))
+            | ~F.col("p_retailprice").eqNullSafe(F.col("cur_price")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+CHANGE_COMPARISON_JOIN_ORACLE = """
+WITH incoming AS (
+  SELECT p_partkey, p_name,
+         CASE WHEN p_partkey % 7 = 0 THEN round(p_retailprice * 1.1, 2)
+              ELSE p_retailprice END AS p_retailprice
+  FROM part
+)
+SELECT CASE
+         WHEN c.p_partkey IS NULL THEN 'new'
+         WHEN i.p_name IS DISTINCT FROM c.p_name
+           OR i.p_retailprice IS DISTINCT FROM c.p_retailprice THEN 'changed'
+         ELSE 'unchanged'
+       END AS status,
+       count(*) AS n
+FROM incoming i LEFT JOIN part c ON i.p_partkey = c.p_partkey
+GROUP BY 1
+"""
+
+
+def multimodal_features(spark, sf_dir):
+    """Arrow mapInPandas feature extraction over binary payloads, verified
+    against SQL: payload = utf-8 doc text, so n_bytes/md5/features are all
+    SQL-derivable from the text column."""
+    from ..operators.multimodal import extract_features, media_from_documents
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    feats = extract_features(media_from_documents(docs), decode="fake")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "content_md5",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
+    )
+
+
+MULTIMODAL_FEATURES_ORACLE = """
+SELECT doc_id AS media_id,
+       strlen(text) AS n_bytes,
+       md5(text) AS content_md5,
+       round((('0x' || substr(md5(text), 1, 2))::INT) / 255.0, 6) AS f0,
+       round((('0x' || substr(md5(text), 15, 2))::INT) / 255.0, 6) AS f7
+FROM documents
+"""
