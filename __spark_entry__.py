@@ -12,11 +12,19 @@ adapter so the engine package stays importable on its own.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ecommerce_full_etl_process_spark.plans import catalog
+# the engine package lives next to this file; make the import robust to the
+# driver's cwd/sys.path
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from ecommerce_full_etl_process_spark.plans import catalog  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -61,11 +61,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = queries[name](spark, SF_DIR)
-        # force full execution; write-free action
-        df.foreach(lambda _: None) if False else df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # min of 2 runs: steady-state, not JVM/GC noise
+            t0 = time.perf_counter()
+            df = queries[name](spark, SF_DIR)
+            df.count()  # force full execution; write-free action
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

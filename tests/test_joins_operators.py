@@ -1,0 +1,97 @@
+"""Direct unit tests for the join operator library (SURVEY §2.4)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import functions as F
+
+from ecommerce_full_etl_process_spark.operators.joins import (
+    anti_join,
+    asof_join,
+    join_current_version,
+    latest_per_key,
+    semi_join,
+)
+
+DIM_ROWS = [
+    # product_id, product_sk, start, end, current
+    (1, 1, date(2026, 1, 1), date(2026, 1, 31), False),
+    (1, 3, date(2026, 2, 1), None, True),
+    (2, 2, date(2026, 1, 15), None, True),
+]
+DIM_SCHEMA = (
+    "product_id long, product_sk long, start_date date, end_date date, "
+    "current_flag boolean"
+)
+
+
+def test_asof_join_resolves_correct_version(spark):
+    dim = spark.createDataFrame(DIM_ROWS, DIM_SCHEMA)
+    facts = spark.createDataFrame(
+        [
+            (100, 1, date(2026, 1, 10)),  # inside closed version → sk 1
+            (101, 1, date(2026, 2, 10)),  # open version → sk 3
+            (102, 1, date(2025, 12, 1)),  # before history → NULL
+            (103, 2, date(2026, 3, 1)),  # open version → sk 2
+            (104, 9, date(2026, 1, 1)),  # unknown key → NULL
+        ],
+        "tx long, product_id long, d date",
+    )
+    out = asof_join(
+        facts,
+        dim.select("product_id", "product_sk", "start_date", "end_date"),
+        "product_id",
+        "d",
+        ["product_sk"],
+    )
+    got = {r["tx"]: r["product_sk"] for r in out.collect()}
+    assert got == {100: 1, 101: 3, 102: None, 103: 2, 104: None}
+
+
+def test_asof_boundary_dates(spark):
+    """Interval boundaries are inclusive on both ends (reference
+    start_date <= d AND end_date >= d, ETL/etl.py:330-331)."""
+    dim = spark.createDataFrame(DIM_ROWS, DIM_SCHEMA)
+    facts = spark.createDataFrame(
+        [(1, 1, date(2026, 1, 31)), (2, 1, date(2026, 2, 1)), (3, 1, date(2026, 1, 1))],
+        "tx long, product_id long, d date",
+    )
+    out = asof_join(
+        facts,
+        dim.select("product_id", "product_sk", "start_date", "end_date"),
+        "product_id",
+        "d",
+        ["product_sk"],
+    )
+    got = {r["tx"]: r["product_sk"] for r in out.collect()}
+    assert got == {1: 1, 2: 3, 3: 1}
+
+
+def test_join_current_version(spark):
+    dim = spark.createDataFrame(DIM_ROWS, DIM_SCHEMA)
+    facts = spark.createDataFrame([(1,), (2,), (9,)], "product_id long")
+    out = join_current_version(facts, dim, "product_id", ["product_sk"])
+    got = {r["product_id"]: r["product_sk"] for r in out.collect()}
+    assert got == {1: 3, 2: 2, 9: None}
+
+
+def test_semi_anti_complement(spark, sf_dir):
+    import os
+
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    n_semi = semi_join(c, o, "c_custkey").count()
+    n_anti = anti_join(c, o, "c_custkey").count()
+    assert n_semi + n_anti == c.count()
+
+
+def test_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k long, v long, tag string"
+    )
+    out = latest_per_key(df, ["k"], "v")
+    got = {r["k"]: r["tag"] for r in out.collect()}
+    assert got == {1: "b", 2: "c"}
