@@ -16,6 +16,7 @@ from . import analytics
 from . import llm_queries as lq
 from . import operator_queries as oq
 from . import scd2_queries as sq
+from ..streaming import stream_pipeline as sp
 
 # name -> (callable, oracle_sql | None)
 _REGISTRY: dict[
@@ -155,6 +156,11 @@ _REGISTRY: dict[
     ),
     # multimodal: Arrow mapInPandas feature extraction vs SQL-derived oracle
     "multimodal_features": (sq.multimodal_features, sq.MULTIMODAL_FEATURES_ORACLE),
+    # §2.12 streaming: real Structured Streaming query (AvailableNow → memory sink)
+    "streaming_event_counts": (
+        sp.streaming_event_counts,
+        sp.STREAMING_EVENT_COUNTS_ORACLE,
+    ),
 }
 
 

@@ -69,6 +69,58 @@ def windowed_status_counts(
     )
 
 
+def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry (SURVEY §2.12): hourly event-type counts computed BY A
+    REAL STREAMING QUERY — file-source stream over events.parquet,
+    Trigger.AvailableNow, complete-mode memory sink — then returned as the
+    sink's batch contents. AvailableNow processes the whole table, so the
+    result equals the batch aggregation and is oracle-checkable."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sch = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos (see nanosAsLong)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    evt = stream.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    agg = evt.groupBy(
+        F.window("event_time", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("streaming_event_counts_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("streaming_event_counts_sink").select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+STREAMING_EVENT_COUNTS_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
+FROM events GROUP BY ALL
+"""
+
+
 def run_incremental(
     spark: SparkSession,
     source_dir: str,

@@ -130,6 +130,39 @@ def test_rerun_idempotent(warehouse, spark):
     assert summary2.counters["rows_dim_user_inserted"] == 0
 
 
+def test_load_stage_orphan_before_history(spark, tmp_path_factory):
+    """A transaction dated BEFORE the user's dim history begins passes
+    validation (user exists in OLTP) but cannot as-of-resolve a user_sk —
+    the load stage must skip it and log orphan_user (reference
+    ETL/etl.py:335-342)."""
+    from ecommerce_full_etl_process_spark import schemas
+
+    root = str(tmp_path_factory.mktemp("warehouse3"))
+    store = TableStore(spark, root)
+    d = date(2026, 2, 2)
+    users = spark.createDataFrame(
+        [(1, "Ann Lee", "ann@example.com", "2026-01-15")], schemas.USERS
+    )
+    products = spark.createDataFrame(
+        [(1, "Widget", "Electronics", 10.0, 5)], schemas.PRODUCTS
+    )
+    tx = spark.createDataFrame(
+        [
+            (1, "2026-01-01", 1, 1, 1, 10.0, "visa", "success"),  # pre-history
+            (2, "2026-02-02", 1, 1, 1, 10.0, "visa", "success"),  # fine
+        ],
+        schemas.TRANSACTIONS,
+    )
+    s = pipeline.run(spark, store, d, users, products, tx)
+    assert s.status == "success"
+    facts = store.read(pipeline.FACT_TRANSACTIONS).collect()
+    assert [r["transaction_id"] for r in facts] == [2]
+    el = store.read("etl_error_log").where(
+        (F.col("run_id") == s.run_id) & (F.col("error_type") == "orphan_user")
+    )
+    assert el.where(F.col("record_id") == "1").count() == 1
+
+
 def test_scd2_versioning_across_days(spark, tmp_path_factory):
     """Day 2 with a changed product price must close the old version, open a
     new one, and as-of-resolve facts to the version valid at their date."""
