@@ -21,11 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
-from ..functions.dates import date_id as date_id_expr
 from ..operators import facts as facts_op
 from ..operators import snapshot as snapshot_op
 from ..operators import validation as validation_op
-from ..operators.dims import build_dim_date, missing_dim_date_rows
+from ..operators.dims import missing_dim_date_rows
 from ..operators.scd2 import PRODUCT_SCD2, USER_SCD2, scd2_merge
 from ..sources.io import TableStore
 from . import audit
