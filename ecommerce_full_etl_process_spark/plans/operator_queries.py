@@ -32,8 +32,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
     Spark's vectorized reader rejects; read nanos as long and convert to a
-    microsecond timestamp (matching DuckDB's ns→us truncation)."""
+    microsecond timestamp (matching DuckDB's ns→us truncation).
+
+    Session TZ pinned to UTC so collected TIMESTAMP values are naive-UTC
+    like DuckDB's, independent of the host session's zone."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(

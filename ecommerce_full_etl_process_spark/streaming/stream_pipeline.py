@@ -79,6 +79,7 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # naive-UTC collection
     sch = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
