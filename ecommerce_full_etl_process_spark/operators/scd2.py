@@ -106,10 +106,21 @@ def scd2_merge(
 
     new_keys = joined.where(F.col("__exists").isNull())
     changed = joined.where(F.col("__exists").isNotNull() & changed_pred)
-    unchanged_cnt = joined.where(F.col("__exists").isNotNull() & ~changed_pred).count()
 
-    n_inserted = new_keys.count()
-    n_updated = changed.count()
+    # one aggregate pass for all three classification counters (instead of
+    # three separate count() jobs over the cached join)
+    counts = joined.agg(
+        F.sum(F.col("__exists").isNull().cast("long")).alias("n_new"),
+        F.sum((F.col("__exists").isNotNull() & changed_pred).cast("long")).alias(
+            "n_changed"
+        ),
+        F.sum(
+            (F.col("__exists").isNotNull() & ~changed_pred).cast("long")
+        ).alias("n_unchanged"),
+    ).collect()[0]
+    n_inserted = counts["n_new"] or 0
+    n_updated = counts["n_changed"] or 0
+    unchanged_cnt = counts["n_unchanged"] or 0
 
     # close out the old versions of changed keys (end = eff - 1 day)
     changed_key_set = changed.select(nk)

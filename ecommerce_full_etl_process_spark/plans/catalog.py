@@ -109,6 +109,13 @@ _REGISTRY: dict[
     ),
     # beyond-reference: JSON column ops
     "json_extract_events": (oq.json_extract_events, oq.JSON_EXTRACT_EVENTS_ORACLE),
+    # §2.5 extensions: rollup, framed windows, approximate aggregates
+    "rollup_revenue": (oq.rollup_revenue, oq.ROLLUP_REVENUE_ORACLE),
+    "running_customer_revenue": (
+        oq.running_customer_revenue,
+        oq.RUNNING_CUSTOMER_REVENUE_ORACLE,
+    ),
+    "approx_distinct_counts": (oq.approx_distinct_counts, None),  # rows-only
     # LLM-data-pipeline: deduplication
     "dedup_exact_summary": (lq.dedup_exact_summary, lq.DEDUP_EXACT_SUMMARY_ORACLE),
     "dedup_exact_groups": (lq.dedup_exact_groups, lq.DEDUP_EXACT_GROUPS_ORACLE),

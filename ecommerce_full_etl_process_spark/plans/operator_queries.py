@@ -670,6 +670,90 @@ SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 97 = 0
 
 
 # ---------------------------------------------------------------------------
+# Grouping sets / rollup (free via Spark groupBy — SURVEY §2.5 note)
+# ---------------------------------------------------------------------------
+
+def rollup_revenue(spark, sf_dir):
+    """Revenue by (region, nation) with ROLLUP subtotals + grand total."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup(r.r_name.alias("region"), n.n_name.alias("nation"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ROLLUP_REVENUE_ORACLE = """
+SELECT r_name AS region, n_name AS nation,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Running / framed window aggregates (beyond the reference's top-k windows)
+# ---------------------------------------------------------------------------
+
+def running_customer_revenue(spark, sf_dir):
+    """Cumulative revenue + 3-order moving average per customer over order
+    date — unbounded-preceding and bounded frames."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("cum_revenue"),
+        F.round(
+            F.avg("o_totalprice").over(w.rowsBetween(-2, Window.currentRow)), 4
+        ).alias("moving_avg_3"),
+    )
+
+
+RUNNING_CUSTOMER_REVENUE_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER w_cum, 2) AS cum_revenue,
+       round(avg(o_totalprice) OVER w_mov, 4) AS moving_avg_3
+FROM orders
+WINDOW
+  w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def approx_distinct_counts(spark, sf_dir):
+    """Approximate distinct (HLL) — rows-only check: HLL implementations
+    differ across engines, so no value oracle; the driver records existence
+    + schema. Exact distinct included for scale reference."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # JSON extraction (events.props — beyond-reference scope, FIXTURES.md §B)
 # ---------------------------------------------------------------------------
 
