@@ -72,6 +72,7 @@ def load_fact_transactions(
         ["product_sk"],
     )
 
+    tx = tx.cache()  # one as-of resolution pass serves orphans + load
     orphan_users = tx.where(F.col("user_sk").isNull())
     orphan_products = tx.where(
         F.col("user_sk").isNotNull() & F.col("product_sk").isNull()
@@ -80,8 +81,7 @@ def load_fact_transactions(
 
     # J4 layer 1: re-run idempotence on transaction_id alone
     existing_ids = existing_fact.select("transaction_id").distinct()
-    fresh = resolved.join(existing_ids, "transaction_id", "left_anti")
-    n_skipped_rerun = resolved.count() - fresh.count()
+    fresh = resolved.join(existing_ids, "transaction_id", "left_anti").cache()
 
     # J4 layer 2 / A7: in-batch first-wins dedup on the composite PK
     w = Window.partitionBy("transaction_id", "product_sk").orderBy(F.col(order_col))
@@ -90,6 +90,7 @@ def load_fact_transactions(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+    n_skipped_rerun = resolved.count() - fresh.count()
     n_skipped_dupe = fresh.count() - deduped.count()
 
     facts = deduped.select(
