@@ -122,6 +122,58 @@ FROM events GROUP BY ALL
 """
 
 
+def run_incremental_with_warehouse(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    warehouse_root: str,
+    users: DataFrame,
+    products: DataFrame,
+):
+    """The foreachBatch upgrade path (SURVEY §7.6): every micro-batch of
+    raw transactions runs through the SAME batch pipeline (validate → SCD2
+    dims → facts → audit), one ``pipeline.run`` per distinct source date in
+    the batch — so streaming ingestion and the daily batch job share one
+    code path and cannot drift. Dimensions advance per micro-batch.
+
+    Returns the started StreamingQuery (AvailableNow trigger).
+    """
+    from ..plans import pipeline as batch_pipeline
+    from ..sources.io import TableStore
+
+    store = TableStore(spark, warehouse_root)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        parsed = with_event_time(batch_df)
+        # one pipeline run per source date present in the micro-batch,
+        # oldest first (preserves SCD2 effective-date ordering); unparseable
+        # dates ride along and are rejected by validation inside run()
+        dates = sorted(
+            r["d"]
+            for r in parsed.select(
+                F.col("event_time").cast("date").alias("d")
+            )
+            .distinct()
+            .collect()
+            if r["d"] is not None
+        )
+        for d in dates:
+            day_tx = parsed.where(
+                F.col("event_time").cast("date").eqNullSafe(F.lit(d))
+            ).drop("event_time")
+            batch_pipeline.run(spark, store, d, users, products, day_tx)
+
+    stream = transactions_file_stream(spark, source_dir)
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_incremental(
     spark: SparkSession,
     source_dir: str,

@@ -1,0 +1,89 @@
+"""foreachBatch streaming → full batch pipeline per micro-batch (SCD2 dims
+advance as files arrive), plus TableStore atomicity/time-travel."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from ecommerce_full_etl_process_spark import schemas
+from ecommerce_full_etl_process_spark.plans import pipeline
+from ecommerce_full_etl_process_spark.sources.io import TableStore
+from ecommerce_full_etl_process_spark.streaming import stream_pipeline as SP
+
+
+def test_foreachbatch_pipeline_advances_dims(spark, tmp_path):
+    src = str(tmp_path / "tx_src")
+    chk = str(tmp_path / "chk")
+    wh = str(tmp_path / "wh")
+
+    users = spark.createDataFrame(
+        [(1, "Ann Lee", "ann@example.com", "2026-01-01")], schemas.USERS
+    )
+    products_v1 = spark.createDataFrame(
+        [(1, "Widget", "Electronics", 100.0, 10)], schemas.PRODUCTS
+    )
+
+    # micro-batch 1: two days of transactions in one file
+    spark.createDataFrame(
+        [
+            (1, "2026-02-02", 1, 1, 1, 100.0, "visa", "success"),
+            (2, "2026-02-03", 1, 1, 2, 200.0, "visa", "success"),
+        ],
+        schemas.TRANSACTIONS,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = SP.run_incremental_with_warehouse(spark, src, chk, wh, users, products_v1)
+    q.awaitTermination(300)
+
+    store = TableStore(spark, wh)
+    facts = store.read(pipeline.FACT_TRANSACTIONS)
+    assert sorted(r["transaction_id"] for r in facts.collect()) == [1, 2]
+    # two pipeline runs (one per source date) in the audit log
+    runs = store.read("etl_run_log").collect()
+    assert [r["status"] for r in runs] == ["success", "success"]
+
+    # micro-batch 2: price change + new tx → SCD2 must open a version
+    products_v2 = spark.createDataFrame(
+        [(1, "Widget", "Electronics", 120.0, 10)], schemas.PRODUCTS
+    )
+    spark.createDataFrame(
+        [(3, "2026-02-04", 1, 1, 1, 120.0, "visa", "success")],
+        schemas.TRANSACTIONS,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q2 = SP.run_incremental_with_warehouse(spark, src, chk, wh, users, products_v2)
+    q2.awaitTermination(300)
+
+    dim = store.read(pipeline.DIM_PRODUCT).orderBy("product_sk").collect()
+    assert len(dim) == 2 and dim[1]["price"] == 120.0 and dim[1]["current_flag"]
+    facts2 = {r["transaction_id"]: r["product_sk"] for r in store.read(
+        pipeline.FACT_TRANSACTIONS
+    ).collect()}
+    assert facts2[3] == dim[1]["product_sk"]  # new tx → new version sk
+    assert facts2[1] == dim[0]["product_sk"]  # old facts keep old sk
+
+
+def test_tablestore_overwrite_is_versioned_and_atomic(spark, tmp_path):
+    """Overwrite writes v=n+1 then flips the manifest: the old version stays
+    on disk untouched (time-travel / crash-safety story, SURVEY §7.5)."""
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    store.overwrite("t", df1)
+    df2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    store.overwrite("t", df2)
+
+    assert [r["v"] for r in store.read("t").collect()] == ["b"]
+    # manifest points at v=2; v=1 still readable on disk
+    with open(os.path.join(root, "t", "_manifest.json")) as f:
+        assert json.load(f)["version"] == 2
+    old = spark.read.parquet(os.path.join(root, "t", "v=1"))
+    assert [r["v"] for r in old.collect()] == ["a"]
+
+    # a torn write (data written, manifest NOT flipped) leaves readers on v=2
+    df3 = spark.createDataFrame([(3, "c")], "id long, v string")
+    df3.write.parquet(os.path.join(root, "t", "v=3"))  # no manifest flip
+    assert [r["v"] for r in store.read("t").collect()] == ["b"]
