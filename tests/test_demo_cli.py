@@ -1,0 +1,19 @@
+"""Demo CLI regression: the reference's demo.ipynb flow end-to-end."""
+
+from __future__ import annotations
+
+from ecommerce_full_etl_process_spark import demo
+
+
+def test_demo_main_passes(spark, tmp_path):
+    rc = demo.main(
+        [
+            "--warehouse", str(tmp_path / "wh"),
+            "--users", "50",
+            "--products", "15",
+            "--transactions", "120",
+            "--invalid", "20",
+            "--seed", "3",
+        ]
+    )
+    assert rc == 0
