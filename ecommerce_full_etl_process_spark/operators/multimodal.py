@@ -18,9 +18,7 @@ behavior, UDF signatures — is real and tested.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -95,7 +93,17 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     if decode not in ("fake", "real"):
         raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
 
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    feature_dim = FEATURE_DIM  # captured by value — see closure note below
+
+    # NB the kernel must be a SELF-CONTAINED closure: any reference to a
+    # module-level name makes cloudpickle serialize it by module reference,
+    # and the executor-side Python worker then needs this package on its
+    # sys.path (it isn't, when the driver runs from another cwd).
+    def _batches(it):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
         for pdf in it:
             if decode == "real":
                 raise NotImplementedError(
@@ -103,15 +111,22 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                     "not present in this container"
                 )
             payloads = pdf["payload"]
-            yield pd.DataFrame(
+            yield _pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
                     "content_md5": payloads.map(
-                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                        lambda b: _hashlib.md5(b).hexdigest()
+                        if b is not None
+                        else None
                     ),
                     "features": payloads.map(
-                        lambda b: _fake_features(b) if b is not None else None
+                        lambda b: [
+                            _hashlib.md5(b).digest()[i] / 255.0
+                            for i in range(feature_dim)
+                        ]
+                        if b is not None
+                        else None
                     ),
                 }
             )
@@ -127,7 +142,10 @@ def sample_frames(media: DataFrame, every_nth: int = 4, decode: str = "fake") ->
     if decode == "real":
         raise NotImplementedError("real video decode unavailable (no ffmpeg)")
 
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # self-contained closure (see extract_features note)
+    def _batches(it):
+        import pandas as pd
+
         for pdf in it:
             out_ids, out_idx, out_payload = [], [], []
             for _, row in pdf.iterrows():

@@ -1,0 +1,50 @@
+"""Unit tests for dedup building blocks not covered by catalog oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_full_etl_process_spark.operators import dedup as D
+
+
+def test_simhash_neardup_consecutive_pairs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),  # near-dup of 1
+        (3, "completely different words about spark sql engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_neardup_pairs(df, "doc_id", "text", max_hamming=60).collect()
+    }
+    # (1,2) nearly identical → small hamming; (2,3) unrelated → large
+    assert pairs[(1, 2)] < pairs[(2, 3)]
+    assert pairs[(1, 2)] <= 12
+
+
+def test_exact_dup_groups(spark):
+    rows = [(1, "same text"), (2, "same text"), (3, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.exact_dup_groups(df, "doc_id", "text").collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["keep_id"] == 1
+
+
+def test_word_shingles_short_text(spark):
+    """Texts shorter than n words must yield an empty shingle set (guards
+    the Spark sequence(1,0)→[1,0] descending quirk)."""
+    df = spark.createDataFrame([(1, "two words"), (2, "a b c d")], "id long, t string")
+    out = {
+        r["id"]: r["s"]
+        for r in df.select("id", D.word_shingles(F.col("t"), 3).alias("s")).collect()
+    }
+    assert out[1] == []
+    assert out[2] == ["a b c", "b c d"]
+
+
+def test_jaccard_empty_arrays(spark):
+    df = spark.createDataFrame([(1,)], "id long").select(
+        D.jaccard(F.array().cast("array<string>"), F.array().cast("array<string>")).alias("j")
+    )
+    assert df.collect()[0]["j"] == 0.0
