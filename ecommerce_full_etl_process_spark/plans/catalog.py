@@ -116,6 +116,8 @@ _REGISTRY: dict[
         oq.RUNNING_CUSTOMER_REVENUE_ORACLE,
     ),
     "approx_distinct_counts": (oq.approx_distinct_counts, None),  # rows-only
+    "median_order_values": (oq.median_order_values, oq.MEDIAN_ORDER_VALUES_ORACLE),
+    "string_functions": (oq.string_functions, oq.STRING_FUNCTIONS_ORACLE),
     # LLM-data-pipeline: deduplication
     "dedup_exact_summary": (lq.dedup_exact_summary, lq.DEDUP_EXACT_SUMMARY_ORACLE),
     "dedup_exact_groups": (lq.dedup_exact_groups, lq.DEDUP_EXACT_GROUPS_ORACLE),

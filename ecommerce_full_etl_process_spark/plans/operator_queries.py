@@ -742,6 +742,55 @@ WINDOW
 """
 
 
+def median_order_values(spark, sf_dir):
+    """Exact interpolated percentiles per status (Spark ``percentile`` and
+    DuckDB ``quantile_cont`` both linear-interpolate)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_value"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+MEDIAN_ORDER_VALUES_ORACLE = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_value,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_value,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def string_functions(spark, sf_dir):
+    """Scalar string-function family (F8-F13 breadth): case, trim, pad,
+    substring, concat, replace, length — one derived label per customer."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws(
+            "|",
+            F.upper(F.substring("c_name", 1, 4)),
+            F.lpad(F.col("c_custkey").cast("string"), 6, "0"),
+            F.lower(F.trim("c_mktsegment")),
+            F.regexp_replace("c_name", "[0-9]", "#"),
+        ).alias("label"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+STRING_FUNCTIONS_ORACLE = """
+SELECT c_custkey,
+       concat_ws('|',
+                 upper(substring(c_name, 1, 4)),
+                 lpad(CAST(c_custkey AS VARCHAR), 6, '0'),
+                 lower(trim(c_mktsegment)),
+                 regexp_replace(c_name, '[0-9]', '#', 'g')) AS label,
+       length(c_name) AS name_len
+FROM customer
+"""
+
+
 def approx_distinct_counts(spark, sf_dir):
     """Approximate distinct (HLL) — rows-only check: HLL implementations
     differ across engines, so no value oracle; the driver records existence
