@@ -128,3 +128,150 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-shaped: shipping priority (selective join + agg + top-k)
+# ---------------------------------------------------------------------------
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders placed before a date with lines shipped after it — revenue
+    per order, top 10. The selective-filter + big-join + top-k shape."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_ORACLE = """
+SELECT l_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18-shaped: large-volume customers (HAVING over a join)
+# ---------------------------------------------------------------------------
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big_orders.join(o, big_orders.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("l_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+LARGE_VOLUME_CUSTOMERS_ORACLE = """
+SELECT c_custkey, c_name, l_orderkey AS orderkey,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event sessionization: gap-based session assignment (window running sum)
+# ---------------------------------------------------------------------------
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign session ids per user: a gap > 30 minutes starts a new
+    session; report events + duration per session. Pure window functions
+    (lag → boundary flag → running sum), the standard behavioral-analytics
+    operator on event streams."""
+    from .operator_queries import _events
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional epoch seconds (timestamp→double) on BOTH engines —
+    # unix_timestamp() truncates to whole seconds BEFORE subtracting, which
+    # drifts ±1s vs DuckDB's fractional epoch()
+    epoch = F.col("ts").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        (F.lag("ts").over(w).isNull() | (gap > 1800)).cast("long"),
+    )
+    sessioned = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(epoch) - F.min(epoch)).cast("long").alias("duration_s"),
+        )
+    )
+
+
+SESSIONIZE_EVENTS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT *, sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       CAST(trunc(max(epoch(ts)) - min(epoch(ts))) AS BIGINT) AS duration_s
+FROM sessioned
+GROUP BY user_id, session_seq
+"""

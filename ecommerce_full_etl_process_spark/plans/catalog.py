@@ -30,6 +30,18 @@ _REGISTRY: dict[
         analytics.pricing_summary,
         analytics.PRICING_SUMMARY_ORACLE,
     ),
+    "shipping_priority": (
+        analytics.shipping_priority,
+        analytics.SHIPPING_PRIORITY_ORACLE,
+    ),
+    "large_volume_customers": (
+        analytics.large_volume_customers,
+        analytics.LARGE_VOLUME_CUSTOMERS_ORACLE,
+    ),
+    "sessionize_events": (
+        analytics.sessionize_events,
+        analytics.SESSIONIZE_EVENTS_ORACLE,
+    ),
     # SURVEY §2.1 scans
     "filtered_incremental_scan": (
         oq.filtered_incremental_scan,
