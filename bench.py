@@ -41,6 +41,10 @@ HEADLINE = [
     "text_quality_stats",
     "token_count_bpe",
     "json_extract_events",
+    "shipping_priority",
+    "sessionize_events",
+    "rollup_revenue",
+    "running_customer_revenue",
 ]
 
 
