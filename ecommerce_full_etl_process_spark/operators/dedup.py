@@ -301,6 +301,87 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     return per_doc.select(F.col(id_col), fp.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (node, comp) with comp =
+    min node id of the component. Iterative min-label propagation: each
+    round every node takes the min of its own label and its neighbors'
+    labels; converges in O(component diameter) rounds (dedup clusters are
+    shallow). Each round is one join + one min-aggregate — the standard
+    scalable CC formulation without GraphX."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .cache()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nb = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("comp").alias("dst_comp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nb_comp"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(nb, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nb_comp", "comp")).alias("comp"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("comp").alias("old")), "node"
+            )
+            .where(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def corpus_dedup_keep_list(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """End-to-end corpus dedup: MinHash-LSH near-dup pairs → connected
+    components → one KEEP document (min id) per duplicate cluster.
+    Returns (doc_id, comp, keep). Docs in no cluster are implicit keeps and
+    not listed (join back for the full keep-list)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n=n, min_jaccard=min_jaccard)
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        "comp",
+        (F.col("node") == F.col("comp")).alias("keep"),
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
 ) -> DataFrame:

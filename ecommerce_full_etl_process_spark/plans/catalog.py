@@ -146,6 +146,10 @@ _REGISTRY: dict[
         lq.simhash_planted_pairs,
         lq.SIMHASH_PLANTED_PAIRS_ORACLE,
     ),
+    "corpus_dedup_components": (
+        lq.corpus_dedup_components,
+        lq.CORPUS_DEDUP_COMPONENTS_ORACLE,
+    ),
     # LLM-data-pipeline: similarity search
     "similarity_topk_bruteforce": (
         lq.similarity_topk_bruteforce,

@@ -223,6 +223,45 @@ MINHASH_LSH_NEARDUPS_ORACLE = _minhash_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Corpus dedup end-to-end: LSH pairs → connected components → keep list
+# ---------------------------------------------------------------------------
+
+def corpus_dedup_components(spark, sf_dir):
+    return D.corpus_dedup_keep_list(
+        _augmented_docs(spark, sf_dir), "doc_id", "text", n=3, min_jaccard=0.5
+    )
+
+
+def _cc_oracle() -> str:
+    # recursive closure over the (bidirectional) near-dup edge set produced
+    # by the same MinHash pipeline as MINHASH_LSH_NEARDUPS_ORACLE
+    minhash_pairs = _minhash_oracle().strip().rstrip()
+    return f"""
+WITH RECURSIVE pairs AS (
+{minhash_pairs}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(root) AS comp, node = min(root) AS keep
+FROM reach GROUP BY node
+"""
+
+
+CORPUS_DEDUP_COMPONENTS_ORACLE = _cc_oracle()
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup pairs
 # ---------------------------------------------------------------------------
 
