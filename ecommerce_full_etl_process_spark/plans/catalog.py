@@ -150,6 +150,10 @@ _REGISTRY: dict[
         lq.corpus_dedup_components,
         lq.CORPUS_DEDUP_COMPONENTS_ORACLE,
     ),
+    "corpus_curation_stats": (
+        lq.corpus_curation_stats,
+        lq.CORPUS_CURATION_STATS_ORACLE,
+    ),
     # LLM-data-pipeline: similarity search
     "similarity_topk_bruteforce": (
         lq.similarity_topk_bruteforce,

@@ -19,6 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import dedup as D
 from ..operators import similarity as S
@@ -485,6 +486,77 @@ FROM documents GROUP BY lang, pred_lang
 
 
 LANGUAGE_ID_HEURISTIC_ORACLE = _langid_sql()
+
+
+def corpus_curation_stats(spark, sf_dir):
+    """Composite training-data curation pipeline over documents:
+    quality gate (≥20 words, alpha ratio > 0.5) → exact dedup on the
+    canonical fingerprint (min doc_id wins) → per-language corpus budget
+    (docs surviving each stage + total whitespace tokens kept)."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+        / F.length("text")
+    )
+    staged = d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        ((n_words >= 20) & (alpha_ratio > 0.5)).alias("quality_ok"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+    )
+    kept = staged.where(F.col("quality_ok")).withColumn(
+        "fp_rank",
+        F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+    )
+    return (
+        staged.join(
+            kept.select("doc_id", (F.col("fp_rank") == 1).alias("dedup_keep")),
+            "doc_id",
+            "left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("quality_ok").cast("long")).alias("n_quality"),
+            F.sum(F.coalesce(F.col("dedup_keep").cast("long"), F.lit(0))).alias(
+                "n_kept"
+            ),
+            F.sum(
+                F.when(F.coalesce(F.col("dedup_keep"), F.lit(False)), F.col("n_words"))
+                .otherwise(0)
+            ).alias("kept_tokens"),
+        )
+    )
+
+
+CORPUS_CURATION_STATS_ORACLE = r"""
+WITH staged AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_words,
+         len(string_split(text, ' ')) >= 20
+           AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+               / length(text) > 0.5 AS quality_ok,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+kept AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS dedup_keep
+  FROM staged WHERE quality_ok
+)
+SELECT lang,
+       count(*) AS n_docs,
+       sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS n_quality,
+       sum(CASE WHEN coalesce(dedup_keep, FALSE) THEN 1 ELSE 0 END) AS n_kept,
+       sum(CASE WHEN coalesce(dedup_keep, FALSE) THEN n_words ELSE 0 END) AS kept_tokens
+FROM staged LEFT JOIN kept USING (doc_id)
+GROUP BY lang
+"""
 
 
 def token_count_bpe(spark, sf_dir):
