@@ -289,7 +289,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     ).withColumn("h", hash60(F.col("tok")))
     aggs = [
-        F.sum((F.shiftright(F.col("h"), b) % 2 == 1).cast("long")).alias(f"s{b}")
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ] + [F.count(F.lit(1)).alias("n")]
     per_doc = tokens.groupBy(id_col).agg(*aggs)

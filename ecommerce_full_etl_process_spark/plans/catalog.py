@@ -129,6 +129,10 @@ _REGISTRY: dict[
     ),
     "approx_distinct_counts": (oq.approx_distinct_counts, None),  # rows-only
     "median_order_values": (oq.median_order_values, oq.MEDIAN_ORDER_VALUES_ORACLE),
+    "pivot_status_by_priority": (
+        oq.pivot_status_by_priority,
+        oq.PIVOT_STATUS_BY_PRIORITY_ORACLE,
+    ),
     "string_functions": (oq.string_functions, oq.STRING_FUNCTIONS_ORACLE),
     # LLM-data-pipeline: deduplication
     "dedup_exact_summary": (lq.dedup_exact_summary, lq.DEDUP_EXACT_SUMMARY_ORACLE),

@@ -742,6 +742,32 @@ WINDOW
 """
 
 
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot (long→wide): order counts per priority with one column per
+    status. Unpivot is the inverse via stack()/unpivot — same engine path."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+PIVOT_STATUS_BY_PRIORITY_ORACLE = """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def median_order_values(spark, sf_dir):
     """Exact interpolated percentiles per status (Spark ``percentile`` and
     DuckDB ``quantile_cont`` both linear-interpolate)."""

@@ -122,6 +122,44 @@ FROM events GROUP BY ALL
 """
 
 
+def stateful_user_totals(tx_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (n_tx, total_spend) maintained across micro-batches in
+    Arrow-backed group state — the pattern for operators Spark's built-in
+    windowed aggregations can't express (BASELINE north star).
+
+    Emits one row per user per micro-batch with the cumulative totals so
+    far. State is unbounded here (NoTimeout); production variants attach a
+    timeout to bound state by inactivity.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    output_schema = "user_id long, n_tx long, total_spend double"
+    state_schema = "n_tx long, total_spend double"
+
+    # self-contained closure: no module-level references (cloudpickle would
+    # otherwise require this package on the executor workers' sys.path)
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["price"].fillna(0.0).sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_tx": [n], "total_spend": [round(total, 2)]}
+        )
+
+    return tx_stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_incremental_with_warehouse(
     spark: SparkSession,
     source_dir: str,

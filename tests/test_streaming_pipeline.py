@@ -66,6 +66,46 @@ def test_foreachbatch_pipeline_advances_dims(spark, tmp_path):
     assert facts2[1] == dim[0]["product_sk"]  # old facts keep old sk
 
 
+def test_stateful_user_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState keeps per-user running totals across
+    micro-batches (maxFilesPerTrigger=1 forces one batch per file)."""
+    src = str(tmp_path / "tx_src")
+    chk = str(tmp_path / "chk")
+
+    spark.createDataFrame(
+        [
+            (1, "2026-02-02", 7, 1, 1, 10.0, "visa", "success"),
+            (2, "2026-02-02", 7, 2, 1, 5.0, "visa", "success"),
+        ],
+        schemas.TRANSACTIONS,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, "2026-02-03", 7, 1, 2, 20.0, "visa", "success")],
+        schemas.TRANSACTIONS,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = SP.transactions_file_stream(spark, src)
+    out = SP.stateful_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_totals")
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    rows = spark.sql(
+        "SELECT * FROM stateful_totals WHERE user_id = 7 ORDER BY n_tx"
+    ).collect()
+    # one emission per micro-batch, cumulative: the final one must hold the
+    # running total over BOTH batches (state carried across)
+    assert rows[-1]["n_tx"] == 3
+    assert rows[-1]["total_spend"] == 35.0
+    assert len(rows) == 2  # two micro-batches → two emissions
+
+
 def test_tablestore_overwrite_is_versioned_and_atomic(spark, tmp_path):
     """Overwrite writes v=n+1 then flips the manifest: the old version stays
     on disk untouched (time-travel / crash-safety story, SURVEY §7.5)."""
