@@ -1,0 +1,113 @@
+"""Differential query fuzzing (SURVEY §5 extension): generate seeded random
+query specs, compile each to BOTH a Spark DataFrame plan and a DuckDB SQL
+string from the same spec, and compare results. Catches operator-semantics
+drift the hand-written catalog misses.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from .oracle_utils import compare
+
+# (table, columns usable for filters/groups/aggs)
+TABLES = {
+    "orders": {
+        "num": ["o_totalprice", "o_orderkey", "o_custkey"],
+        "cat": ["o_orderstatus", "o_orderpriority"],
+    },
+    "lineitem": {
+        "num": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "cat": ["l_returnflag", "l_linestatus"],
+    },
+    "customer": {
+        "num": ["c_acctbal", "c_custkey", "c_nationkey"],
+        "cat": ["c_mktsegment"],
+    },
+    "part": {
+        "num": ["p_retailprice", "p_size", "p_partkey"],
+        "cat": ["p_brand", "p_type"],
+    },
+}
+
+OPS = ["<", "<=", ">", ">=", "="]
+
+
+def _gen_spec(rng: random.Random) -> dict:
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    n_filters = rng.randint(0, 2)
+    filters = []
+    for _ in range(n_filters):
+        col = rng.choice(cols["num"])
+        op = rng.choice(OPS)
+        # threshold scaled roughly to plausible column magnitudes
+        base = {
+            "o_totalprice": 200000, "o_orderkey": 3000, "o_custkey": 100,
+            "l_quantity": 25, "l_extendedprice": 40000, "l_discount": 0.05,
+            "l_tax": 0.04, "c_acctbal": 5000, "c_custkey": 100,
+            "c_nationkey": 12, "p_retailprice": 1200, "p_size": 25,
+            "p_partkey": 100,
+        }[col]
+        val = round(base * rng.uniform(0.3, 1.5), 2)
+        filters.append((col, op, val))
+    group = rng.choice(cols["cat"])
+    agg_col = rng.choice(cols["num"])
+    agg = rng.choice(["sum", "avg", "min", "max", "count"])
+    return {
+        "table": table, "filters": filters, "group": group,
+        "agg": agg, "agg_col": agg_col,
+    }
+
+
+def _spark_query(spec):
+    def q(spark, sf_dir):
+        import os
+
+        df = spark.read.parquet(
+            os.path.join(sf_dir, f"{spec['table']}.parquet")
+        )
+        for col, op, val in spec["filters"]:
+            c = F.col(col)
+            cond = {
+                "<": c < val, "<=": c <= val, ">": c > val,
+                ">=": c >= val, "=": c == val,
+            }[op]
+            df = df.where(cond)
+        a = spec["agg"]
+        if a == "count":
+            expr = F.count(F.lit(1)).alias("agg_val")
+        else:
+            fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[a]
+            expr = F.round(fn(spec["agg_col"]), 4).alias("agg_val")
+        return df.groupBy(F.col(spec["group"]).alias("g")).agg(
+            expr, F.count(F.lit(1)).alias("n_rows")
+        )
+
+    return q
+
+
+def _sql_query(spec) -> str:
+    where = " AND ".join(
+        f"{c} {op} {v}" for c, op, v in spec["filters"]
+    )
+    where_clause = f"WHERE {where}" if where else ""
+    a = spec["agg"]
+    agg_expr = (
+        "count(*)" if a == "count" else f"round({a}({spec['agg_col']}), 4)"
+    )
+    return f"""
+SELECT {spec['group']} AS g, {agg_expr} AS agg_val, count(*) AS n_rows
+FROM {spec['table']} {where_clause} GROUP BY {spec['group']}
+"""
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_query_matches_duckdb(spark, sf_dir, seed):
+    rng = random.Random(1000 + seed)
+    spec = _gen_spec(rng)
+    ok, msg = compare(spark, sf_dir, _spark_query(spec), _sql_query(spec))
+    assert ok, f"spec={spec}: {msg}"
