@@ -133,6 +133,14 @@ _REGISTRY: dict[
         oq.pivot_status_by_priority,
         oq.PIVOT_STATUS_BY_PRIORITY_ORACLE,
     ),
+    "cheapest_part_per_type": (
+        oq.cheapest_part_per_type,
+        oq.CHEAPEST_PART_PER_TYPE_ORACLE,
+    ),
+    "event_value_anomalies": (
+        oq.event_value_anomalies,
+        oq.EVENT_VALUE_ANOMALIES_ORACLE,
+    ),
     "string_functions": (oq.string_functions, oq.STRING_FUNCTIONS_ORACLE),
     # LLM-data-pipeline: deduplication
     "dedup_exact_summary": (lq.dedup_exact_summary, lq.DEDUP_EXACT_SUMMARY_ORACLE),

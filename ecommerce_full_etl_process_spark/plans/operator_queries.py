@@ -670,6 +670,83 @@ SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 97 = 0
 
 
 # ---------------------------------------------------------------------------
+# Correlated-subquery decorrelation (TPC-H Q2 shape; SURVEY §4 note:
+# "we never emit correlated lookups — we express the set-based join")
+# ---------------------------------------------------------------------------
+
+def cheapest_part_per_type(spark, sf_dir):
+    """Parts matching the min retail price of their type — written as the
+    decorrelated groupBy-min + join; the oracle uses the correlated
+    subquery the reference style would have produced. Equal results prove
+    the rewrite."""
+    p = _t(spark, sf_dir, "part")
+    mins = p.groupBy(F.col("p_type").alias("t")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        p.join(
+            F.broadcast(mins),
+            (p.p_type == mins.t) & (p.p_retailprice == mins.min_price),
+        )
+        .select("p_partkey", "p_type", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+CHEAPEST_PART_PER_TYPE_ORACLE = """
+SELECT p_partkey, p_type, round(p_retailprice, 2) AS price
+FROM part p
+WHERE p_retailprice = (
+  SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-key z-score anomaly detection (windowed stats over events)
+# ---------------------------------------------------------------------------
+
+def event_value_anomalies(spark, sf_dir):
+    """Events whose value is > 2 sample standard deviations from the
+    user's mean — one aggregation + broadcast join back (no window needed,
+    so the fact side shuffles once)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    stats = e.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        e.join(F.broadcast(stats), "user_id")
+        .where(
+            (F.col("n") >= 10)
+            & F.col("sigma").isNotNull()
+            & (F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sigma"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 6).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
+                "z_score"
+            ),
+        )
+    )
+
+
+EVENT_VALUE_ANOMALIES_ORACLE = """
+WITH stats AS (
+  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma,
+         count(*) AS n
+  FROM events GROUP BY user_id
+)
+SELECT event_id, e.user_id, round(value, 6) AS value,
+       round((value - mu) / sigma, 4) AS z_score
+FROM events e JOIN stats s ON e.user_id = s.user_id
+WHERE n >= 10 AND sigma IS NOT NULL AND abs(value - mu) > 2 * sigma
+"""
+
+
+# ---------------------------------------------------------------------------
 # Grouping sets / rollup (free via Spark groupBy — SURVEY §2.5 note)
 # ---------------------------------------------------------------------------
 
