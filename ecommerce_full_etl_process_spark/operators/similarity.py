@@ -92,6 +92,111 @@ def bucketed_topk(
     )
 
 
+def kmeans_lite(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd's k-means over an embedding column, pure
+    DataFrame ops — the centroid-training path for IVF-style ANN.
+
+    - init: the k lowest-id vectors (deterministic, reproducible)
+    - assign: broadcast centroids, nearest by squared L2 with a
+      min(struct(dist, cid)) tie-break (no nondeterministic min_by ties)
+    - update: elementwise mean via posexplode → (cluster, dim) avg →
+      ordered reassembly
+
+    Returns (centroids(cid, cv), assignments(id, cid)). Each iteration is
+    one broadcast join + two aggregations — scales linearly in rows; k and
+    dim ride in the broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    v = embeddings.select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    w = Window.orderBy("init_id")
+    centroids = (
+        v.orderBy("id")
+        .limit(k)
+        .select(F.col("id").alias("init_id"), F.col("v").alias("cv"))
+        .withColumn("cid", F.row_number().over(w) - 1)
+        .select("cid", "cv")
+    )
+
+    def _assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+        dist2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = points.crossJoin(F.broadcast(cents)).select(
+            "id", "v", F.struct(dist2.alias("d"), F.col("cid").alias("cid")).alias("s")
+        )
+        return (
+            scored.groupBy("id", "v")
+            .agg(F.min("s").alias("best"))
+            .select("id", "v", F.col("best.cid").alias("cid"))
+        )
+
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(v, centroids)
+        centroids = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+    return centroids, assigned.select("id", "cid")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe-1 ANN: find the query's nearest centroid, rescore only
+    that cell's vectors exactly. Standard recall/cost trade; probe more
+    cells for higher recall."""
+    dist2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qcell = (
+        query.crossJoin(F.broadcast(centroids))
+        .select("q", F.struct(dist2.alias("d"), F.col("cid").alias("cid")).alias("s"))
+        .groupBy("q")
+        .agg(F.min("s").alias("best"))
+        .select("q", F.col("best.cid").alias("cid"))
+    )
+    cell_members = embeddings.join(
+        assignments.withColumnRenamed("id", id_col), id_col
+    )
+    in_cell = cell_members.join(F.broadcast(qcell), "cid")
+    return (
+        in_cell.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("q")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     group_col: str,

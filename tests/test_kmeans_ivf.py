@@ -1,0 +1,61 @@
+"""k-means lite + IVF ANN: determinism, convergence, probe-1 self-recall."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_full_etl_process_spark.operators.similarity import (
+    ivf_topk,
+    kmeans_lite,
+)
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def test_kmeans_deterministic_and_complete(embs):
+    c1, a1 = kmeans_lite(embs, k=8, iters=3)
+    c2, a2 = kmeans_lite(embs, k=8, iters=3)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    assert c1.count() <= 8
+    # every vector assigned exactly once
+    assert a1.count() == embs.count()
+    assert a1.select("id").distinct().count() == embs.count()
+
+
+def test_kmeans_objective_decreases(spark, embs):
+    """Within-cluster squared distance must not increase across Lloyd
+    iterations (the textbook monotonicity property)."""
+
+    def objective(iters):
+        cents, assigns = kmeans_lite(embs, k=8, iters=iters)
+        v = embs.select(
+            F.col("vec_id").alias("id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        ).join(assigns, "id").join(cents, "cid")
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return v.agg(F.sum(d2)).collect()[0][0]
+
+    o1, o3 = objective(1), objective(3)
+    assert o3 <= o1 + 1e-9
+
+
+def test_ivf_probe1_self_recall(embs):
+    """A corpus vector used as the query must come back as its own top-1
+    (it lives in the probed cell with cosine 1.0)."""
+    cents, assigns = kmeans_lite(embs, k=8, iters=3)
+    q = embs.where(F.col("vec_id") == 42).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("q")
+    )
+    top = ivf_topk(embs, q, cents, assigns, k=5).collect()
+    assert top[0]["vec_id"] == 42
+    assert top[0]["cos_sim"] == 1.0
