@@ -255,6 +255,54 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessionization (the streaming-ready form
+    of sessionize_events): per user, events within 30 minutes of the
+    previous one merge into a session. Oracle = the lag/cumsum formulation
+    with the matching >= boundary (a new session starts when the gap
+    reaches the timeout)."""
+    from .operator_queries import _events
+
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+
+
+SESSION_WINDOW_EVENTS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_seq, count(*) AS n_events
+  FROM sessioned GROUP BY user_id, session_seq
+)
+SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+       max(n_events) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
 SESSIONIZE_EVENTS_ORACLE = """
 WITH flagged AS (
   SELECT user_id, event_id, ts,

@@ -42,6 +42,10 @@ _REGISTRY: dict[
         analytics.sessionize_events,
         analytics.SESSIONIZE_EVENTS_ORACLE,
     ),
+    "session_window_events": (
+        analytics.session_window_events,
+        analytics.SESSION_WINDOW_EVENTS_ORACLE,
+    ),
     # SURVEY §2.1 scans
     "filtered_incremental_scan": (
         oq.filtered_incremental_scan,

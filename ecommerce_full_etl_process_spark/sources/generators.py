@@ -298,6 +298,62 @@ def batch_to_dataframes(
     }
 
 
+def generate_clean_distributed(
+    spark: SparkSession, n_users: int, n_products: int, seed: int, today: date
+) -> dict[str, DataFrame]:
+    """Distributed variant of the clean user/product generators (S10) for
+    large fixtures: ``spark.range`` + hash-derived pseudo-random columns —
+    deterministic for a given (seed, id) regardless of partitioning, no
+    driver-side row building. (Transactions stay driver-side: the
+    reference's stock-accounting is inherently serial, SURVEY §2.1 S11.)
+    """
+    from pyspark.sql import functions as F
+
+    def h(col, salt):
+        # uniform [0,1) derived from md5(seed|salt|id) — partition-invariant
+        return (
+            F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.lit(salt), col)), 1, 8), 16, 10)
+            .cast("double")
+            / F.lit(float(2 ** 32))
+        )
+
+    first = F.array(*[F.lit(x) for x in FIRST_NAMES])
+    last = F.array(*[F.lit(x) for x in LAST_NAMES])
+    users = spark.range(1, n_users + 1).select(
+        F.col("id").alias("user_id"),
+        F.concat_ws(
+            " ",
+            F.element_at(first, (h(F.col("id"), "fn") * len(FIRST_NAMES)).cast("int") + 1),
+            F.element_at(last, (h(F.col("id"), "ln") * len(LAST_NAMES)).cast("int") + 1),
+        ).alias("name"),
+        F.format_string("user%d@example.com", F.col("id")).alias("email"),
+        F.date_format(
+            F.date_sub(F.lit(today), (h(F.col("id"), "jd") * 365).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("join_date"),
+    )
+
+    words = F.array(*[F.lit(x) for x in PRODUCT_WORDS])
+    cats = F.array(*[F.lit(x) for x in CATEGORIES])
+    products = spark.range(1, n_products + 1).select(
+        F.col("id").alias("product_id"),
+        F.concat_ws(
+            " ",
+            F.element_at(words, (h(F.col("id"), "w1") * len(PRODUCT_WORDS)).cast("int") + 1),
+            F.element_at(words, (h(F.col("id"), "w2") * len(PRODUCT_WORDS)).cast("int") + 1),
+        ).alias("name"),
+        F.element_at(cats, (h(F.col("id"), "cat") * len(CATEGORIES)).cast("int") + 1).alias(
+            "category"
+        ),
+        F.round(F.lit(5.0) + h(F.col("id"), "price") * 495.0, 2).alias("price"),
+        ((h(F.col("id"), "stock") * 200).cast("int") + 1).alias("stock"),
+    )
+    return {
+        "users": users.select(*[f.name for f in schemas.USERS.fields]),
+        "products": products.select(*[f.name for f in schemas.PRODUCTS.fields]),
+    }
+
+
 def generate_oltp(
     spark: SparkSession,
     seed: int = 42,
