@@ -270,7 +270,10 @@ def simhash_planted_pairs(spark, sf_dir):
     """SimHash Hamming distance between each original and its planted
     truncated copy."""
     aug = _augmented_docs(spark, sf_dir)
-    fps = D.simhash_fingerprints(aug, "doc_id", "text")
+    # cache + materialize: both join branches below read fps; uncached they
+    # would each recompute the 60-aggregate fingerprint pipeline
+    fps = D.simhash_fingerprints(aug, "doc_id", "text").cache()
+    fps.count()
     a = fps.where(F.col("doc_id") < OFFSET).select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a")
     )
