@@ -137,6 +137,19 @@ _REGISTRY: dict[
         oq.pivot_status_by_priority,
         oq.PIVOT_STATUS_BY_PRIORITY_ORACLE,
     ),
+    "cube_revenue": (oq.cube_revenue, oq.CUBE_REVENUE_ORACLE),
+    "unpivot_status_counts": (
+        oq.unpivot_status_counts,
+        oq.UNPIVOT_STATUS_COUNTS_ORACLE,
+    ),
+    "array_stats_embeddings": (
+        oq.array_stats_embeddings,
+        oq.ARRAY_STATS_EMBEDDINGS_ORACLE,
+    ),
+    "intersect_except_users": (
+        oq.intersect_except_users,
+        oq.INTERSECT_EXCEPT_USERS_ORACLE,
+    ),
     "cheapest_part_per_type": (
         oq.cheapest_part_per_type,
         oq.CHEAPEST_PART_PER_TYPE_ORACLE,

@@ -894,6 +894,97 @@ FROM customer
 """
 
 
+def cube_revenue(spark, sf_dir):
+    """CUBE over (status, priority): all grouping-set combinations."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+CUBE_REVENUE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def unpivot_status_counts(spark, sf_dir):
+    """Unpivot (wide→long) via stack(): the inverse of the pivot query."""
+    wide = pivot_status_by_priority(spark, sf_dir)
+    return wide.selectExpr(
+        "o_orderpriority",
+        "stack(3, 'F', n_f, 'O', n_o, 'P', n_p) AS (status, n)",
+    )
+
+
+UNPIVOT_STATUS_COUNTS_ORACLE = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+         sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+         sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, s.status, s.n FROM wide,
+LATERAL (VALUES ('F', n_f), ('O', n_o), ('P', n_p)) AS s(status, n)
+"""
+
+
+def array_stats_embeddings(spark, sf_dir):
+    """Array-function family over the embedding column: min/max/mean per
+    vector via higher-order functions."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mean = F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_min(v), 5).alias("v_min"),
+        F.round(F.array_max(v), 5).alias("v_max"),
+        F.round(mean, 5).alias("v_mean"),
+    )
+
+
+ARRAY_STATS_EMBEDDINGS_ORACLE = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))), 5) AS v_min,
+       round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 5) AS v_max,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+             / len(embedding), 5) AS v_mean
+FROM embeddings
+"""
+
+
+def intersect_except_users(spark, sf_dir):
+    """Set operators INTERSECT/EXCEPT: customers who placed orders vs
+    users who produced events."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    e = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    both = o.intersect(e)
+    only_orders = o.distinct().exceptAll(e.distinct())
+    return both.withColumn("src", F.lit("both")).unionByName(
+        only_orders.withColumn("src", F.lit("orders_only"))
+    ).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+
+
+INTERSECT_EXCEPT_USERS_ORACLE = """
+SELECT src, count(*) AS n FROM (
+  SELECT k, 'both' AS src FROM (
+    SELECT o_custkey AS k FROM orders INTERSECT SELECT user_id FROM events
+  )
+  UNION ALL
+  SELECT k, 'orders_only' AS src FROM (
+    SELECT DISTINCT o_custkey AS k FROM orders
+    EXCEPT
+    SELECT DISTINCT user_id FROM events
+  )
+) GROUP BY src
+"""
+
+
 def approx_distinct_counts(spark, sf_dir):
     """Approximate distinct (HLL) — rows-only check: HLL implementations
     differ across engines, so no value oracle; the driver records existence
