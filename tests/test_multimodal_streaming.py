@@ -103,6 +103,42 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     assert ids == [(1, 1), (2, 2), (3, 1)]
 
 
+def test_watermark_finalizes_closed_windows_only(spark, tmp_path):
+    """Late-data policy (append mode + event-time watermark): after the
+    watermark advances past a window's end, that window is finalized and
+    emitted; windows the watermark hasn't passed are withheld, pending
+    possible late arrivals."""
+    src = str(tmp_path / "wm_src")
+    chk = str(tmp_path / "wm_chk")
+    spark.createDataFrame(
+        [
+            (1, "2026-02-01", 1, 1, 1, 5.0, "visa", "success"),
+            (2, "2026-02-01", 1, 2, 1, 5.0, "visa", "success"),
+            (3, "2026-02-10", 1, 1, 1, 5.0, "visa", "success"),
+        ],
+        schemas.TRANSACTIONS,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = SP.with_event_time(SP.transactions_file_stream(spark, src))
+    agg = SP.windowed_status_counts(stream, window="1 day", watermark="1 day")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_sink")
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (str(r["window_start"].date()), r["status"]): r["n"]
+        for r in spark.sql("SELECT * FROM wm_sink").collect()
+    }
+    # Feb-1 window closed (watermark = Feb 9) → emitted with both events;
+    # Feb-10 window still open → withheld
+    assert got == {("2026-02-01", "success"): 2}
+
+
 def test_windowed_status_counts_batch_semantics(spark):
     """Window aggregation semantics validated on a static frame (the same
     plan streams with a watermark)."""
