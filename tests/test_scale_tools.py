@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from ecommerce_full_etl_process_spark.operators.skew import (
@@ -47,7 +46,6 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """Two tables bucketed on the join key must sort-merge-join with NO
     Exchange on either side — the pre-partitioned co-located join that
     makes repeated fact⋈fact joins affordable at scale."""
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
 
