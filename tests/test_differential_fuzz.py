@@ -111,3 +111,93 @@ def test_random_query_matches_duckdb(spark, sf_dir, seed):
     spec = _gen_spec(rng)
     ok, msg = compare(spark, sf_dir, _spark_query(spec), _sql_query(spec))
     assert ok, f"spec={spec}: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# join fuzzing: fact ⋈ dim with filters on both sides + grouped aggregation
+# ---------------------------------------------------------------------------
+
+JOINS = [
+    # (fact, fact_key, dim, dim_key)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def _gen_join_spec(rng: random.Random) -> dict:
+    fact, fkey, dim, dkey = rng.choice(JOINS)
+    fcols, dcols = TABLES[fact], TABLES[dim]
+    join_how = rng.choice(["inner", "left"])
+    f_filter = None
+    if rng.random() < 0.7:
+        col = rng.choice(fcols["num"])
+        base = {
+            "o_totalprice": 200000, "o_orderkey": 3000, "o_custkey": 100,
+            "l_quantity": 25, "l_extendedprice": 40000, "l_discount": 0.05,
+            "l_tax": 0.04,
+        }.get(col, 100)
+        f_filter = (col, rng.choice(OPS), round(base * rng.uniform(0.3, 1.5), 2))
+    group = rng.choice(dcols["cat"] + fcols["cat"])
+    agg_col = rng.choice(fcols["num"])
+    agg = rng.choice(["sum", "avg", "min", "max", "count"])
+    return {
+        "fact": fact, "fkey": fkey, "dim": dim, "dkey": dkey,
+        "how": join_how, "f_filter": f_filter, "group": group,
+        "agg": agg, "agg_col": agg_col,
+    }
+
+
+def _spark_join_query(spec):
+    def q(spark, sf_dir):
+        import os
+
+        fact = spark.read.parquet(os.path.join(sf_dir, f"{spec['fact']}.parquet"))
+        dim = spark.read.parquet(os.path.join(sf_dir, f"{spec['dim']}.parquet"))
+        if spec["f_filter"]:
+            col, op, val = spec["f_filter"]
+            c = F.col(col)
+            fact = fact.where(
+                {"<": c < val, "<=": c <= val, ">": c > val,
+                 ">=": c >= val, "=": c == val}[op]
+            )
+        joined = fact.join(
+            dim, fact[spec["fkey"]] == dim[spec["dkey"]], spec["how"]
+        )
+        a = spec["agg"]
+        if a == "count":
+            expr = F.count(F.lit(1)).alias("agg_val")
+        else:
+            fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[a]
+            expr = F.round(fn(spec["agg_col"]), 4).alias("agg_val")
+        return joined.groupBy(F.col(spec["group"]).alias("g")).agg(
+            expr, F.count(F.lit(1)).alias("n_rows")
+        )
+
+    return q
+
+
+def _sql_join_query(spec) -> str:
+    where = ""
+    if spec["f_filter"]:
+        col, op, val = spec["f_filter"]
+        where = f"WHERE {col} {op} {val}"
+    a = spec["agg"]
+    agg_expr = "count(*)" if a == "count" else f"round({a}({spec['agg_col']}), 4)"
+    how = "JOIN" if spec["how"] == "inner" else "LEFT JOIN"
+    return f"""
+SELECT {spec['group']} AS g, {agg_expr} AS agg_val, count(*) AS n_rows
+FROM (SELECT * FROM {spec['fact']} {where}) f
+{how} {spec['dim']} d ON f.{spec['fkey']} = d.{spec['dkey']}
+GROUP BY {spec['group']}
+"""
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_random_join_matches_duckdb(spark, sf_dir, seed):
+    rng = random.Random(5000 + seed)
+    spec = _gen_join_spec(rng)
+    ok, msg = compare(
+        spark, sf_dir, _spark_join_query(spec), _sql_join_query(spec)
+    )
+    assert ok, f"spec={spec}: {msg}"

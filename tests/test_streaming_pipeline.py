@@ -106,6 +106,30 @@ def test_stateful_user_totals_across_microbatches(spark, tmp_path):
     assert len(rows) == 2  # two micro-batches → two emissions
 
 
+def test_tablestore_schema_evolution_on_read(spark, tmp_path):
+    """Appending files with an added column: readers see the union schema
+    when mergeSchema is requested — the long-lived-warehouse evolution
+    story (new audit columns arrive without rewriting history)."""
+    root = str(tmp_path / "store_evo")
+    store = TableStore(spark, root)
+    store.overwrite("t", spark.createDataFrame([(1, "a")], "id long, v string"))
+    store.append(
+        "t",
+        spark.createDataFrame([(2, "b", 99)], "id long, v string, extra long"),
+    )
+    import os
+
+    with open(os.path.join(root, "t", "_manifest.json")) as f:
+        import json
+
+        version = json.load(f)["version"]
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "t", f"v={version}")
+    )
+    rows = {r["id"]: (r["v"], r["extra"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 99)}
+
+
 def test_tablestore_overwrite_is_versioned_and_atomic(spark, tmp_path):
     """Overwrite writes v=n+1 then flips the manifest: the old version stays
     on disk untouched (time-travel / crash-safety story, SURVEY §7.5)."""
