@@ -201,3 +201,95 @@ def test_random_join_matches_duckdb(spark, sf_dir, seed):
         spark, sf_dir, _spark_join_query(spec), _sql_join_query(spec)
     )
     assert ok, f"spec={spec}: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# window fuzzing: rank/row_number/lag/lead/running-sum over random specs
+# (deterministic: order always includes a unique key tie-break)
+# ---------------------------------------------------------------------------
+
+WINDOW_TABLES = {
+    "orders": ("o_custkey", "o_totalprice", "o_orderkey"),
+    "lineitem": ("l_suppkey", "l_extendedprice", ("l_orderkey", "l_linenumber")),
+}
+
+
+def _gen_window_spec(rng: random.Random) -> dict:
+    table = rng.choice(list(WINDOW_TABLES))
+    part, val, uniq = WINDOW_TABLES[table]
+    fn = rng.choice(["row_number", "rank", "lag", "lead", "cumsum"])
+    desc = rng.random() < 0.5
+    return {"table": table, "part": part, "val": val, "uniq": uniq,
+            "fn": fn, "desc": desc}
+
+
+def _uniq_cols(spec):
+    u = spec["uniq"]
+    return list(u) if isinstance(u, tuple) else [u]
+
+
+def _spark_window_query(spec):
+    def q(spark, sf_dir):
+        import os
+
+        from pyspark.sql.window import Window
+
+        df = spark.read.parquet(os.path.join(sf_dir, f"{spec['table']}.parquet"))
+        order = [
+            F.desc(spec["val"]) if spec["desc"] else F.asc(spec["val"])
+        ] + [F.asc(c) for c in _uniq_cols(spec)]
+        w = Window.partitionBy(spec["part"]).orderBy(*order)
+        fn = spec["fn"]
+        if fn == "row_number":
+            expr = F.row_number().over(w)
+        elif fn == "rank":
+            expr = F.rank().over(w)
+        elif fn == "lag":
+            expr = F.round(F.lag(spec["val"]).over(w), 4)
+        elif fn == "lead":
+            expr = F.round(F.lead(spec["val"]).over(w), 4)
+        else:
+            expr = F.round(
+                F.sum(spec["val"]).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                4,
+            )
+        return df.select(
+            *_uniq_cols(spec), F.col(spec["part"]).alias("p"), expr.alias("wv")
+        )
+
+    return q
+
+
+def _sql_window_query(spec) -> str:
+    direction = "DESC" if spec["desc"] else "ASC"
+    order = f"{spec['val']} {direction}, " + ", ".join(
+        f"{c} ASC" for c in _uniq_cols(spec)
+    )
+    fn = spec["fn"]
+    if fn in ("row_number", "rank"):
+        expr = f"{fn}() OVER w"
+    elif fn in ("lag", "lead"):
+        expr = f"round({fn}({spec['val']}) OVER w, 4)"
+    else:
+        expr = (
+            f"round(sum({spec['val']}) OVER (PARTITION BY {spec['part']} "
+            f"ORDER BY {order} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)"
+        )
+    uniq = ", ".join(_uniq_cols(spec))
+    return f"""
+SELECT {uniq}, {spec['part']} AS p, {expr} AS wv
+FROM {spec['table']}
+WINDOW w AS (PARTITION BY {spec['part']} ORDER BY {order})
+"""
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_window_matches_duckdb(spark, sf_dir, seed):
+    rng = random.Random(9000 + seed)
+    spec = _gen_window_spec(rng)
+    ok, msg = compare(
+        spark, sf_dir, _spark_window_query(spec), _sql_window_query(spec)
+    )
+    assert ok, f"spec={spec}: {msg}"

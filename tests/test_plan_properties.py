@@ -1,0 +1,57 @@
+"""Physical-plan regression guards: the scale-critical plan properties
+(pushdown, pruning, broadcast) asserted programmatically so they cannot
+silently regress."""
+
+from __future__ import annotations
+
+import pytest
+
+from ecommerce_full_etl_process_spark.plans import catalog
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = catalog.spark_queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_flagship_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_revenue_by_nation")
+    # 4-way star join: every dimension side broadcast, no sort-merge join
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_prunes_lineitem_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_revenue_by_nation")
+    # the lineitem scan must read only the 3 needed columns
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "l_orderkey" in line:
+            assert "l_extendedprice" in line and "l_discount" in line
+            assert "l_partkey" not in line and "l_shipdate" not in line
+            break
+    else:
+        pytest.fail("lineitem ReadSchema not found in plan")
+
+
+def test_filtered_scan_pushes_range_to_parquet(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filtered_incremental_scan")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_price_tolerance_pushes_filter_and_broadcasts_part(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "price_tolerance_check")
+    assert "GreaterThan(l_quantity,0.0)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_uses_broadcast_and_hash_aggregate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "asof_events_to_orders")
+    assert "BroadcastHashJoin" in plan
+    # max(struct(...)) as a hash aggregate — no sort-based window
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
