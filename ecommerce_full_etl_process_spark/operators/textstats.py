@@ -74,6 +74,49 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.col(text_col), pred.alias("pred_lang"))
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.): hash every char
+    k-gram, slide a window of ``window`` consecutive k-gram hashes, keep
+    each window's minimum — the distinct minima are the fingerprint set.
+    Guarantees any match of length ≥ k+window-1 shares a fingerprint.
+
+    The k-gram hash is the md5-derived 32-bit value used across the engine
+    (cross-engine deterministic), standing in for the rolling polynomial
+    hash — same selection semantics, oracle-checkable. All JVM-side
+    higher-order functions; one row per doc with an array column.
+    """
+    from ..operators.dedup import hash32  # local import avoids a cycle
+
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(0))
+    gram_idx = F.when(n_grams > 0, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram_hashes = F.transform(gram_idx, lambda i: hash32(F.substring(t, i, k)))
+
+    def _winnow(hashes: Column) -> Column:
+        n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
+        win_idx = F.when(
+            n_windows > 0, F.sequence(F.lit(1), n_windows)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(
+                win_idx, lambda i: F.array_min(F.slice(hashes, i, window))
+            )
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.array_sort(_winnow(gram_hashes)).alias("fingerprints"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     (the canonical-form hash used for exact dedup across formatting)."""

@@ -203,6 +203,10 @@ _REGISTRY: dict[
         lq.LANGUAGE_ID_HEURISTIC_ORACLE,
     ),
     "token_count_bpe": (lq.token_count_bpe, lq.TOKEN_COUNT_BPE_ORACLE),
+    "winnowing_overlap_pairs": (
+        lq.winnowing_overlap_pairs,
+        lq.WINNOWING_OVERLAP_PAIRS_ORACLE,
+    ),
     # §2.6 SCD2 merge (the centerpiece) + §2.4 J7 change-comparison join
     "scd2_merge_customers": (
         sq.scd2_merge_customers,

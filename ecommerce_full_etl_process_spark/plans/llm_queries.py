@@ -562,6 +562,56 @@ GROUP BY lang
 """
 
 
+def winnowing_overlap_pairs(spark, sf_dir):
+    """Winnowing (rolling-hash k-gram, window-min) fingerprint overlap for
+    each planted near-dup pair — Jaccard over the winnow sets."""
+    aug = _augmented_docs(spark, sf_dir).where(
+        (F.col("doc_id") % 10 == 0) | (F.col("doc_id") >= OFFSET)
+    )  # only docs that occur in planted pairs — 10× less hashing
+    fps = T.winnowing_fingerprints(aug, "doc_id", "text", k=8, window=4).cache()
+    fps.count()  # both branches below reuse
+    a = fps.where(F.col("doc_id") < OFFSET).select(
+        F.col("doc_id").alias("id_a"), F.col("fingerprints").alias("fa")
+    )
+    b = fps.where(F.col("doc_id") >= OFFSET).select(
+        (F.col("doc_id") - OFFSET).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("fingerprints").alias("fb"),
+    )
+    inter = F.size(F.array_intersect("fa", "fb"))
+    union = F.size(F.array_union("fa", "fb"))
+    return a.join(b, "id_a").select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / union, 6).alias("winnow_overlap"),
+    )
+
+
+WINNOWING_OVERLAP_PAIRS_ORACLE = f"""
+WITH aug AS (
+  SELECT * FROM ({_AUGMENTED_DOCS_SQL})
+  WHERE doc_id % 10 = 0 OR doc_id >= {OFFSET}
+),
+grams AS (
+  SELECT doc_id,
+         [ ('0x' || substr(md5(text[i:i+7]), 1, 8))::BIGINT
+           for i in range(1, greatest(length(text) - 7, 0) + 1) ] AS h
+  FROM aug
+),
+winnowed AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           [ list_min(h[i:i+3]) for i in range(1, greatest(len(h) - 3, 0) + 1) ]
+         )) AS fps
+  FROM grams
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.fps, b.fps))::DOUBLE
+             / len(list_distinct(a.fps || b.fps)), 6) AS winnow_overlap
+FROM winnowed a JOIN winnowed b ON b.doc_id = a.doc_id + {OFFSET}
+"""
+
+
 def token_count_bpe(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
