@@ -11,7 +11,34 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from .oracle_utils import compare
+import math
+
+from .oracle_utils import compare, duckdb_connection
+
+
+def compare_grouped_tolerant(spark, sf_dir, spark_fn, oracle_sql):
+    """Group-keyed comparison with relative float tolerance — the hand
+    -written catalog rounds identically on both sides, but the fuzzer's
+    random aggregates can land exactly on a rounding boundary where the
+    engines' summation order flips the last digit."""
+    sdf = spark_fn(spark, sf_dir)
+    srows = {r["g"]: r for r in sdf.collect()}
+    cur = duckdb_connection(sf_dir).execute(oracle_sql)
+    cols = [d[0] for d in cur.description]
+    orows = {dict(zip(cols, r))["g"]: dict(zip(cols, r)) for r in cur.fetchall()}
+    if set(srows) != set(orows):
+        return False, f"group keys differ: {set(srows) ^ set(orows)}"
+    for g, sr in srows.items():
+        orow = orows[g]
+        if sr["n_rows"] != orow["n_rows"]:
+            return False, f"n_rows mismatch at g={g}"
+        a, b = sr["agg_val"], orow["agg_val"]
+        if a is None or b is None:
+            if a != b:
+                return False, f"null mismatch at g={g}: {a} vs {b}"
+        elif not math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9):
+            return False, f"agg mismatch at g={g}: {a} vs {b}"
+    return True, "ok"
 
 # (table, columns usable for filters/groups/aggs)
 TABLES = {
@@ -82,7 +109,7 @@ def _spark_query(spec):
             expr = F.count(F.lit(1)).alias("agg_val")
         else:
             fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[a]
-            expr = F.round(fn(spec["agg_col"]), 4).alias("agg_val")
+            expr = fn(spec["agg_col"]).alias("agg_val")
         return df.groupBy(F.col(spec["group"]).alias("g")).agg(
             expr, F.count(F.lit(1)).alias("n_rows")
         )
@@ -96,9 +123,7 @@ def _sql_query(spec) -> str:
     )
     where_clause = f"WHERE {where}" if where else ""
     a = spec["agg"]
-    agg_expr = (
-        "count(*)" if a == "count" else f"round({a}({spec['agg_col']}), 4)"
-    )
+    agg_expr = "count(*)" if a == "count" else f"{a}({spec['agg_col']})"
     return f"""
 SELECT {spec['group']} AS g, {agg_expr} AS agg_val, count(*) AS n_rows
 FROM {spec['table']} {where_clause} GROUP BY {spec['group']}
@@ -109,7 +134,9 @@ FROM {spec['table']} {where_clause} GROUP BY {spec['group']}
 def test_random_query_matches_duckdb(spark, sf_dir, seed):
     rng = random.Random(1000 + seed)
     spec = _gen_spec(rng)
-    ok, msg = compare(spark, sf_dir, _spark_query(spec), _sql_query(spec))
+    ok, msg = compare_grouped_tolerant(
+        spark, sf_dir, _spark_query(spec), _sql_query(spec)
+    )
     assert ok, f"spec={spec}: {msg}"
 
 
@@ -169,7 +196,7 @@ def _spark_join_query(spec):
             expr = F.count(F.lit(1)).alias("agg_val")
         else:
             fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[a]
-            expr = F.round(fn(spec["agg_col"]), 4).alias("agg_val")
+            expr = fn(spec["agg_col"]).alias("agg_val")
         return joined.groupBy(F.col(spec["group"]).alias("g")).agg(
             expr, F.count(F.lit(1)).alias("n_rows")
         )
@@ -183,7 +210,7 @@ def _sql_join_query(spec) -> str:
         col, op, val = spec["f_filter"]
         where = f"WHERE {col} {op} {val}"
     a = spec["agg"]
-    agg_expr = "count(*)" if a == "count" else f"round({a}({spec['agg_col']}), 4)"
+    agg_expr = "count(*)" if a == "count" else f"{a}({spec['agg_col']})"
     how = "JOIN" if spec["how"] == "inner" else "LEFT JOIN"
     return f"""
 SELECT {spec['group']} AS g, {agg_expr} AS agg_val, count(*) AS n_rows
@@ -197,7 +224,7 @@ GROUP BY {spec['group']}
 def test_random_join_matches_duckdb(spark, sf_dir, seed):
     rng = random.Random(5000 + seed)
     spec = _gen_join_spec(rng)
-    ok, msg = compare(
+    ok, msg = compare_grouped_tolerant(
         spark, sf_dir, _spark_join_query(spec), _sql_join_query(spec)
     )
     assert ok, f"spec={spec}: {msg}"
