@@ -207,6 +207,10 @@ _REGISTRY: dict[
         lq.winnowing_overlap_pairs,
         lq.WINNOWING_OVERLAP_PAIRS_ORACLE,
     ),
+    "embedding_dimension_stats": (
+        lq.embedding_dimension_stats,
+        lq.EMBEDDING_DIMENSION_STATS_ORACLE,
+    ),
     # §2.6 SCD2 merge (the centerpiece) + §2.4 J7 change-comparison join
     "scd2_merge_customers": (
         sq.scd2_merge_customers,

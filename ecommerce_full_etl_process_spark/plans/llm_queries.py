@@ -562,6 +562,37 @@ GROUP BY lang
 """
 
 
+def embedding_dimension_stats(spark, sf_dir):
+    """Per-dimension corpus statistics over the embedding column (the
+    normalization/whitening precursor): mean and sample stddev of every
+    vector position, via posexplode ↔ unnest WITH ORDINALITY."""
+    e = _embs(spark, sf_dir)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mu"),
+            F.round(F.stddev_samp("x"), 6).alias("sigma"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+EMBEDDING_DIMENSION_STATS_ORACLE = """
+WITH ex AS (
+  SELECT unnest(list_transform(embedding,
+           (x, i) -> struct_pack(dim := i - 1, x := CAST(x AS DOUBLE)))) AS u
+  FROM embeddings
+)
+SELECT u.dim AS dim,
+       round(avg(u.x), 6) AS mu,
+       round(stddev_samp(u.x), 6) AS sigma,
+       count(*) AS n
+FROM ex GROUP BY u.dim
+"""
+
+
 def winnowing_overlap_pairs(spark, sf_dir):
     """Winnowing (rolling-hash k-gram, window-min) fingerprint overlap for
     each planted near-dup pair — Jaccard over the winnow sets."""
