@@ -255,6 +255,87 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per user, did view → click → purchase happen in
+    that temporal order? One conditional aggregation pass (min event time
+    per stage), then ordering predicates — no joins, no windows."""
+    from .operator_queries import _events
+
+    e = _events(spark, sf_dir)
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    t_click = F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+    t_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    per_user = e.groupBy("user_id").agg(
+        t_view.alias("t_view"),
+        t_click.alias("t_click"),
+        t_purchase.alias("t_purchase"),
+    )
+    reached_click = (
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & (F.col("t_click") > F.col("t_view"))
+    )
+    reached_purchase = (
+        reached_click
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") > F.col("t_click"))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_viewed"),
+        F.sum(reached_click.cast("long")).alias("n_clicked_after_view"),
+        F.sum(reached_purchase.cast("long")).alias("n_purchased_after_click"),
+    )
+
+
+EVENT_FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
+       sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                 AND t_click > t_view THEN 1 ELSE 0 END) AS n_clicked_after_view,
+       sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                 AND t_click > t_view AND t_purchase IS NOT NULL
+                 AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_purchased_after_click
+FROM per_user
+"""
+
+
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams (n-gram LM statistics): shingle →
+    explode → count, deterministic tie-break."""
+    from ..operators.dedup import word_shingles
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select(F.explode(word_shingles(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+TOP_BIGRAMS_ORACLE = """
+WITH grams AS (
+  SELECT unnest(list_distinct(
+           [ array_to_string(w[i:i+1], ' ')
+             for i in range(1, greatest(len(w), 1)) ]
+         )) AS bigram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+)
+SELECT bigram, count(*) AS n
+FROM grams GROUP BY bigram
+ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
 def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` sessionization (the streaming-ready form
     of sessionize_events): per user, events within 30 minutes of the

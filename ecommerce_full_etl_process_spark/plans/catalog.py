@@ -46,6 +46,8 @@ _REGISTRY: dict[
         analytics.session_window_events,
         analytics.SESSION_WINDOW_EVENTS_ORACLE,
     ),
+    "event_funnel": (analytics.event_funnel, analytics.EVENT_FUNNEL_ORACLE),
+    "top_bigrams": (analytics.top_bigrams, analytics.TOP_BIGRAMS_ORACLE),
     # SURVEY §2.1 scans
     "filtered_incremental_scan": (
         oq.filtered_incremental_scan,
