@@ -307,6 +307,48 @@ FROM per_user
 """
 
 
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week; for each
+    cohort, distinct users active k weeks later. Two aggregations + one
+    broadcast-able join — the standard warehouse retention matrix."""
+    from .operator_queries import _events
+
+    e = _events(spark, sf_dir).select("user_id", "ts")
+    first_week = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    return (
+        active.join(F.broadcast(first_week), "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+WEEKLY_RETENTION_COHORTS_ORACLE = """
+WITH first_week AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+       count(DISTINCT user_id) AS n_active
+FROM active JOIN first_week USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
 def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams (n-gram LM statistics): shingle →
     explode → count, deterministic tie-break."""

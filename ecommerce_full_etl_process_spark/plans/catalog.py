@@ -47,6 +47,10 @@ _REGISTRY: dict[
         analytics.SESSION_WINDOW_EVENTS_ORACLE,
     ),
     "event_funnel": (analytics.event_funnel, analytics.EVENT_FUNNEL_ORACLE),
+    "weekly_retention_cohorts": (
+        analytics.weekly_retention_cohorts,
+        analytics.WEEKLY_RETENTION_COHORTS_ORACLE,
+    ),
     "top_bigrams": (analytics.top_bigrams, analytics.TOP_BIGRAMS_ORACLE),
     # SURVEY §2.1 scans
     "filtered_incremental_scan": (
