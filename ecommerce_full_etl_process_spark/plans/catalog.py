@@ -189,6 +189,14 @@ _REGISTRY: dict[
         lq.corpus_curation_stats,
         lq.CORPUS_CURATION_STATS_ORACLE,
     ),
+    "stratified_sample_docs": (
+        lq.stratified_sample_docs,
+        lq.STRATIFIED_SAMPLE_DOCS_ORACLE,
+    ),
+    "token_budget_packing": (
+        lq.token_budget_packing,
+        lq.TOKEN_BUDGET_PACKING_ORACLE,
+    ),
     # LLM-data-pipeline: similarity search
     "similarity_topk_bruteforce": (
         lq.similarity_topk_bruteforce,

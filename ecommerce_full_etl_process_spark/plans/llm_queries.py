@@ -491,6 +491,93 @@ FROM documents GROUP BY lang, pred_lang
 LANGUAGE_ID_HEURISTIC_ORACLE = _langid_sql()
 
 
+SAMPLE_RATES = {"en": 1.0, "es": 0.5, "de": 0.5, "fr": 0.25, "zh": 0.25}
+
+
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic per-language stratified downsampling (corpus mixture
+    control): keep a doc when its md5-derived uniform hash is below the
+    language's rate. Reproducible regardless of partitioning — the sampling
+    decision is a pure function of doc_id."""
+    d = _docs(spark, sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("strat"), "doc_id")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(2 ** 32))
+    )
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(r))
+            for lang, r in SAMPLE_RATES.items()
+        ],
+        F.lit(0.1),
+    )
+    return (
+        d.withColumn("keep", u < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_sampled"),
+        )
+    )
+
+
+def _strat_oracle() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN ('0x' || substr(md5('strat' || '|' || doc_id), 1, 8))::BIGINT
+                     / 4294967296.0 < (CASE {cases} ELSE 0.1 END)
+                THEN 1 ELSE 0 END) AS n_sampled
+FROM documents GROUP BY lang
+"""
+
+
+STRATIFIED_SAMPLE_DOCS_ORACLE = _strat_oracle()
+
+
+def token_budget_packing(spark, sf_dir):
+    """Sequence packing: within each language, walk docs in doc_id order
+    and assign them to consecutive context-window bins of 4096 whitespace
+    tokens (bin = floor(exclusive-prefix-sum / 4096)); report per-bin doc
+    and token counts. The greedy packing pass used to build training
+    batches, as one window cumsum."""
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = d.select(
+        "lang", "doc_id", n_tokens.alias("n_tokens")
+    ).withColumn(
+        "bin",
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 4096).cast("int"),
+    )
+    return staged.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
+TOKEN_BUDGET_PACKING_ORACLE = """
+WITH staged AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens,
+         -- NB CAST(double AS INT) in DuckDB ROUNDS; Spark's cast truncates
+         CAST(floor(coalesce(sum(len(string_split(text, ' '))) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096)
+           AS INT) AS bin
+  FROM documents
+)
+SELECT lang, bin, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+FROM staged GROUP BY lang, bin
+"""
+
+
 def corpus_curation_stats(spark, sf_dir):
     """Composite training-data curation pipeline over documents:
     quality gate (≥20 words, alpha ratio > 0.5) → exact dedup on the
