@@ -83,17 +83,24 @@ FROM documents GROUP BY source
 
 
 def dedup_exact_groups(spark, sf_dir):
-    """Exact duplicate groups on the augmented corpus (each planted copy of
-    an unchanged doc would group; truncation means groups only appear for
-    docs short enough to be unchanged — plus a count guard)."""
-    return D.exact_dup_groups(
-        _augmented_docs(spark, sf_dir), "doc_id", "text"
+    """Exact duplicate groups: every 20th doc re-appears VERBATIM under
+    doc_id+2*OFFSET, so the hash-groupBy provably finds one group per
+    planted clone (non-trivial result set)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = d.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2 * OFFSET).alias("doc_id"), "text"
     )
+    return D.exact_dup_groups(d.unionByName(clones), "doc_id", "text")
 
 
 DEDUP_EXACT_GROUPS_ORACLE = f"""
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
-FROM ({_AUGMENTED_DOCS_SQL})
+FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {2 * OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % 20 = 0
+)
 GROUP BY md5(text) HAVING count(*) > 1
 """
 
