@@ -201,15 +201,24 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders)
 # ---------------------------------------------------------------------------
 
 def anti_join_customers_without_orders(spark, sf_dir):
+    """Customers with NO high-value (>300k) order — left anti join against
+    a filtered keyset (every customer has *some* order in this corpus, so
+    the plain complement would be trivially empty)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
 
 
 ANTI_JOIN_ORACLE = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+)
 """
 
 
