@@ -138,6 +138,14 @@ _REGISTRY: dict[
         oq.RUNNING_CUSTOMER_REVENUE_ORACLE,
     ),
     "approx_distinct_counts": (oq.approx_distinct_counts, None),  # rows-only
+    "order_value_histogram": (
+        oq.order_value_histogram,
+        oq.ORDER_VALUE_HISTOGRAM_ORACLE,
+    ),
+    "null_aware_aggregates": (
+        oq.null_aware_aggregates,
+        oq.NULL_AWARE_AGGREGATES_ORACLE,
+    ),
     "median_order_values": (oq.median_order_values, oq.MEDIAN_ORDER_VALUES_ORACLE),
     "pivot_status_by_priority": (
         oq.pivot_status_by_priority,

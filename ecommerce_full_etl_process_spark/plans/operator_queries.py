@@ -994,6 +994,55 @@ SELECT src, count(*) AS n FROM (
 """
 
 
+def order_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of order values (floor-binning; the profiling
+    primitive behind data-skew and quality dashboards)."""
+    o = _t(spark, sf_dir, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / 50000).cast("int")
+    return (
+        o.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+ORDER_VALUE_HISTOGRAM_ORACLE = """
+SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bin,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders GROUP BY 1
+"""
+
+
+def null_aware_aggregates(spark, sf_dir):
+    """NULL-semantics parity: count(*) vs count(col) vs count(distinct),
+    null-skipping avg — nulls manufactured via nullif(discount, 0)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(d).alias("n_nonzero_disc"),
+        F.countDistinct(d).alias("n_distinct_disc"),
+        F.round(F.avg(d), 6).alias("avg_nonzero_disc"),
+        F.sum(d.isNull().cast("long")).alias("n_zero_disc"),
+    )
+
+
+NULL_AWARE_AGGREGATES_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       count(nullif(l_discount, 0.0)) AS n_nonzero_disc,
+       count(DISTINCT nullif(l_discount, 0.0)) AS n_distinct_disc,
+       round(avg(nullif(l_discount, 0.0)), 6) AS avg_nonzero_disc,
+       sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_zero_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def approx_distinct_counts(spark, sf_dir):
     """Approximate distinct (HLL) — rows-only check: HLL implementations
     differ across engines, so no value oracle; the driver records existence
