@@ -108,6 +108,21 @@ def test_valid_tx_normalized(batch):
         assert r["status"] in ("success", "failed")
 
 
+def test_negative_price_product_passes_validation(spark):
+    """Reference parity quirk (SURVEY §7.4): the validator checks
+    price >= 10000 but has NO negative-price rule — a price < 0 product
+    must pass validation and load (only the notebook QA queries would
+    flag it). Mirror, don't silently fix."""
+    from ecommerce_full_etl_process_spark import schemas
+
+    products = spark.createDataFrame(
+        [(1, "Weird", "Electronics", -5.0, 10)], schemas.PRODUCTS
+    )
+    res = V.validate_products(products)
+    assert res.rejected.count() == 0
+    assert res.valid.count() == 1
+
+
 def test_multiformat_dates_parse(spark):
     """F5: exactly the reference's four accepted formats; two rejected ones."""
     from ecommerce_full_etl_process_spark.functions.dates import parse_date_multi
