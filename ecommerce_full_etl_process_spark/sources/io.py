@@ -24,6 +24,7 @@ import tempfile
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import TESTDATA_TABLES
@@ -40,6 +41,23 @@ def read_testdata(
         name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         for name in names
     }
+
+
+def write_day_partitioned(
+    df: DataFrame, path: str, date_col: str = "date", mode: str = "append"
+) -> None:
+    """Write an OLTP feed partitioned by day (``dt=YYYY-MM-DD`` dirs) so
+    the daily incremental read is partition pruning (reference S3,
+    ``WHERE t.date = ?`` at ETL/etl.py:166)."""
+    df.withColumn("dt", F.col(date_col).cast("string")).write.mode(
+        mode
+    ).partitionBy("dt").parquet(path)
+
+
+def read_day_slice(spark: SparkSession, path: str, day: str) -> DataFrame:
+    """Read exactly one day's partition — Catalyst turns the dt filter into
+    PartitionFilters (no other day's files are listed or scanned)."""
+    return spark.read.parquet(path).where(F.col("dt") == day).drop("dt")
 
 
 class TableStore:
