@@ -297,12 +297,15 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 )
 SELECT count(*) AS n_users,
-       sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
-       sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
-                 AND t_click > t_view THEN 1 ELSE 0 END) AS n_clicked_after_view,
-       sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_viewed,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                 AND t_click > t_view THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clicked_after_view,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
                  AND t_click > t_view AND t_purchase IS NOT NULL
-                 AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_purchased_after_click
+                 AND t_purchase > t_click THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchased_after_click
 FROM per_user
 """
 
@@ -420,7 +423,8 @@ per_session AS (
   SELECT user_id, session_seq, count(*) AS n_events
   FROM sessioned GROUP BY user_id, session_seq
 )
-SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
        max(n_events) AS max_session_events
 FROM per_session GROUP BY user_id
 """
@@ -436,9 +440,10 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessioned AS (
-  SELECT *, sum(new_session) OVER (
+  SELECT *, CAST(sum(new_session) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, count(*) AS n_events,

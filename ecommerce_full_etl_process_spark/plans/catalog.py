@@ -137,7 +137,10 @@ _REGISTRY: dict[
         oq.running_customer_revenue,
         oq.RUNNING_CUSTOMER_REVENUE_ORACLE,
     ),
-    "approx_distinct_counts": (oq.approx_distinct_counts, None),  # rows-only
+    "approx_distinct_counts": (
+        oq.approx_distinct_counts,
+        oq.APPROX_DISTINCT_COUNTS_ORACLE,
+    ),
     "order_value_histogram": (
         oq.order_value_histogram,
         oq.ORDER_VALUE_HISTOGRAM_ORACLE,

@@ -535,9 +535,9 @@ def _strat_oracle() -> str:
     )
     return f"""
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN ('0x' || substr(md5('strat' || '|' || doc_id), 1, 8))::BIGINT
+       CAST(sum(CASE WHEN ('0x' || substr(md5('strat' || '|' || doc_id), 1, 8))::BIGINT
                      / 4294967296.0 < (CASE {cases} ELSE 0.1 END)
-                THEN 1 ELSE 0 END) AS n_sampled
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
 FROM documents GROUP BY lang
 """
 
@@ -580,7 +580,8 @@ WITH staged AS (
            AS INT) AS bin
   FROM documents
 )
-SELECT lang, bin, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+SELECT lang, bin, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM staged GROUP BY lang, bin
 """
 
@@ -648,9 +649,11 @@ kept AS (
 )
 SELECT lang,
        count(*) AS n_docs,
-       sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS n_quality,
-       sum(CASE WHEN coalesce(dedup_keep, FALSE) THEN 1 ELSE 0 END) AS n_kept,
-       sum(CASE WHEN coalesce(dedup_keep, FALSE) THEN n_words ELSE 0 END) AS kept_tokens
+       CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN coalesce(dedup_keep, FALSE) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN coalesce(dedup_keep, FALSE) THEN n_words ELSE 0 END)
+            AS BIGINT) AS kept_tokens
 FROM staged LEFT JOIN kept USING (doc_id)
 GROUP BY lang
 """

@@ -40,9 +40,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # Integer division: `/ 1000` goes through double and a ~1.7e18 ns
+        # epoch exceeds 2^53, drifting ±1 µs vs DuckDB's exact truncation.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -139,7 +139,8 @@ def null_blank_predicate(spark, sf_dir):
 
 
 NULL_BLANK_PREDICATE_ORACLE = """
-SELECT sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS n_blank,
+SELECT CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blank,
        count(*) AS n_total
 FROM documents
 """
@@ -417,9 +418,9 @@ def conditional_counters(spark, sf_dir):
 
 
 CONDITIONAL_COUNTERS_ORACLE = """
-SELECT sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+SELECT CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
        round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS finished_value,
        count(*) AS n_total
 FROM orders
@@ -581,8 +582,8 @@ WITH rendered AS (
   FROM rendered
 )
 SELECT fmt, count(*) AS n,
-       sum(CASE WHEN parsed IS NOT NULL THEN 1 ELSE 0 END) AS n_parsed,
-       sum(CASE WHEN parsed = d THEN 1 ELSE 0 END) AS n_roundtrip
+       CAST(sum(CASE WHEN parsed IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+       CAST(sum(CASE WHEN parsed = d THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip
 FROM parsed GROUP BY fmt
 """
 
@@ -847,9 +848,9 @@ def pivot_status_by_priority(spark, sf_dir):
 
 PIVOT_STATUS_BY_PRIORITY_ORACLE = """
 SELECT o_orderpriority,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -931,9 +932,9 @@ def unpivot_status_counts(spark, sf_dir):
 UNPIVOT_STATUS_COUNTS_ORACLE = """
 WITH wide AS (
   SELECT o_orderpriority,
-         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-         sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-         sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
   FROM orders GROUP BY o_orderpriority
 )
 SELECT o_orderpriority, s.status, s.n FROM wide,
@@ -1038,20 +1039,34 @@ SELECT l_returnflag,
        count(nullif(l_discount, 0.0)) AS n_nonzero_disc,
        count(DISTINCT nullif(l_discount, 0.0)) AS n_distinct_disc,
        round(avg(nullif(l_discount, 0.0)), 6) AS avg_nonzero_disc,
-       sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_zero_disc
+       CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_zero_disc
 FROM lineitem GROUP BY l_returnflag
 """
 
 
 def approx_distinct_counts(spark, sf_dir):
-    """Approximate distinct (HLL) — rows-only check: HLL implementations
-    differ across engines, so no value oracle; the driver records existence
-    + schema. Exact distinct included for scale reference."""
+    """Approximate distinct (HLL) with a checkable contract: HLL estimates
+    differ across engines, so the sketch value itself is not compared —
+    instead the query asserts its own estimate is within 5% of exact
+    (default rsd=0.05 gives ~1.6% typical error) and the oracle checks the
+    exact side plus the same boolean."""
     li = _t(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_partkey")
+    exact = F.countDistinct("l_partkey")
     return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        exact.alias("exact_parts"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 0.05 * exact.cast("double")
+        ).alias("within_5pct"),
     )
+
+
+APPROX_DISTINCT_COUNTS_ORACLE = """
+SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_5pct
+FROM lineitem
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1074,7 +1089,7 @@ def json_extract_events(spark, sf_dir):
 
 JSON_EXTRACT_EVENTS_ORACLE = """
 SELECT event_type,
-       sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
        round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
        count(*) AS n
 FROM events GROUP BY event_type

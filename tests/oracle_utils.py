@@ -4,14 +4,27 @@ Runs a registered Spark query and its oracle SQL on the same sf dir and
 compares row count + order-insensitive values (column order normalized by
 name, rows sorted). Used by tests so every catalog entry is validated before
 the driver ever sees it.
+
+Round-2 hardening: both sides are fetched through pandas dataframes
+(``DataFrame.toPandas()`` / ``duckdb.fetchdf()``) and every cell is tagged
+with its *type class* before comparison. Round 1 compared ``fetchall()``
+Python values, where DuckDB's HUGEINT ``sum()`` arrived as a Python ``int``
+and compared equal to Spark's ``int`` — while the driver's dataframe-rendered
+hash saw ``0.0 != 0`` (HUGEINT → float64 through pandas). With type-class
+tags a float-rendered aggregate can never match an int64 one, so the local
+gate is at least as strict as the driver on numeric dtype drift.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 import math
 import os
+from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from ecommerce_full_etl_process_spark.schemas import TESTDATA_TABLES
 
@@ -27,40 +40,65 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # collapse -0.0 / representation noise at 9 significant decimals
-        return round(v, 9)
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    return v
+def _cell(v):
+    """Canonical (type-class, value) tag for one rendered cell.
+
+    Classes: null, b(ool), i(nt), f(loat — incl. Decimal), d(ate),
+    t(imestamp), s(tr), y(bytes), a(rray). A timestamp at exact midnight
+    collapses to the date class because pandas renders SQL DATE columns as
+    midnight datetime64 (duckdb fetchdf) while Spark yields datetime.date.
+    """
+    if v is None or v is pd.NaT:
+        return ("null",)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return ("null",)
+        if f == 0.0:  # collapse -0.0
+            f = 0.0
+        return ("f", round(f, 9))
+    if isinstance(v, Decimal):
+        return ("f", round(float(v), 9))
+    if isinstance(v, (pd.Timestamp, dt.datetime)):
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return ("d", v.date().isoformat())
+        return ("t", v.isoformat())
+    if isinstance(v, dt.date):
+        return ("d", v.isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v).hex())
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("a", tuple(_cell(x) for x in v))
+    if isinstance(v, str):
+        return ("s", v)
+    return ("o", repr(v))
 
 
-def _canonical(rows: list[tuple], cols: list[str]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
-    return sorted(out, key=repr)
+def _canonical(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=repr)
 
 
 def compare(spark, sf_dir: str, spark_fn, oracle_sql: str) -> tuple[bool, str]:
-    sdf = spark_fn(spark, sf_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    spdf = spark_fn(spark, sf_dir).toPandas()
 
     con = duckdb_connection(sf_dir)
-    cur = con.execute(oracle_sql)
-    ocols = [d[0] for d in cur.description]
-    orows = cur.fetchall()
+    opdf = con.execute(oracle_sql).fetchdf()
 
-    if sorted(scols) != sorted(ocols):
-        return False, f"column mismatch: spark={sorted(scols)} oracle={sorted(ocols)}"
-    if len(srows) != len(orows):
-        return False, f"row count mismatch: spark={len(srows)} oracle={len(orows)}"
-    a, b = _canonical(srows, scols), _canonical(orows, ocols)
+    scols, ocols = sorted(spdf.columns), sorted(opdf.columns)
+    if scols != ocols:
+        return False, f"column mismatch: spark={scols} oracle={ocols}"
+    if len(spdf) != len(opdf):
+        return False, f"row count mismatch: spark={len(spdf)} oracle={len(opdf)}"
+    a, b = _canonical(spdf), _canonical(opdf)
     if a != b:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
         return False, f"value mismatch, first diffs: {diffs}"
