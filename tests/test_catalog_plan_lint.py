@@ -21,3 +21,16 @@ def test_no_cartesian_products(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders[name] = True
     assert not offenders, f"CartesianProduct in: {sorted(offenders)}"
+
+def test_tier1_families_inside_graded_window():
+    """The correctness driver grades only the first GRADED_WINDOW entries;
+    every unique operator family must sit inside it (VERDICT r1 finding #3:
+    the whole LLM layer sat at positions >= 50 and was never checked)."""
+    names = list(catalog.spark_queries())
+    window = set(names[: catalog.GRADED_WINDOW])
+    missing = catalog.TIER1_REQUIRED - window
+    assert not missing, f"tier-1 families outside graded window: {sorted(missing)}"
+    # the window must be exactly full: an accidental insert before tier 2
+    # would silently push a family out on the next driver run
+    assert len(names) >= catalog.GRADED_WINDOW
+    assert len(catalog.TIER1_REQUIRED) == catalog.GRADED_WINDOW
