@@ -35,6 +35,7 @@ class FactLoadResult:
     facts: DataFrame  # rows to append to fact_transactions
     orphan_users: DataFrame  # tx rows with unresolvable user_sk
     orphan_products: DataFrame  # tx rows with unresolvable product_sk
+    dupe_rows: DataFrame  # lines dropped by in-batch composite-PK dedup
     n_skipped_rerun: int  # lines skipped because their tx id was loaded before
     n_skipped_dupe: int  # lines dropped by in-batch composite-PK dedup
 
@@ -83,13 +84,14 @@ def load_fact_transactions(
     existing_ids = existing_fact.select("transaction_id").distinct()
     fresh = resolved.join(existing_ids, "transaction_id", "left_anti").cache()
 
-    # J4 layer 2 / A7: in-batch first-wins dedup on the composite PK
+    # J4 layer 2 / A7: in-batch first-wins dedup on the composite PK.
+    # Dropped rows are returned so the pipeline can log each as a
+    # 'duplicate_tx_id' warning — the reference's IntegrityError handler
+    # logs every such skip (ETL/etl.py:375-378).
     w = Window.partitionBy("transaction_id", "product_sk").orderBy(F.col(order_col))
-    deduped = (
-        fresh.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    ranked = fresh.withColumn("__rn", F.row_number().over(w)).cache()
+    deduped = ranked.where(F.col("__rn") == 1).drop("__rn")
+    dupe_rows = ranked.where(F.col("__rn") > 1).drop("__rn")
     n_skipped_rerun = resolved.count() - fresh.count()
     n_skipped_dupe = fresh.count() - deduped.count()
 
@@ -110,6 +112,7 @@ def load_fact_transactions(
         facts=facts,
         orphan_users=orphan_users.select("transaction_id", "user_id"),
         orphan_products=orphan_products.select("transaction_id", "product_id"),
+        dupe_rows=dupe_rows.select("transaction_id", "product_sk"),
         n_skipped_rerun=n_skipped_rerun,
         n_skipped_dupe=n_skipped_dupe,
     )

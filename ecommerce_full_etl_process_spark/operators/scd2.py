@@ -18,13 +18,13 @@ Semantic parity notes (SURVEY §7.4):
   row_number() over (order by natural key)`` — replicating AUTOINCREMENT
   assigned in the reference's ``ORDER BY <natural key>`` iteration order.
 
-Scale: one broadcast-able join (incoming vs current dim) + one window for sk
-assignment. The sk window is a single-partition sort over only the NEW
-version rows of the batch (≪ dim size, ≪ fact size); the dim rewrite itself
-is a union of narrow scans, shuffle-free. At 100 TB fact scale the dims this
-operator rewrites remain millions of rows — comfortably one executor's work;
-if a dim ever outgrew that, the same algorithm holds with the sk window
-partitioned by a key-hash bucket and offset by bucket counts.
+Scale: one broadcast-able join (incoming vs current dim) + sk assignment.
+Surrogate keys are assigned with a RANGE-BUCKETED window: new-version rows
+are range-partitioned on the natural key, ranked inside each bucket, and
+offset by the running count of earlier buckets — the exact global
+ORDER BY nk row_number result with no single-partition sort, so a
+pathological billion-row dim batch still spreads over the cluster. The dim
+rewrite itself is a union of narrow scans, shuffle-free.
 """
 
 from __future__ import annotations
@@ -71,6 +71,14 @@ class Scd2Result:
     n_inserted: int  # brand-new natural keys
     n_updated: int  # changed keys (old version closed + new opened)
     n_unchanged: int
+    _cached: tuple[DataFrame, ...] = ()
+
+    def unpersist(self) -> None:
+        """Release the merge's internal caches. Call after ``dim`` has been
+        materialized (written/collected); otherwise each merge leaks a
+        cached dimension generation across a multi-day soak run."""
+        for df in self._cached:
+            df.unpersist()
 
 
 def scd2_merge(
@@ -141,9 +149,40 @@ def scd2_merge(
     to_insert = new_rows.unionByName(changed_rows)
 
     max_sk = (dim.agg(F.max(sk)).collect()[0][0]) or 0
-    w = Window.orderBy(F.col(nk))
+
+    # Bucketed surrogate-key assignment: range-partition the new-version
+    # rows on the natural key (bucket i's keys all sort before bucket
+    # i+1's), rank within each bucket, then add the running count of
+    # earlier buckets. Dense + deterministic and identical to a global
+    # ORDER BY nk row_number — without the single-partition sort a global
+    # window would plan.
+    n_buckets = max(
+        1, to_insert.sparkSession.sparkContext.defaultParallelism
+    )
+    ranged = (
+        to_insert.repartitionByRange(n_buckets, F.col(nk))
+        .withColumn("__bucket", F.spark_partition_id())
+        .cache()
+    )
+    bucket_counts = {
+        r["__bucket"]: r["n"]
+        for r in ranged.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, running = [], 0
+    for b in range(n_buckets):
+        offsets.append(running)
+        running += bucket_counts.get(b, 0)
+    w = Window.partitionBy("__bucket").orderBy(F.col(nk))
+    sk_expr = (
+        F.row_number().over(w)
+        + F.element_at(F.lit(offsets), F.col("__bucket") + 1)
+        + F.lit(max_sk)
+    ).cast("long")
     inserted = (
-        to_insert.withColumn(sk, F.row_number().over(w) + F.lit(max_sk))
+        ranged.withColumn(sk, sk_expr)
+        .drop("__bucket")
         .withColumn("end_date", F.lit(None).cast("date"))
         .withColumn("current_flag", F.lit(True))
     )
@@ -160,4 +199,5 @@ def scd2_merge(
         n_inserted=n_inserted,
         n_updated=n_updated,
         n_unchanged=unchanged_cnt,
+        _cached=(dim, joined, ranged),
     )

@@ -25,6 +25,7 @@ no all-to-all shuffle of the fact batch beyond the dedup window.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -315,10 +316,21 @@ def validate_transactions(
                 F.col("transaction_id"),
             ),
         ),
+    ]
+    # reference logs price_mismatch only for otherwise-valid rows
+    # ('product_id in product_prices and is_valid and quantity > 0',
+    # validation.py:161): a row rejected for e.g. invalid_status must not
+    # also get the warning.
+    no_error = ~reduce(
+        lambda a, b: a | b,
+        [F.coalesce(r.condition, F.lit(False)) for r in rules if r.severity == "error"],
+    )
+    rules = rules + [
         Rule(
             "price_mismatch",
             "warning",
-            F.col("__unit_price").isNotNull()
+            no_error
+            & F.col("__unit_price").isNotNull()
             & qty.isNotNull()
             & (qty > 0)
             & (F.abs(unit_price_actual - F.col("__unit_price")) > 0.01),

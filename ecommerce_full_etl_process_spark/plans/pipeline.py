@@ -96,6 +96,7 @@ def run(
             store.read(DIM_USER), incoming_users, USER_SCD2, source_date
         )
         store.overwrite(DIM_USER, u_res.dim)
+        u_res.unpersist()  # dim landed; drop the merge's internal caches
 
         incoming_products = valid_products.select(
             "product_id", "name", "category", "price"
@@ -104,8 +105,9 @@ def run(
             store.read(DIM_PRODUCT), incoming_products, PRODUCT_SCD2, source_date
         )
         store.overwrite(DIM_PRODUCT, p_res.dim)
+        p_res.unpersist()
 
-        # -- fact_stock_history (stage 8a) ---------------------------------
+        # -- fact_stock_history (stage 8a, compute) ------------------------
         sd_id = int(source_date.strftime("%Y%m%d"))
         snap = snapshot_op.stock_history_delta(
             valid_products,
@@ -115,9 +117,8 @@ def run(
         )
         snap_rows = snap.appended.cache()
         n_stock = snap_rows.count()
-        store.append(FACT_STOCK_HISTORY, snap_rows)
 
-        # -- fact_transactions (stage 8b) ----------------------------------
+        # -- fact_transactions (stage 8b, compute) -------------------------
         fact_res = facts_op.load_fact_transactions(
             valid_tx,
             store.read(DIM_USER),
@@ -126,9 +127,12 @@ def run(
         )
         fact_rows = fact_res.facts.cache()
         n_fact = fact_rows.count()
-        store.append(FACT_TRANSACTIONS, fact_rows, partition_by=["date_id"])
 
         # -- error log (validation + load-stage orphans) -------------------
+        # Written BEFORE the fact appends: the orphan/dupe frames' lineage
+        # scans the pre-append fact tables, and a parquet append into a
+        # directory invalidates every cached plan reading that path —
+        # evaluating the log afterwards would rescan mutated state.
         err_frames = [
             results["user"].error_records("user", F.col("user_id")),
             results["product"].error_records("product", F.col("product_id")),
@@ -143,7 +147,7 @@ def run(
                     "Stock snapshot: product %s has no current dim row",
                     F.col("product_id"),
                 ).alias("message"),
-                F.lit("error").alias("severity"),
+                F.lit("warning").alias("severity"),
             ),
             fact_res.orphan_users.select(
                 F.lit("transaction").alias("entity"),
@@ -153,7 +157,7 @@ def run(
                     "Fact load: no dim_user version covers transaction %s",
                     F.col("transaction_id"),
                 ).alias("message"),
-                F.lit("error").alias("severity"),
+                F.lit("warning").alias("severity"),
             ),
             fact_res.orphan_products.select(
                 F.lit("transaction").alias("entity"),
@@ -163,7 +167,20 @@ def run(
                     "Fact load: no dim_product version covers transaction %s",
                     F.col("transaction_id"),
                 ).alias("message"),
-                F.lit("error").alias("severity"),
+                F.lit("warning").alias("severity"),
+            ),
+            # reference logs every composite-PK duplicate skip via its
+            # IntegrityError handler (ETL/etl.py:375-378)
+            fact_res.dupe_rows.select(
+                F.lit("transaction").alias("entity"),
+                F.col("transaction_id").cast("string").alias("record_id"),
+                F.lit("duplicate_tx_id").alias("error_type"),
+                F.format_string(
+                    "Fact load: duplicate (transaction %s, product_sk %s) line skipped",
+                    F.col("transaction_id"),
+                    F.col("product_sk"),
+                ).alias("message"),
+                F.lit("warning").alias("severity"),
             ),
         ]
         all_errors = err_frames[0]
@@ -171,13 +188,18 @@ def run(
             all_errors = all_errors.unionByName(f)
         audit.append_errors(store, run_id, all_errors)
 
+        # -- land the facts (the reference's per-step commits) -------------
+        store.append(FACT_STOCK_HISTORY, snap_rows)
+        store.append(FACT_TRANSACTIONS, fact_rows, partition_by=["date_id"])
+
         # -- summarize + close run (stages 9-10) ---------------------------
         n_err, n_warn = audit.run_error_counts(store, run_id)
         summary.counters = {
-            # reference counts every INSERT into the dim as an inserted row
-            # (new keys + new versions of changed keys)
-            "rows_dim_user_inserted": u_res.n_inserted + u_res.n_updated,
-            "rows_dim_product_inserted": p_res.n_inserted + p_res.n_updated,
+            # reference run log stores only brand-new natural keys (the
+            # upsert's current-is-None branch, ETL/etl.py:461-462); new
+            # versions of changed keys count as 'updated', not 'inserted'
+            "rows_dim_user_inserted": u_res.n_inserted,
+            "rows_dim_product_inserted": p_res.n_inserted,
             "rows_fact_transactions_inserted": n_fact,
             "rows_fact_stock_history_inserted": n_stock,
             "errors": n_err,
