@@ -36,6 +36,9 @@ from pyspark.sql import functions as F
 
 MINHASH_PRIME = 4294967311  # smallest prime > 2^32
 NUM_HASHES = 32
+# LSH buckets wider than this pair via a streaming self-join instead of an
+# in-array expansion (caps the collect_list row a hot bucket can build).
+MAX_BUCKET_WIDTH = 64
 ROWS_PER_BAND = 4  # → 8 bands
 _rng = random.Random(0x5EED)
 # A is capped at 2^30 so a*h (h < 2^32) stays below 2^62 — no 64-bit
@@ -190,9 +193,12 @@ def minhash_lsh_pairs(
     # plan barrier that stops Catalyst's projection collapse from inlining
     # (= recomputing) the md5 pass into downstream references. Shuffles are
     # skinny: (doc_id, 32 longs) after partial aggregation, then the
-    # (band, band_hash, doc_id) triples. Bucket skew: identical docs land in
-    # one bucket and pair expansion is quadratic in bucket size — run
-    # exact_dup_groups first at scale so exact clones never reach LSH.
+    # (band, band_hash, doc_id) triples. Bucket skew: pair output is
+    # inherently quadratic in bucket size, but buckets wider than
+    # MAX_BUCKET_WIDTH take a streaming self-join path instead of the
+    # in-array expansion, so no single task ever materializes a giant
+    # collect_list row. Run exact_dup_groups first at scale so exact
+    # clones never reach LSH at all.
     exploded = shingled.select(
         "doc_id",
         F.explode(
@@ -211,11 +217,28 @@ def minhash_lsh_pairs(
     banded = sig_cols.select(
         "doc_id",
         F.posexplode(lsh_band_hashes(sig_array)).alias("band", "band_hash"),
+    ).cache()  # referenced by the size pass + both pair paths
+    banded.count()
+
+    # Bucket-width routing: one cheap map-side-combined count per bucket,
+    # then small buckets (2..W docs) pair in-array while hot buckets
+    # (> W docs, e.g. a pathological clone corpus) self-join on the bucket
+    # key — the join streams its quadratic output instead of building one
+    # unbounded array row per bucket. Pair semantics are identical.
+    sizes = banded.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("__n")
     )
+    small_keys = sizes.where(
+        (F.col("__n") > 1) & (F.col("__n") <= MAX_BUCKET_WIDTH)
+    ).select("band", "band_hash")
+    hot_keys = sizes.where(F.col("__n") > MAX_BUCKET_WIDTH).select(
+        "band", "band_hash"
+    )
+
     buckets = (
-        banded.groupBy("band", "band_hash")
+        banded.join(small_keys, ["band", "band_hash"])
+        .groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
     )
     pair_structs = F.flatten(
         F.transform(
@@ -226,12 +249,21 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    candidates = (
+    small_pairs = (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
-        .cache()
     )
+    hot = banded.join(hot_keys, ["band", "band_hash"])
+    hot_pairs = (
+        hot.select("band", "band_hash", F.col("doc_id").alias("id_a"))
+        .join(
+            hot.select("band", "band_hash", F.col("doc_id").alias("id_b")),
+            ["band", "band_hash"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    candidates = small_pairs.union(hot_pairs).distinct().cache()
     candidates.count()  # materialize: later references must not re-run LSH
 
     # Phase 2 — verification. Recompute shingles ONLY for docs that appear

@@ -48,3 +48,23 @@ def test_jaccard_empty_arrays(spark):
         D.jaccard(F.array().cast("array<string>"), F.array().cast("array<string>")).alias("j")
     )
     assert df.collect()[0]["j"] == 0.0
+
+def test_hot_bucket_clone_corpus(spark):
+    """A clone corpus far wider than MAX_BUCKET_WIDTH must route through
+    the streaming self-join path (no giant collect_list row) and still
+    emit every pair: C(n,2) clone pairs at jaccard 1.0."""
+    from ecommerce_full_etl_process_spark.operators.dedup import (
+        MAX_BUCKET_WIDTH,
+        minhash_lsh_pairs,
+    )
+
+    n_clones = MAX_BUCKET_WIDTH * 4  # 256 -> 32,640 pairs
+    rows = [(i, "the same cloned document text repeated verbatim here") for i in range(n_clones)]
+    rows += [(10_000 + i, f"unique filler document number {i} totally different words {i * 7}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, "doc_id", "text")
+    clone_pairs = pairs.where((F.col("id_a") < 10_000) & (F.col("id_b") < 10_000))
+    expected = n_clones * (n_clones - 1) // 2
+    got = clone_pairs.count()
+    assert got == expected, (got, expected)
+    assert clone_pairs.where(F.col("jaccard_sim") < 1.0).count() == 0
