@@ -38,6 +38,13 @@ class FactLoadResult:
     dupe_rows: DataFrame  # lines dropped by in-batch composite-PK dedup
     n_skipped_rerun: int  # lines skipped because their tx id was loaded before
     n_skipped_dupe: int  # lines dropped by in-batch composite-PK dedup
+    _cached: tuple[DataFrame, ...] = ()
+
+    def unpersist(self) -> None:
+        """Release the load's internal caches once facts + log rows have
+        been materialized (same soak-run hygiene as Scd2Result)."""
+        for df in self._cached:
+            df.unpersist()
 
 
 def load_fact_transactions(
@@ -115,4 +122,5 @@ def load_fact_transactions(
         dupe_rows=dupe_rows.select("transaction_id", "product_sk"),
         n_skipped_rerun=n_skipped_rerun,
         n_skipped_dupe=n_skipped_dupe,
+        _cached=(tx, fresh, ranked),
     )

@@ -108,15 +108,20 @@ def kmeans_lite(
     - update: elementwise mean via posexplode → (cluster, dim) avg →
       ordered reassembly
 
-    Returns (centroids(cid, cv), assignments(id, cid)). Each iteration is
-    one broadcast join + two aggregations — scales linearly in rows; k and
-    dim ride in the broadcast.
+    Returns (centroids(cid, cv), assignments(id, cid)). Scale shape: the
+    full vectors shuffle ONCE (the initial hash-partition by id, cached);
+    every iteration then shuffles only skinny (id, dist, cid) rows for the
+    argmin, and the id-keyed join back to the vectors reuses the cached
+    partitioning — no per-iteration reshuffle of the embedding payload and
+    no array-valued group keys.
     """
     from pyspark.sql.window import Window
 
     v = embeddings.select(
         F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
     )
+    pts = v.repartition("id").cache()  # co-partitioned with the argmin below
+    pts.count()
     w = Window.orderBy("init_id")
     centroids = (
         v.orderBy("id")
@@ -133,17 +138,16 @@ def kmeans_lite(
             lambda acc, x: acc + x,
         )
         scored = points.crossJoin(F.broadcast(cents)).select(
-            "id", "v", F.struct(dist2.alias("d"), F.col("cid").alias("cid")).alias("s")
+            "id", F.struct(dist2.alias("d"), F.col("cid").alias("cid")).alias("s")
         )
-        return (
-            scored.groupBy("id", "v")
-            .agg(F.min("s").alias("best"))
-            .select("id", "v", F.col("best.cid").alias("cid"))
+        best = scored.groupBy("id").agg(F.min("s").alias("best"))
+        return points.join(best, "id").select(
+            "id", "v", F.col("best.cid").alias("cid")
         )
 
     assigned = None
     for _ in range(iters):
-        assigned = _assign(v, centroids)
+        assigned = _assign(pts, centroids)
         centroids = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")

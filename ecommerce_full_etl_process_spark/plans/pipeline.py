@@ -70,12 +70,14 @@ def run(
     run_id = audit.start_run(store, source_date, started)
     summary = RunSummary(run_id=run_id)
 
+    scratch: list[DataFrame] = []  # caches to release when the run ends
     try:
         # -- validate (stage 6; rule DAG: users/products feed transactions) --
         results = validation_op.validate_all(users, products, transactions)
         valid_users = results["user"].valid.cache()
         valid_products = results["product"].valid.cache()
         valid_tx = results["transaction"].valid.cache()
+        scratch += [valid_users, valid_products, valid_tx]
 
         # -- seed dim_date for run date + tx dates (stage 4) ---------------
         dim_date = store.read(DIM_DATE)
@@ -116,6 +118,7 @@ def run(
             sd_id,
         )
         snap_rows = snap.appended.cache()
+        scratch.append(snap_rows)
         n_stock = snap_rows.count()
 
         # -- fact_transactions (stage 8b, compute) -------------------------
@@ -126,6 +129,7 @@ def run(
             store.read(FACT_TRANSACTIONS),
         )
         fact_rows = fact_res.facts.cache()
+        scratch.append(fact_rows)
         n_fact = fact_rows.count()
 
         # -- error log (validation + load-stage orphans) -------------------
@@ -191,6 +195,7 @@ def run(
         # -- land the facts (the reference's per-step commits) -------------
         store.append(FACT_STOCK_HISTORY, snap_rows)
         store.append(FACT_TRANSACTIONS, fact_rows, partition_by=["date_id"])
+        fact_res.unpersist()
 
         # -- summarize + close run (stages 9-10) ---------------------------
         n_err, n_warn = audit.run_error_counts(store, run_id)
@@ -216,3 +221,5 @@ def run(
             datetime.now(),
             summary.counters,
         )
+        for df in scratch:  # no cached-generation leak across soak runs
+            df.unpersist()

@@ -362,9 +362,23 @@ def generate_oltp(
     n_transactions: int = 250,
     n_dirty: int = 30,
     today: date = date(2026, 2, 2),
+    multi_product_chance: float = 0.2,
+    status_weights: tuple[float, float] = (0.85, 0.15),
 ) -> tuple[dict[str, DataFrame], GeneratedBatch]:
-    """Demo-scale batch matching the reference's demo.ipynb cell-1 config."""
+    """Demo-scale batch matching the reference's demo.ipynb cell-1 config.
+
+    The knobs also cover the notebook-driven alt workload
+    (OLTP/main.ipynb cells 18-21: 300 tx at status weights [0.7, 0.3] on
+    2026-02-02 plus 100 dirty records)."""
     rng = random.Random(seed)
-    batch = generate_clean(rng, n_users, n_products, n_transactions, today)
+    batch = generate_clean(
+        rng,
+        n_users,
+        n_products,
+        n_transactions,
+        today,
+        multi_product_chance=multi_product_chance,
+        status_weights=status_weights,
+    )
     batch = inject_dirty(rng, batch, n_dirty, today)
     return batch_to_dataframes(spark, batch), batch
