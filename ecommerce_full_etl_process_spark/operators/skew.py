@@ -42,12 +42,19 @@ def salted_join(
 
 def top_key_skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     """Diagnostic: per-key row counts + share of total for the heaviest
-    keys — what you run before deciding on salting/broadcast."""
-    total = df.count()
+    keys — what you run before deciding on salting/broadcast.
+
+    One pass over the input: the total is re-aggregated from the per-key
+    counts (cached — they are the report's working set anyway) and joined
+    back as a broadcast single row, instead of a second full-table
+    count(). No single-partition window: per-key cardinality can itself
+    be huge."""
+    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows")).cache()
+    total = per_key.agg(F.sum("n_rows").alias("__total"))
     return (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("share", F.round(F.col("n_rows") / F.lit(total), 6))
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("__total"), 6))
+        .drop("__total")
         .orderBy(F.desc("n_rows"))
         .limit(top_n)
     )
