@@ -171,21 +171,27 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF probe-1 ANN: find the query's nearest centroid, rescore only
-    that cell's vectors exactly. Standard recall/cost trade; probe more
-    cells for higher recall."""
+    """IVF multi-probe ANN: rank the query's ``nprobe`` nearest centroids,
+    rescore only those cells' vectors exactly. Standard recall/cost trade —
+    nprobe=1 is fastest, nprobe=n_cells degenerates to exact brute force.
+    Scale shape is unchanged by nprobe: centroids stay broadcast, the cell
+    prune is a broadcast semi-style join, and only the probed fraction of
+    the corpus is rescored."""
     dist2 = F.aggregate(
         F.zip_with(F.col("q"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    scored = query.crossJoin(F.broadcast(centroids)).select(
+        "q", F.struct(dist2.alias("d"), F.col("cid").alias("cid")).alias("s")
+    )
     qcell = (
-        query.crossJoin(F.broadcast(centroids))
-        .select("q", F.struct(dist2.alias("d"), F.col("cid").alias("cid")).alias("s"))
-        .groupBy("q")
-        .agg(F.min("s").alias("best"))
-        .select("q", F.col("best.cid").alias("cid"))
+        scored.groupBy("q")
+        .agg(F.slice(F.array_sort(F.collect_list("s")), 1, nprobe).alias("probes"))
+        .select("q", F.explode("probes").alias("p"))
+        .select("q", F.col("p.cid").alias("cid"))
     )
     cell_members = embeddings.join(
         assignments.withColumnRenamed("id", id_col), id_col

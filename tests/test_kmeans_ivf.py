@@ -59,3 +59,23 @@ def test_ivf_probe1_self_recall(embs):
     top = ivf_topk(embs, q, cents, assigns, k=5).collect()
     assert top[0]["vec_id"] == 42
     assert top[0]["cos_sim"] == 1.0
+
+def test_ivf_multiprobe_converges_to_bruteforce(embs):
+    """nprobe = n_cells must recover the exact brute-force top-k; nprobe
+    between 1 and n_cells returns a subset of cells' rescored vectors
+    whose top-1 is still the self-match."""
+    from ecommerce_full_etl_process_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    cents, assigns = kmeans_lite(embs, k=8, iters=3)
+    q = embs.where(F.col("vec_id") == 42).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("q")
+    )
+    exact = [r["vec_id"] for r in brute_force_topk(embs, q, k=5).collect()]
+    allprobe = [
+        r["vec_id"] for r in ivf_topk(embs, q, cents, assigns, k=5, nprobe=8).collect()
+    ]
+    assert allprobe == exact
+    probe2 = ivf_topk(embs, q, cents, assigns, k=5, nprobe=2).collect()
+    assert probe2[0]["vec_id"] == 42
