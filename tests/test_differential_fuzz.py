@@ -320,3 +320,83 @@ def test_random_window_matches_duckdb(spark, sf_dir, seed):
         spark, sf_dir, _spark_window_query(spec), _sql_window_query(spec)
     )
     assert ok, f"spec={spec}: {msg}"
+
+# ---------------------------------------------------------------------------
+# integer-aggregate fuzzing through the STRICT (driver-mirror) comparator:
+# DuckDB promotes integer sum() to HUGEINT, which renders float64 through
+# pandas and breaks the driver's dtype-faithful hash unless the oracle casts
+# the outermost aggregate to BIGINT. These specs generate conditional-sum /
+# count shapes with that cast convention and compare via the strict gate, so
+# HUGEINT-class drift can never re-enter the catalog unnoticed.
+# ---------------------------------------------------------------------------
+
+
+def _gen_intagg_spec(rng: random.Random) -> dict:
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    col = rng.choice(cols["num"])
+    base = {
+        "o_totalprice": 200000, "o_orderkey": 3000, "o_custkey": 100,
+        "l_quantity": 25, "l_extendedprice": 40000, "l_discount": 0.05,
+        "l_tax": 0.04, "c_acctbal": 5000, "c_custkey": 100,
+        "c_nationkey": 12, "p_retailprice": 1200, "p_size": 25,
+        "p_partkey": 100,
+    }[col]
+    thr = round(base * rng.uniform(0.3, 1.5), 2)
+    op = rng.choice(OPS)
+    group = rng.choice(cols["cat"])
+    kind = rng.choice(["cond_sum", "sum_int", "count_distinct"])
+    return {
+        "table": table, "col": col, "op": op, "thr": thr,
+        "group": group, "kind": kind,
+    }
+
+
+def _spark_intagg_query(spec):
+    def q(spark, sf_dir):
+        import os
+
+        df = spark.read.parquet(
+            os.path.join(sf_dir, f"{spec['table']}.parquet")
+        )
+        c = F.col(spec["col"])
+        pred = {
+            "<": c < spec["thr"], "<=": c <= spec["thr"],
+            ">": c > spec["thr"], ">=": c >= spec["thr"],
+            "=": c == spec["thr"],
+        }[spec["op"]]
+        if spec["kind"] == "cond_sum":
+            expr = F.sum(pred.cast("long")).alias("v")
+        elif spec["kind"] == "sum_int":
+            expr = F.sum(F.floor(c).cast("long")).alias("v")
+        else:
+            expr = F.countDistinct(F.floor(c)).alias("v")
+        return df.groupBy(F.col(spec["group"]).alias("g")).agg(
+            expr, F.count(F.lit(1)).alias("n_rows")
+        )
+
+    return q
+
+
+def _sql_intagg_query(spec) -> str:
+    pred = f"{spec['col']} {spec['op']} {spec['thr']}"
+    if spec["kind"] == "cond_sum":
+        expr = f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)"
+    elif spec["kind"] == "sum_int":
+        expr = f"CAST(sum(CAST(floor({spec['col']}) AS BIGINT)) AS BIGINT)"
+    else:
+        expr = f"count(DISTINCT floor({spec['col']}))"
+    return f"""
+SELECT {spec['group']} AS g, {expr} AS v, count(*) AS n_rows
+FROM {spec['table']} GROUP BY {spec['group']}
+"""
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_intagg_matches_duckdb_strict(spark, sf_dir, seed):
+    rng = random.Random(4000 + seed)
+    spec = _gen_intagg_spec(rng)
+    ok, msg = compare(
+        spark, sf_dir, _spark_intagg_query(spec), _sql_intagg_query(spec)
+    )
+    assert ok, f"spec={spec}: {msg}"
