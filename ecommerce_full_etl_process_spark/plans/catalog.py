@@ -277,6 +277,14 @@ _REGISTRY: dict[
         lq.embedding_dimension_stats,
         lq.EMBEDDING_DIMENSION_STATS_ORACLE,
     ),
+    "similarity_topk_ivf": (
+        lq.similarity_topk_ivf,
+        lq.SIMILARITY_TOPK_IVF_ORACLE,
+    ),
+    "salted_join_revenue": (
+        oq.salted_join_revenue,
+        oq.SALTED_JOIN_REVENUE_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

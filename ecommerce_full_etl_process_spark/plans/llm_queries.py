@@ -751,3 +751,21 @@ TOKEN_COUNT_BPE_ORACLE = f"""
 SELECT doc_id, len(regexp_extract_all(text, '{T.BPE_TOKEN_PATTERN}')) AS n_tokens
 FROM documents
 """
+
+
+def similarity_topk_ivf(spark, sf_dir):
+    """IVF ANN end-to-end through the oracle gate: train kmeans_lite
+    centroids, assign cells, then probe ALL cells (nprobe = n_cells) so
+    the rescore set is the full corpus and the result provably equals the
+    exact brute-force top-k — the oracle checks the whole train / assign /
+    probe / rescore machinery. Partial probing (the scale path, ~1/n_cells
+    of the corpus rescored) is covered by tests/test_kmeans_ivf."""
+    e = _embs(spark, sf_dir)
+    q = e.where(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("q")
+    )
+    cents, assigns = S.kmeans_lite(e, k=8, iters=2)
+    return S.ivf_topk(e, q, cents, assigns, k=10, nprobe=8)
+
+
+SIMILARITY_TOPK_IVF_ORACLE = SIMILARITY_TOPK_BRUTEFORCE_ORACLE

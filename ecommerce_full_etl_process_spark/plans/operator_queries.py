@@ -1094,3 +1094,33 @@ SELECT event_type,
        count(*) AS n
 FROM events GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# skew mitigation through the oracle gate (SURVEY §4 posture)
+# ---------------------------------------------------------------------------
+
+def salted_join_revenue(spark, sf_dir):
+    """lineitem ⋈ part with 8-way key salting (operators/skew.salted_join):
+    hot join keys spread over salt_buckets reducers. The oracle runs the
+    PLAIN equi-join — salting changes the physical distribution, never the
+    join semantics, and the gate proves it."""
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, on="l_partkey", salt_buckets=8)
+    return joined.groupBy("p_brand").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SALTED_JOIN_REVENUE_ORACLE = """
+SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""

@@ -55,3 +55,32 @@ def test_asof_uses_broadcast_and_hash_aggregate(spark, sf_dir):
     # max(struct(...)) as a hash aggregate — no sort-based window
     assert "Window" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+def test_scd2_merge_has_no_global_sort(spark):
+    """Surrogate-key assignment must plan per-bucket (local) sorts only —
+    a global Window.orderBy would be a single-partition sort that caps the
+    merge at one executor for billion-row dim batches."""
+    from datetime import date
+
+    from ecommerce_full_etl_process_spark.operators.scd2 import (
+        PRODUCT_SCD2,
+        scd2_merge,
+    )
+
+    dim = spark.createDataFrame(
+        [],
+        "product_sk long, product_id long, name string, category string, "
+        "price double, start_date date, end_date date, current_flag boolean",
+    )
+    inc = spark.createDataFrame(
+        [(i, f"n{i}", "c", 1.0 + i) for i in range(1, 50)],
+        "product_id long, name string, category string, price double",
+    )
+    res = scd2_merge(dim, inc, PRODUCT_SCD2, date(2026, 2, 2))
+    plan = res.dim._jdf.queryExecution().executedPlan().toString()
+    # every Sort node must be non-global: "Sort [...], false, 0"
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ")
+        if s.startswith("Sort ["):
+            assert ", false, 0" in s, f"global sort in scd2 plan: {s}"
+    res.unpersist()
