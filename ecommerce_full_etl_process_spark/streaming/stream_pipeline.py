@@ -95,21 +95,27 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    evt = stream.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # integer ns→µs division: `/ 1000` goes through double and a ~1.7e18 ns
+    # epoch exceeds 2^53 (same fix as operator_queries._events)
+    evt = stream.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
     agg = evt.groupBy(
         F.window("event_time", "1 hour").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
+    # unique sink name: re-invocation in a shared session must not collide
+    # with a previous run's registered memory table / query name
+    import uuid
+
+    sink = f"streaming_event_counts_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory")
-        .queryName("streaming_event_counts_sink")
+        .queryName(sink)
         .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return spark.table("streaming_event_counts_sink").select(
+    if not q.awaitTermination(300):
+        q.stop()
+    return spark.table(sink).select(
         F.col("w.start").alias("window_start"),
         "event_type",
         "n",
