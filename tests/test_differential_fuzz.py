@@ -400,3 +400,74 @@ def test_random_intagg_matches_duckdb_strict(spark, sf_dir, seed):
         spark, sf_dir, _spark_intagg_query(spec), _sql_intagg_query(spec)
     )
     assert ok, f"spec={spec}: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# date/calendar-function fuzzing (strict comparator): the Spark↔DuckDB
+# calendar mappings are subtle (dayofweek origins differ, weekofyear is ISO
+# in Spark but not every DuckDB week function) — fuzz the agreed mappings so
+# any future date-function use inherits a verified equivalence table.
+# ---------------------------------------------------------------------------
+
+DATE_FNS = [
+    # (name, spark expr builder, duckdb sql template)
+    ("year", lambda c: F.year(c).cast("int"), "CAST(year({c}) AS INT)"),
+    ("month", lambda c: F.month(c).cast("int"), "CAST(month({c}) AS INT)"),
+    ("day", lambda c: F.dayofmonth(c).cast("int"), "CAST(day({c}) AS INT)"),
+    ("quarter", lambda c: F.quarter(c).cast("int"), "CAST(quarter({c}) AS INT)"),
+    ("iso_week", lambda c: F.weekofyear(c).cast("int"), "CAST(weekofyear({c}) AS INT)"),
+    ("iso_dow", lambda c: ((F.dayofweek(c) + 5) % 7 + 1).cast("int"), "CAST(isodow({c}) AS INT)"),
+    ("doy", lambda c: F.dayofyear(c).cast("int"), "CAST(dayofyear({c}) AS INT)"),
+    (
+        "month_trunc",
+        lambda c: F.date_trunc("month", c).cast("date"),
+        "CAST(date_trunc('month', {c}) AS DATE)",
+    ),
+    (
+        "days_to_epoch2000",
+        lambda c: F.datediff(c.cast("date"), F.lit("2000-01-01").cast("date")).cast("int"),
+        "CAST(date_diff('day', DATE '2000-01-01', CAST({c} AS DATE)) AS INT)",
+    ),
+]
+
+DATE_COLS = [("orders", "o_orderdate"), ("lineitem", "l_shipdate")]
+
+
+def _gen_datefn_spec(rng: random.Random) -> dict:
+    table, col = rng.choice(DATE_COLS)
+    fn = rng.choice(range(len(DATE_FNS)))
+    return {"table": table, "col": col, "fn": fn}
+
+
+def _spark_datefn_query(spec):
+    def q(spark, sf_dir):
+        import os
+
+        name, build, _ = DATE_FNS[spec["fn"]]
+        df = spark.read.parquet(
+            os.path.join(sf_dir, f"{spec['table']}.parquet")
+        )
+        return df.groupBy(build(F.col(spec["col"])).alias("g")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+
+    return q
+
+
+def _sql_datefn_query(spec) -> str:
+    _, _, tpl = DATE_FNS[spec["fn"]]
+    expr = tpl.format(c=spec["col"])
+    return f"""
+SELECT {expr} AS g, count(*) AS n_rows
+FROM {spec['table']} GROUP BY 1
+"""
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_datefn_matches_duckdb_strict(spark, sf_dir, seed):
+    rng = random.Random(6000 + seed)
+    spec = _gen_datefn_spec(rng)
+    ok, msg = compare(
+        spark, sf_dir, _spark_datefn_query(spec), _sql_datefn_query(spec)
+    )
+    assert ok, f"spec={spec} fn={DATE_FNS[spec['fn']][0]}: {msg}"
