@@ -351,15 +351,19 @@ def connected_components(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .cache()
+        # Lineage truncation, not just caching: every iteration's plan would
+        # otherwise embed the full upstream pair-generation tree (MinHash:
+        # 32 min-aggregates × two routing branches), and rendering/compiling
+        # a 20-iteration nest of that blows the driver heap before any data
+        # moves. localCheckpoint materializes AND cuts the logical plan.
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iter):
         nb = (
             edges.join(
@@ -378,7 +382,7 @@ def connected_components(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nb_comp", "comp")).alias("comp"),
             )
-            .cache()
+            .localCheckpoint(eager=True)  # per-round plan stays O(1) deep
         )
         changed = (
             new_labels.join(
@@ -387,7 +391,6 @@ def connected_components(
             .where(F.col("comp") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

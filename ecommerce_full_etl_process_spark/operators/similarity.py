@@ -159,6 +159,10 @@ def kmeans_lite(
                     lambda s: s["m"],
                 ).alias("cv")
             )
+            # k tiny rows, but the LINEAGE doubles per Lloyd round —
+            # truncate it so iters stay O(1) plan depth (same driver-heap
+            # hazard as connected_components)
+            .localCheckpoint(eager=True)
         )
     return centroids, assigned.select("id", "cid")
 
