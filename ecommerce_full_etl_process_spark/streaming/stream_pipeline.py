@@ -115,8 +115,12 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not q.awaitTermination(300):
         q.stop()
+    # NTZ output: plain collect() renders TIMESTAMP(LTZ) via the HOST OS
+    # timezone (not the session TZ), so a non-UTC host would drift vs the
+    # oracle's naive-UTC values. Casting under the pinned-UTC session
+    # yields naive UTC wall time regardless of host TZ.
     return spark.table(sink).select(
-        F.col("w.start").alias("window_start"),
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
         "n",
     )
