@@ -63,10 +63,13 @@ def main() -> None:
     for name in names[:1]:
         queries[name](spark, SF_DIR).limit(1).count()
 
+    # min of 3 runs: local timings swing ±30% with host load/GC/JIT, and
+    # min-of-2 still records a bad draw too often (measured round 2)
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in names:
         best = None
-        for _ in range(2):  # min of 2 runs: steady-state, not JVM/GC noise
+        for _ in range(repeats):
             t0 = time.perf_counter()
             df = queries[name](spark, SF_DIR)
             df.count()  # force full execution; write-free action
