@@ -65,7 +65,7 @@ def main() -> None:
 
     # min of 3 runs: local timings swing ±30% with host load/GC/JIT, and
     # min-of-2 still records a bad draw too often (measured round 2)
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     for name in names:
         best = None

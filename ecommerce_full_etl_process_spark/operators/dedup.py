@@ -286,11 +286,20 @@ def minhash_lsh_pairs(
             "id_b",
         )
     )
-    return (
+    result = (
         pairs.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard_sim") >= min_jaccard)
         .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+        # materialize + truncate lineage so the three working caches can be
+        # released NOW — otherwise every invocation in a shared session
+        # (bench min-of-3, the 71-query grading run) pins banded/candidates/
+        # shingle frames for the session lifetime
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    candidates.unpersist()
+    banded.unpersist()
+    return result
 
 
 def ngram_jaccard_pairs(

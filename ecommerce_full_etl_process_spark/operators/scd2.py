@@ -159,10 +159,16 @@ def scd2_merge(
     n_buckets = max(
         1, to_insert.sparkSession.sparkContext.defaultParallelism
     )
+    # localCheckpoint (not cache): the offsets collected below are only
+    # valid for THIS materialization's bucket ids. A cache can be silently
+    # recomputed (executor loss) with re-sampled range boundaries, pairing
+    # stale offsets with new buckets → duplicate/skipped sks. Checkpoint
+    # truncates lineage, so a lost partition fails the job instead of
+    # silently corrupting the dimension.
     ranged = (
         to_insert.repartitionByRange(n_buckets, F.col(nk))
         .withColumn("__bucket", F.spark_partition_id())
-        .cache()
+        .localCheckpoint(eager=True)
     )
     bucket_counts = {
         r["__bucket"]: r["n"]

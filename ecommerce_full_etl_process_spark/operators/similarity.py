@@ -164,7 +164,11 @@ def kmeans_lite(
             # hazard as connected_components)
             .localCheckpoint(eager=True)
         )
-    return centroids, assigned.select("id", "cid")
+    # checkpoint the skinny assignment and release the cached corpus —
+    # otherwise every kmeans invocation pins a full embedding copy
+    out_assign = assigned.select("id", "cid").localCheckpoint(eager=True)
+    pts.unpersist()
+    return centroids, out_assign
 
 
 def ivf_topk(

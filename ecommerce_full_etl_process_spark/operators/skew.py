@@ -50,6 +50,7 @@ def top_key_skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     count(). No single-partition window: per-key cardinality can itself
     be huge."""
     per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows")).cache()
+    per_key.count()  # eager: two branches read this concurrently below
     total = per_key.agg(F.sum("n_rows").alias("__total"))
     return (
         per_key.crossJoin(F.broadcast(total))

@@ -119,11 +119,15 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # timezone (not the session TZ), so a non-UTC host would drift vs the
     # oracle's naive-UTC values. Casting under the pinned-UTC session
     # yields naive UTC wall time regardless of host TZ.
-    return spark.table(sink).select(
+    out = spark.table(sink).select(
         F.col("w.start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
         "n",
-    )
+    ).localCheckpoint(eager=True)
+    # the checkpoint owns the data now — drop the memory-sink view so
+    # repeated invocations don't accumulate result copies in the driver
+    spark.catalog.dropTempView(sink)
+    return out
 
 
 STREAMING_EVENT_COUNTS_ORACLE = """

@@ -44,9 +44,10 @@ def _cell(v):
     """Canonical (type-class, value) tag for one rendered cell.
 
     Classes: null, b(ool), i(nt), f(loat — incl. Decimal), d(ate),
-    t(imestamp), s(tr), y(bytes), a(rray). A timestamp at exact midnight
-    collapses to the date class because pandas renders SQL DATE columns as
-    midnight datetime64 (duckdb fetchdf) while Spark yields datetime.date.
+    t(imestamp), s(tr), y(bytes), a(rray). DATE and TIMESTAMP stay
+    distinct classes: the oracle side is fetched through Arrow (date32 vs
+    timestamp preserved), so a Spark DateType vs oracle date_trunc
+    TIMESTAMP drift fails here exactly as it would at the driver.
     """
     if v is None or v is pd.NaT:
         return ("null",)
@@ -64,8 +65,6 @@ def _cell(v):
     if isinstance(v, Decimal):
         return ("f", round(float(v), 9))
     if isinstance(v, (pd.Timestamp, dt.datetime)):
-        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
-            return ("d", v.date().isoformat())
         return ("t", v.isoformat())
     if isinstance(v, dt.date):
         return ("d", v.isoformat())
@@ -78,7 +77,7 @@ def _cell(v):
     return ("o", repr(v))
 
 
-def _canonical(pdf: pd.DataFrame) -> list[tuple]:
+def _canonical_pdf(pdf: pd.DataFrame) -> list[tuple]:
     cols = sorted(pdf.columns)
     rows = [
         tuple(_cell(v) for v in row)
@@ -87,18 +86,28 @@ def _canonical(pdf: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
+def _canonical_records(records: list[dict], cols: list[str]) -> list[tuple]:
+    rows = [tuple(_cell(r[c]) for c in cols) for r in records]
+    return sorted(rows, key=repr)
+
+
 def compare(spark, sf_dir: str, spark_fn, oracle_sql: str) -> tuple[bool, str]:
     spdf = spark_fn(spark, sf_dir).toPandas()
 
     con = duckdb_connection(sf_dir)
-    opdf = con.execute(oracle_sql).fetchdf()
+    # Arrow fetch keeps DATE (date32) and TIMESTAMP distinct — fetchdf
+    # renders DATE as midnight datetime64, which would mask date-vs-
+    # timestamp dtype drift. to_pylist() yields native date/datetime/
+    # int/float/Decimal values (HUGEINT → Decimal, still != int class).
+    tbl = con.execute(oracle_sql).arrow()
 
-    scols, ocols = sorted(spdf.columns), sorted(opdf.columns)
+    scols, ocols = sorted(spdf.columns), sorted(tbl.column_names)
     if scols != ocols:
         return False, f"column mismatch: spark={scols} oracle={ocols}"
-    if len(spdf) != len(opdf):
-        return False, f"row count mismatch: spark={len(spdf)} oracle={len(opdf)}"
-    a, b = _canonical(spdf), _canonical(opdf)
+    if len(spdf) != tbl.num_rows:
+        return False, f"row count mismatch: spark={len(spdf)} oracle={tbl.num_rows}"
+    a = _canonical_pdf(spdf)
+    b = _canonical_records(tbl.to_pylist(), ocols)
     if a != b:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
         return False, f"value mismatch, first diffs: {diffs}"
