@@ -45,6 +45,12 @@ HEADLINE = [
     "sessionize_events",
     "rollup_revenue",
     "running_customer_revenue",
+    # heavy pipeline-end ops (round-3 addition): the cost of the engine
+    # actually lives here, so they need per-round perf evidence too
+    "corpus_dedup_components",
+    "similarity_topk_ivf",
+    "multimodal_features",
+    "streaming_event_counts",
 ]
 
 
@@ -64,18 +70,25 @@ def main() -> None:
         queries[name](spark, SF_DIR).limit(1).count()
 
     # min of 3 runs: local timings swing ±30% with host load/GC/JIT, and
-    # min-of-2 still records a bad draw too often (measured round 2)
+    # min-of-2 still records a bad draw too often (measured round 2).
+    # Sub-second queries get 2 extra repeats (their relative noise is the
+    # worst), and the median is reported alongside the min so regressions
+    # are attributable to plan changes rather than a bad draw.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
-        best = None
-        for _ in range(repeats):
+        samples: list[float] = []
+        while True:
             t0 = time.perf_counter()
             df = queries[name](spark, SF_DIR)
             df.count()  # force full execution; write-free action
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+            if len(samples) >= repeats + (2 if min(samples) < 1.0 else 0):
+                break
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        medians[name] = round(samples[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -85,6 +98,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "repeats_min": repeats,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

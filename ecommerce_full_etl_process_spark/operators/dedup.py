@@ -7,12 +7,13 @@ a normal shuffle/aggregate job:
 
 - exact dedup       : one hash-groupBy (map-side partial agg).
 - n-gram Jaccard    : per-row shingle arrays + array intersection math.
-- MinHash + LSH     : per-row signature (narrow) → explode bands →
-                      groupBy band bucket (the only shuffle) → in-bucket
-                      pairs → exact-Jaccard verify. At 100 TB the band
-                      shuffle is the cost; bucket skew is bounded because
-                      identical-signature docs collapse to distinct pairs
-                      per bucket, and AQE splits hot buckets.
+- MinHash + LSH     : per-row signature + band hashes (narrow, cached
+                      skinny) → self-join on the band bucket key (the only
+                      shuffle, computed once and reused for both sides) →
+                      exact-Jaccard verify on the pruned candidate docs.
+                      At 100 TB the band shuffle is the cost; bucket skew
+                      degrades to sort-merge-join disk spill, never to a
+                      giant in-memory array row.
 - SimHash           : per-row 60-bit fingerprint via bitwise vote of token
                       hashes; near-dup = small Hamming distance.
 
@@ -36,9 +37,6 @@ from pyspark.sql import functions as F
 
 MINHASH_PRIME = 4294967311  # smallest prime > 2^32
 NUM_HASHES = 32
-# LSH buckets wider than this pair via a streaming self-join instead of an
-# in-array expansion (caps the collect_list row a hot bucket can build).
-MAX_BUCKET_WIDTH = 64
 ROWS_PER_BAND = 4  # → 8 bands
 _rng = random.Random(0x5EED)
 # A is capped at 2^30 so a*h (h < 2^32) stays below 2^62 — no 64-bit
@@ -76,53 +74,6 @@ def hash32(c: Column) -> Column:
 def hash60(c: Column) -> Column:
     """First 15 md5 hex chars (60 bits) as a positive long."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
-
-
-def minhash_signature(shingle_hashes: Column) -> Column:
-    """MinHash signature: for each permutation i, min((a_i*h + b_i) mod P)
-    over the document's shingle hashes. Empty docs → NULL signature.
-
-    Plan note: expressed as ONE ``transform`` over a literal array of
-    permutation constants, so ``shingle_hashes`` is referenced exactly once.
-    Building 32 separate ``array_min(transform(...))`` expressions instead
-    lets Catalyst's projection collapse inline (= recompute) the upstream
-    md5 shingle hashing 32×, which measured ~5× slower end-to-end."""
-    perms = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in zip(MINHASH_A, MINHASH_B)
-        ]
-    )
-    sig = F.transform(
-        perms,
-        lambda p: F.array_min(
-            F.transform(
-                shingle_hashes,
-                lambda h: (h * p["a"] + p["b"]) % F.lit(MINHASH_PRIME),
-            )
-        ),
-    )
-    return F.when(F.size(shingle_hashes) > 0, sig)
-
-
-def lsh_band_hashes(signature: Column) -> Column:
-    """Banded LSH keys: md5 of each ROWS_PER_BAND-slice of the signature.
-    Single ``transform`` over band indices — references ``signature`` once
-    (same projection-collapse hazard as minhash_signature)."""
-    n_bands = NUM_HASHES // ROWS_PER_BAND
-    bands = F.sequence(F.lit(0), F.lit(n_bands - 1))
-    return F.transform(
-        bands,
-        lambda b: F.md5(
-            F.array_join(
-                F.transform(
-                    F.slice(signature, b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
-                    lambda v: v.cast("string"),
-                ),
-                ",",
-            )
-        ),
-    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -182,23 +133,24 @@ def minhash_lsh_pairs(
     src = _spread(df).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     )
+    # Cached because phase 2 re-reads the shingle arrays of candidate docs;
+    # the cache fills as a side effect of the phase-1 band job (shingling is
+    # on its path), so it costs no extra materialization job.
     shingled = src.select(
         "doc_id", word_shingles(F.col("__text"), n).alias("shingles")
-    )
+    ).cache()
 
     # Phase 1 — candidates. Explode shingle hashes and compute the MinHash
     # signature as 32 plain ``min()`` aggregates — whole-stage-codegen'd,
     # map-side combined — instead of nested higher-order lambdas, which run
     # interpreted (~4× slower measured at sf0.1). The groupBy is also the
     # plan barrier that stops Catalyst's projection collapse from inlining
-    # (= recomputing) the md5 pass into downstream references. Shuffles are
-    # skinny: (doc_id, 32 longs) after partial aggregation, then the
-    # (band, band_hash, doc_id) triples. Bucket skew: pair output is
-    # inherently quadratic in bucket size, but buckets wider than
-    # MAX_BUCKET_WIDTH take a streaming self-join path instead of the
-    # in-array expansion, so no single task ever materializes a giant
-    # collect_list row. Run exact_dup_groups first at scale so exact
-    # clones never reach LSH at all.
+    # (= recomputing) the md5 pass into downstream references. The band
+    # hashes are computed INSIDE the cached frame (8 md5 columns over
+    # signature slices), so the one cached frame is skinny (doc_id +
+    # 8 hashes per doc) and every downstream consumer derives its band rows
+    # with a free posexplode — no 8×-exploded frame is ever cached and no
+    # separate signature materialization job runs.
     exploded = shingled.select(
         "doc_id",
         F.explode(
@@ -213,70 +165,60 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
         ]
     )
-    sig_array = F.array(*[F.col(f"m{i}") for i in range(NUM_HASHES)])
-    banded = sig_cols.select(
+    n_bands = NUM_HASHES // ROWS_PER_BAND
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        ).alias(f"bh{b}")
+        for b in range(n_bands)
+    ]
+    bands_df = sig_cols.select("doc_id", *band_cols).cache()
+    bands_df.count()
+    banded = bands_df.select(
         "doc_id",
-        F.posexplode(lsh_band_hashes(sig_array)).alias("band", "band_hash"),
-    ).cache()  # referenced by the size pass + both pair paths
-    banded.count()
-
-    # Bucket-width routing: one cheap map-side-combined count per bucket,
-    # then small buckets (2..W docs) pair in-array while hot buckets
-    # (> W docs, e.g. a pathological clone corpus) self-join on the bucket
-    # key — the join streams its quadratic output instead of building one
-    # unbounded array row per bucket. Pair semantics are identical.
-    sizes = banded.groupBy("band", "band_hash").agg(
-        F.count(F.lit(1)).alias("__n")
-    )
-    small_keys = sizes.where(
-        (F.col("__n") > 1) & (F.col("__n") <= MAX_BUCKET_WIDTH)
-    ).select("band", "band_hash")
-    hot_keys = sizes.where(F.col("__n") > MAX_BUCKET_WIDTH).select(
-        "band", "band_hash"
+        F.posexplode(F.array(*[F.col(f"bh{b}") for b in range(n_bands)])).alias(
+            "band", "band_hash"
+        ),
     )
 
-    buckets = (
-        banded.join(small_keys, ["band", "band_hash"])
-        .groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    small_pairs = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-    )
-    hot = banded.join(hot_keys, ["band", "band_hash"])
-    hot_pairs = (
-        hot.select("band", "band_hash", F.col("doc_id").alias("id_a"))
-        .join(
-            hot.select("band", "band_hash", F.col("doc_id").alias("id_b")),
-            ["band", "band_hash"],
-        )
+    # In-bucket pairing via a self-join on the bucket key. The two sides are
+    # identical plans, so the shuffle is computed once and reused
+    # (ReusedExchange); the sort-merge join then STREAMS each bucket's
+    # quadratic pair output, buffering one key group at a time with disk
+    # spill — a pathological clone corpus (thousands of docs sharing a band
+    # hash) degrades to spill, never to a giant in-memory array row. This
+    # measured faster at sf0.1 than the earlier groupBy + collect_list +
+    # in-array pair expansion, and it needs no bucket-width routing pass.
+    # Run exact_dup_groups first at scale so exact clones never reach LSH.
+    lhs = banded.select("band", "band_hash", F.col("doc_id").alias("id_a"))
+    rhs = banded.select("band", "band_hash", F.col("doc_id").alias("id_b"))
+    candidates = (
+        lhs.join(rhs, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .distinct()
+        .cache()
     )
-    candidates = small_pairs.union(hot_pairs).distinct().cache()
     candidates.count()  # materialize: later references must not re-run LSH
 
-    # Phase 2 — verification. Recompute shingles ONLY for docs that appear
-    # in a candidate pair (semi-join prune), then exact Jaccard. The pruned
-    # shingle set is cached + materialized because the pair join references
-    # it twice (id_a side and id_b side).
+    # Phase 2 — verification. Re-read shingles ONLY for docs that appear in
+    # a candidate pair (broadcast semi-join prune over the cached shingle
+    # frame), then exact Jaccard. The pair join references the pruned set
+    # twice (id_a side and id_b side) — both references are cheap scans of
+    # the cached shingle frame, so no extra materialization job is needed.
     cand_ids = (
-        candidates.select(F.col("id_a").alias("doc_id"))
-        .union(candidates.select(F.col("id_b").alias("doc_id")))
+        candidates.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
+        )
         .distinct()
     )
-    sh = shingled.join(F.broadcast(cand_ids), "doc_id", "left_semi").cache()
-    sh.count()
+    sh = shingled.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     pairs = (
         candidates.join(
             sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
@@ -296,9 +238,9 @@ def minhash_lsh_pairs(
         # shingle frames for the session lifetime
         .localCheckpoint(eager=True)
     )
-    sh.unpersist()
     candidates.unpersist()
-    banded.unpersist()
+    bands_df.unpersist()
+    shingled.unpersist()
     return result
 
 

@@ -41,16 +41,24 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id+OFFSET with its last two words dropped."""
     d = _docs(spark, sf_dir)
     words = F.split(F.col("text"), " ")
-    mutated = (
-        d.where(F.col("doc_id") % 10 == 0)
-        .select(
-            (F.col("doc_id") + OFFSET).alias("doc_id"),
-            F.concat_ws(
-                " ", F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1)))
-            ).alias("text"),
-        )
+    mutated = F.concat_ws(
+        " ", F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1)))
     )
-    return d.select("doc_id", "text").unionByName(mutated)
+    # One parquet scan, not a two-branch union: each row explodes into
+    # itself plus (for every 10th doc) its truncated copy.
+    both = F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.struct((F.col("doc_id") + OFFSET).alias("doc_id"), mutated.alias("text")),
+    )
+    one = F.array(F.struct(F.col("doc_id"), F.col("text")))
+    return (
+        d.select(
+            F.explode(
+                F.when(F.col("doc_id") % 10 == 0, both).otherwise(one)
+            ).alias("r")
+        )
+        .select("r.doc_id", "r.text")
+    )
 
 
 _AUGMENTED_DOCS_SQL = f"""

@@ -50,15 +50,13 @@ def test_jaccard_empty_arrays(spark):
     assert df.collect()[0]["j"] == 0.0
 
 def test_hot_bucket_clone_corpus(spark):
-    """A clone corpus far wider than MAX_BUCKET_WIDTH must route through
-    the streaming self-join path (no giant collect_list row) and still
-    emit every pair: C(n,2) clone pairs at jaccard 1.0."""
-    from ecommerce_full_etl_process_spark.operators.dedup import (
-        MAX_BUCKET_WIDTH,
-        minhash_lsh_pairs,
-    )
+    """A clone corpus putting hundreds of docs in one LSH bucket must
+    stream its quadratic pair output through the bucket self-join (no
+    giant in-memory array row) and still emit every pair: C(n,2) clone
+    pairs at jaccard 1.0."""
+    from ecommerce_full_etl_process_spark.operators.dedup import minhash_lsh_pairs
 
-    n_clones = MAX_BUCKET_WIDTH * 4  # 256 -> 32,640 pairs
+    n_clones = 256  # -> 32,640 pairs through a single hot bucket
     rows = [(i, "the same cloned document text repeated verbatim here") for i in range(n_clones)]
     rows += [(10_000 + i, f"unique filler document number {i} totally different words {i * 7}") for i in range(50)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
