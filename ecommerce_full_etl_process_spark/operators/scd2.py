@@ -76,7 +76,12 @@ class Scd2Result:
     def unpersist(self) -> None:
         """Release the merge's internal caches. Call after ``dim`` has been
         materialized (written/collected); otherwise each merge leaks a
-        cached dimension generation across a multi-day soak run."""
+        cached dimension generation across a multi-day soak run.
+
+        NB ``DataFrame.unpersist()`` clears CacheManager entries only; any
+        local-checkpoint RDD blocks among ``_cached`` stay until the
+        ContextCleaner reclaims them on GC of the DataFrame — that is the
+        normal lifecycle for checkpointed frames, not a leak."""
         for df in self._cached:
             df.unpersist()
 

@@ -52,10 +52,16 @@ def top_key_skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows")).cache()
     per_key.count()  # eager: two branches read this concurrently below
     total = per_key.agg(F.sum("n_rows").alias("__total"))
-    return (
+    report = (
         per_key.crossJoin(F.broadcast(total))
         .withColumn("share", F.round(F.col("n_rows") / F.col("__total"), 6))
         .drop("__total")
         .orderBy(F.desc("n_rows"))
         .limit(top_n)
+        # top-N is tiny: materialize it so the per-key working set can be
+        # released immediately instead of pinning a full per-key aggregate
+        # for the session lifetime
+        .localCheckpoint(eager=True)
     )
+    per_key.unpersist()
+    return report

@@ -297,11 +297,13 @@ def simhash_planted_pairs(spark, sf_dir):
         F.col("doc_id").alias("id_b"),
         F.col("simhash").alias("sh_b"),
     )
-    return a.join(b, "id_a").select(
+    result = a.join(b, "id_a").select(
         "id_a",
         "id_b",
         D.hamming60(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
-    )
+    ).localCheckpoint(eager=True)  # materialize so the cache can go NOW
+    fps.unpersist()
+    return result
 
 
 def _simhash_oracle() -> str:
@@ -716,11 +718,13 @@ def winnowing_overlap_pairs(spark, sf_dir):
     )
     inter = F.size(F.array_intersect("fa", "fb"))
     union = F.size(F.array_union("fa", "fb"))
-    return a.join(b, "id_a").select(
+    result = a.join(b, "id_a").select(
         "id_a",
         "id_b",
         F.round(inter.cast("double") / union, 6).alias("winnow_overlap"),
-    )
+    ).localCheckpoint(eager=True)  # materialize so the cache can go NOW
+    fps.unpersist()
+    return result
 
 
 WINNOWING_OVERLAP_PAIRS_ORACLE = f"""

@@ -71,6 +71,11 @@ def run(
     summary = RunSummary(run_id=run_id)
 
     scratch: list[DataFrame] = []  # caches to release when the run ends
+    # operator-result cleanups (scd2/fact merges cache internally): released
+    # early on the success path, but registered here too so a failure after
+    # the merge doesn't leak them across a soak session (unpersist is
+    # idempotent, so the double release on success is a no-op)
+    cleanups: list = []
     try:
         # -- validate (stage 6; rule DAG: users/products feed transactions) --
         results = validation_op.validate_all(users, products, transactions)
@@ -97,6 +102,7 @@ def run(
         u_res = scd2_merge(
             store.read(DIM_USER), incoming_users, USER_SCD2, source_date
         )
+        cleanups.append(u_res.unpersist)
         store.overwrite(DIM_USER, u_res.dim)
         u_res.unpersist()  # dim landed; drop the merge's internal caches
 
@@ -106,6 +112,7 @@ def run(
         p_res = scd2_merge(
             store.read(DIM_PRODUCT), incoming_products, PRODUCT_SCD2, source_date
         )
+        cleanups.append(p_res.unpersist)
         store.overwrite(DIM_PRODUCT, p_res.dim)
         p_res.unpersist()
 
@@ -128,6 +135,7 @@ def run(
             store.read(DIM_PRODUCT),
             store.read(FACT_TRANSACTIONS),
         )
+        cleanups.append(fact_res.unpersist)
         fact_rows = fact_res.facts.cache()
         scratch.append(fact_rows)
         n_fact = fact_rows.count()
@@ -223,3 +231,5 @@ def run(
         )
         for df in scratch:  # no cached-generation leak across soak runs
             df.unpersist()
+        for release in cleanups:  # idempotent; covers mid-run failures
+            release()

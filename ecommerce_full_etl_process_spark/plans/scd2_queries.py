@@ -64,7 +64,7 @@ def scd2_merge_customers(spark, sf_dir):
         ).otherwise(F.col("c_acctbal")),
     )
     result = scd2_merge(dim, incoming, CUSTOMER_SCD2, EFFECTIVE)
-    return result.dim.select(
+    merged = result.dim.select(
         "c_sk",
         "c_custkey",
         "c_name",
@@ -73,7 +73,9 @@ def scd2_merge_customers(spark, sf_dir):
         "start_date",
         "end_date",
         "current_flag",
-    )
+    ).localCheckpoint(eager=True)  # materialize so the merge's caches can go
+    result.unpersist()
+    return merged
 
 
 SCD2_MERGE_CUSTOMERS_ORACLE = f"""

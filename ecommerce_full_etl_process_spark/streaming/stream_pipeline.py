@@ -115,6 +115,13 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not q.awaitTermination(300):
         q.stop()
+        # fail loudly: returning the partially-filled memory sink would
+        # surface downstream as a confusing oracle value-mismatch instead
+        # of a clear timeout
+        raise RuntimeError(
+            "streaming_event_counts: AvailableNow query did not finish "
+            "within 300s"
+        )
     # NTZ output: plain collect() renders TIMESTAMP(LTZ) via the HOST OS
     # timezone (not the session TZ), so a non-UTC host would drift vs the
     # oracle's naive-UTC values. Casting under the pinned-UTC session

@@ -92,6 +92,12 @@ def _canonical_records(records: list[dict], cols: list[str]) -> list[tuple]:
 
 
 def compare(spark, sf_dir: str, spark_fn, oracle_sql: str) -> tuple[bool, str]:
+    # Constraint this mirrors from the driver: the Spark side renders via
+    # toPandas, so a NULLABLE integer output column with actual NULLs
+    # becomes float64 (type-class 'f') while DuckDB yields ints ('i') —
+    # such a column can never pass the gate. Catalog entries must therefore
+    # not emit nullable integer result columns (coalesce() them or cast to
+    # double on both sides).
     spdf = spark_fn(spark, sf_dir).toPandas()
 
     con = duckdb_connection(sf_dir)
