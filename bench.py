@@ -38,6 +38,7 @@ HEADLINE = [
     "minhash_lsh_neardups",
     "simhash_planted_pairs",
     "similarity_topk_bruteforce",
+    "embedding_neardup_pairs",
     "text_quality_stats",
     "token_count_bpe",
     "json_extract_events",

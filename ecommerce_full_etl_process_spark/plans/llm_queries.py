@@ -285,25 +285,27 @@ def simhash_planted_pairs(spark, sf_dir):
     """SimHash Hamming distance between each original and its planted
     truncated copy."""
     aug = _augmented_docs(spark, sf_dir)
-    # cache + materialize: both join branches below read fps; uncached they
-    # would each recompute the 60-aggregate fingerprint pipeline
-    fps = D.simhash_fingerprints(aug, "doc_id", "text").cache()
-    fps.count()
-    a = fps.where(F.col("doc_id") < OFFSET).select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a")
+    fps = D.simhash_fingerprints(aug, "doc_id", "text")
+    # planted copies live at doc_id + OFFSET, so original and copy meet by
+    # grouping on the base id — ONE shuffle with conditional max aggregates
+    # instead of cache + count + self-join + checkpoint (each bench repeat
+    # recomputes honestly; nothing to release)
+    is_copy = F.col("doc_id") >= OFFSET
+    base = F.when(is_copy, F.col("doc_id") - OFFSET).otherwise(F.col("doc_id"))
+    return (
+        fps.groupBy(base.alias("id_a"))
+        .agg(
+            F.max(F.when(~is_copy, F.col("simhash"))).alias("sh_a"),
+            F.max(F.when(is_copy, F.col("doc_id"))).alias("id_b"),
+            F.max(F.when(is_copy, F.col("simhash"))).alias("sh_b"),
+        )
+        .where(F.col("id_b").isNotNull() & F.col("sh_a").isNotNull())
+        .select(
+            "id_a",
+            "id_b",
+            D.hamming60(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+        )
     )
-    b = fps.where(F.col("doc_id") >= OFFSET).select(
-        (F.col("doc_id") - OFFSET).alias("id_a"),
-        F.col("doc_id").alias("id_b"),
-        F.col("simhash").alias("sh_b"),
-    )
-    result = a.join(b, "id_a").select(
-        "id_a",
-        "id_b",
-        D.hamming60(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
-    ).localCheckpoint(eager=True)  # materialize so the cache can go NOW
-    fps.unpersist()
-    return result
 
 
 def _simhash_oracle() -> str:
@@ -424,7 +426,9 @@ def embedding_neardup_pairs(spark, sf_dir):
         .select(
             "id_a",
             "id_b",
-            F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            # Arrow numpy kernel (scale path); agrees with the HOF fold
+            # after round(·, 6) — tests/test_similarity_kernels.py
+            F.round(S.cosine_np(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= 0.9)
     )
@@ -706,25 +710,28 @@ def winnowing_overlap_pairs(spark, sf_dir):
     aug = _augmented_docs(spark, sf_dir).where(
         (F.col("doc_id") % 10 == 0) | (F.col("doc_id") >= OFFSET)
     )  # only docs that occur in planted pairs — 10× less hashing
-    fps = T.winnowing_fingerprints(aug, "doc_id", "text", k=8, window=4).cache()
-    fps.count()  # both branches below reuse
-    a = fps.where(F.col("doc_id") < OFFSET).select(
-        F.col("doc_id").alias("id_a"), F.col("fingerprints").alias("fa")
-    )
-    b = fps.where(F.col("doc_id") >= OFFSET).select(
-        (F.col("doc_id") - OFFSET).alias("id_a"),
-        F.col("doc_id").alias("id_b"),
-        F.col("fingerprints").alias("fb"),
+    fps = T.winnowing_fingerprints(aug, "doc_id", "text", k=8, window=4)
+    # original and planted copy meet on the base id via ONE groupBy with
+    # conditional max aggregates — no cache / self-join / checkpoint (same
+    # reshape as simhash_planted_pairs)
+    is_copy = F.col("doc_id") >= OFFSET
+    base = F.when(is_copy, F.col("doc_id") - OFFSET).otherwise(F.col("doc_id"))
+    paired = (
+        fps.groupBy(base.alias("id_a"))
+        .agg(
+            F.max(F.when(~is_copy, F.col("fingerprints"))).alias("fa"),
+            F.max(F.when(is_copy, F.col("doc_id"))).alias("id_b"),
+            F.max(F.when(is_copy, F.col("fingerprints"))).alias("fb"),
+        )
+        .where(F.col("id_b").isNotNull() & F.col("fa").isNotNull())
     )
     inter = F.size(F.array_intersect("fa", "fb"))
     union = F.size(F.array_union("fa", "fb"))
-    result = a.join(b, "id_a").select(
+    return paired.select(
         "id_a",
         "id_b",
         F.round(inter.cast("double") / union, 6).alias("winnow_overlap"),
-    ).localCheckpoint(eager=True)  # materialize so the cache can go NOW
-    fps.unpersist()
-    return result
+    )
 
 
 WINNOWING_OVERLAP_PAIRS_ORACLE = f"""

@@ -1,0 +1,134 @@
+"""Kernel-equivalence and recall contracts for the similarity operators.
+
+Two claims the bench numbers rest on:
+
+1. The Arrow numpy kernels (``cosine_np`` / ``cosine_to_query_np`` /
+   kmeans ``kernel="numpy"``) return the SAME rows as the interpreted
+   HOF fold after the catalog-standard ``round(·, 6)`` — so switching
+   the default kernel cannot move any oracle-graded result.
+2. ``bucketed_topk`` (the ANN prune) has a measured recall floor vs
+   ``brute_force_topk`` on a planted-neighbor corpus: recall@10 ≥ 0.9.
+   Measured at the fixed seed below: 1.00 (40/40 neighbors recovered
+   over 4 queries). Pure-noise corpora have no recall contract — sign
+   buckets only preserve neighbors that are actually correlated, which
+   is the regime ANN is for.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from ecommerce_full_etl_process_spark.operators import similarity as S
+
+EMB = "embeddings.parquet"
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/{EMB}")
+
+
+def test_cosine_np_matches_hof_rounded(spark, sf_dir):
+    """Every pairwise score over the real corpus (self-join on label)
+    agrees between kernels at 6 dp — the rounding that already absorbs
+    DuckDB's different fold order in the oracle gate."""
+    e = _embs(spark, sf_dir).select("vec_id", "label", "embedding").limit(200)
+    a = e.select(
+        F.col("label").alias("g"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = e.select(
+        F.col("label").alias("g"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(b, "g").where(F.col("id_a") < F.col("id_b"))
+    both = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("hof"),
+        F.round(S.cosine_np(F.col("va"), F.col("vb")), 6).alias("np"),
+    )
+    n = both.count()
+    assert n > 0
+    assert both.where(F.col("hof") != F.col("np")).count() == 0
+
+
+def test_topk_kernels_identical_rows(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    rows_np = S.brute_force_topk(e, q, k=10, kernel="numpy").collect()
+    rows_hof = S.brute_force_topk(e, q, k=10, kernel="hof").collect()
+    assert [tuple(r) for r in rows_np] == [tuple(r) for r in rows_hof]
+    b_np = S.bucketed_topk(e, q, k=10, kernel="numpy").collect()
+    b_hof = S.bucketed_topk(e, q, k=10, kernel="hof").collect()
+    assert [tuple(r) for r in b_np] == [tuple(r) for r in b_hof]
+
+
+def _planted_corpus(spark, n_base=400, n_copies=10, dim=32, seed=7):
+    """Base vectors with components bounded away from zero in the first
+    BUCKET_BITS dims (so small perturbations cannot flip sign buckets —
+    the regime where the ANN prune is supposed to work), plus n_copies
+    5%-perturbed near-duplicates of each of the first 4 bases."""
+    rng = random.Random(seed)
+
+    def base_vec():
+        v = []
+        for j in range(dim):
+            x = rng.uniform(-1.0, 1.0)
+            if j < S.BUCKET_BITS and abs(x) < 0.2:
+                x = math.copysign(0.2, x if x != 0 else 1.0)
+            v.append(x)
+        return v
+
+    rows = []
+    bases = []
+    for i in range(n_base):
+        v = base_vec()
+        bases.append(v)
+        rows.append((i, v))
+    nid = n_base
+    for qi in range(4):
+        for _ in range(n_copies):
+            v = [x * (1.0 + rng.uniform(-0.05, 0.05)) for x in bases[qi]]
+            rows.append((nid, v))
+            nid += 1
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ), bases
+
+
+def test_bucketed_topk_recall_contract(spark):
+    """recall@10 of the sign-bucket ANN vs exact brute force, averaged
+    over 4 planted queries at a fixed seed. Contract: ≥ 0.9. Measured:
+    1.00 (the planted neighbors share the query's sign bucket by
+    construction, and the in-bucket rescore is exact)."""
+    emb, bases = _planted_corpus(spark)
+    hits, total = 0, 0
+    for qi in range(4):
+        q = spark.createDataFrame([(bases[qi],)], "q array<double>")
+        exact = {r["vec_id"] for r in S.brute_force_topk(emb, q, k=10).collect()}
+        approx = {r["vec_id"] for r in S.bucketed_topk(emb, q, k=10).collect()}
+        hits += len(exact & approx)
+        total += len(exact)
+    recall = hits / total
+    assert recall >= 0.9, f"recall@10 = {recall:.2f} < 0.9"
+
+
+def test_kmeans_assign_kernels_agree(spark, sf_dir):
+    """numpy and HOF k-means produce identical assignments on the real
+    corpus (no exact distance ties at this seed/data), hence identical
+    centroids."""
+    e = _embs(spark, sf_dir).limit(300)
+    _, a_np = S.kmeans_lite(e, k=4, iters=2, kernel="numpy")
+    _, a_hof = S.kmeans_lite(e, k=4, iters=2, kernel="hof")
+    diff = (
+        a_np.withColumnRenamed("cid", "cid_np")
+        .join(a_hof.withColumnRenamed("cid", "cid_hof"), "id")
+        .where(F.col("cid_np") != F.col("cid_hof"))
+        .count()
+    )
+    assert diff == 0
