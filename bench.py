@@ -78,18 +78,26 @@ def main() -> None:
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
-        samples: list[float] = []
-        while True:
-            t0 = time.perf_counter()
-            df = queries[name](spark, SF_DIR)
-            df.count()  # force full execution; write-free action
-            samples.append(time.perf_counter() - t0)
-            if len(samples) >= repeats + (2 if min(samples) < 1.0 else 0):
-                break
-        samples.sort()
-        timings[name] = round(samples[0], 3)
-        medians[name] = round(samples[len(samples) // 2], 3)
+        # per-query failure isolation: one broken query must never zero
+        # the whole round's perf evidence — record the error, keep timing
+        # the rest, and still emit the JSON line (exit 0)
+        try:
+            samples: list[float] = []
+            while True:
+                t0 = time.perf_counter()
+                df = queries[name](spark, SF_DIR)
+                df.count()  # force full execution; write-free action
+                samples.append(time.perf_counter() - t0)
+                if len(samples) >= repeats + (2 if min(samples) < 1.0 else 0):
+                    break
+            samples.sort()
+            timings[name] = round(samples[0], 3)
+            medians[name] = round(samples[len(samples) // 2], 3)
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -100,6 +108,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "errors": errors,
                 "repeats_min": repeats,
                 "sf": _sf_from_dir(SF_DIR),
             }

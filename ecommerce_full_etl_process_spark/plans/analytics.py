@@ -226,15 +226,16 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     session; report events + duration per session. Pure window functions
     (lag → boundary flag → running sum), the standard behavioral-analytics
     operator on event streams."""
-    from .operator_queries import _events
+    from .operator_queries import _events, ntz_epoch_micros
     from pyspark.sql.window import Window
 
     e = _events(spark, sf_dir).select("event_id", "user_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # fractional epoch seconds (timestamp→double) on BOTH engines —
-    # unix_timestamp() truncates to whole seconds BEFORE subtracting, which
-    # drifts ±1s vs DuckDB's fractional epoch()
-    epoch = F.col("ts").cast("double")
+    # fractional epoch seconds as double on BOTH engines (exact µs / 1e6,
+    # matching DuckDB's epoch()) — unix_timestamp() truncates to whole
+    # seconds BEFORE subtracting, which drifts ±1s vs fractional epoch,
+    # and TIMESTAMP_NTZ can't cast to DOUBLE directly
+    epoch = ntz_epoch_micros(F.col("ts")) / F.lit(1_000_000.0)
     gap = epoch - F.lag(epoch).over(w)
     flagged = e.withColumn(
         "new_session",

@@ -29,21 +29,69 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; read nanos as long and convert to a
-    microsecond timestamp (matching DuckDB's ns→us truncation).
+def _ntz_epoch() -> F.Column:
+    """Naive UTC epoch — the anchor for timezone-independent NTZ epoch
+    math. Built lazily: F.lit needs an active SparkContext, so a module-
+    level constant would break import order."""
+    return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
 
-    Session TZ pinned to UTC so collected TIMESTAMP values are naive-UTC
-    like DuckDB's, independent of the host session's zone."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
-        # Integer division: `/ 1000` goes through double and a ~1.7e18 ns
-        # epoch exceeds 2^53, drifting ±1 µs vs DuckDB's exact truncation.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+
+def ntz_epoch_micros(col) -> F.Column:
+    """Exact microseconds-since-epoch (BIGINT) of a TIMESTAMP_NTZ column,
+    with no session-timezone dependence (pure NTZ arithmetic — no LTZ hop).
+    Mirrors DuckDB's ``epoch_us`` on naive timestamps."""
+    return F.timestamp_diff("MICROSECOND", _ntz_epoch(), col)
+
+
+def _read_events_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Read events.parquet whatever the physical ``ts`` type.
+
+    The driver corpus has stored ``ts`` two different ways across rounds:
+    INT64 TIMESTAMP(NANOS) (rounds 1-2), which Spark's reader rejects
+    outright unless nanos are read as raw longs, and parquet timestamp[us]
+    (round 3+), which Spark reads natively as TIMESTAMP_NTZ. Try the
+    native read first; only on failure flip the legacy nanos conf (left
+    set afterwards: the scan consults it when decoding pages, not just at
+    schema inference, so save-and-restore would be unsound)."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to TIMESTAMP_NTZ (naive UTC wall time) regardless
+    of the representation it was read as. All conversion math is
+    timezone-independent, so results are stable under any session TZ:
+
+    - ``bigint`` (legacy nanos via nanosAsLong): integer ns→µs division
+      (``/ 1000`` goes through double and a ~1.7e18 ns epoch exceeds 2^53,
+      drifting ±1 µs vs DuckDB's exact truncation), then µs→NTZ via
+      ``timestamp_add`` from the naive epoch — no LTZ intermediary.
+    - ``timestamp`` (LTZ): ``unix_micros`` (TZ-independent internal µs)
+      then the same µs→NTZ construction.
+    - ``timestamp_ntz``: already the canonical form."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "timestamp_ntz" or dt is None:
+        return df
+    if dt == "bigint":
+        micros = F.expr("ts div 1000")
+    elif dt == "timestamp":
+        micros = F.unix_micros(F.col("ts"))
+    else:
+        raise TypeError(f"events.ts: unsupported dtype {dt!r}")
+    return df.withColumn(
+        "ts", F.timestamp_add("MICROSECOND", micros, _ntz_epoch())
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ``ts`` normalized to TIMESTAMP_NTZ — every
+    downstream consumer (sessionization, funnels, windows, streaming) is
+    representation-agnostic through this one choke point."""
+    df = _read_events_raw(spark, os.path.join(sf_dir, "events.parquet"))
+    return _normalize_events_ts(df)
 
 
 # ---------------------------------------------------------------------------

@@ -75,31 +75,28 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trigger.AvailableNow, complete-mode memory sink — then returned as the
     sink's batch contents. AvailableNow processes the whole table, so the
     result equals the batch aggregation and is oracle-checkable."""
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
+    import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # naive-UTC collection
-    sch = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos (see nanosAsLong)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    from pyspark.sql import functions as F
+
+    from ..plans.operator_queries import _normalize_events_ts, _read_events_raw
+
+    # file streams need an explicit schema; probe it from a driver-side
+    # batch read of the same file so the stream tracks whatever physical
+    # ``ts`` type the corpus currently uses (INT64 nanos in rounds 1-2,
+    # timestamp[us]/NTZ from round 3) instead of hard-coding one
+    path = os.path.join(sf_dir, "events.parquet")
+    sch = _read_events_raw(spark, path).schema
     stream = (
         spark.readStream.schema(sch)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # integer ns→µs division: `/ 1000` goes through double and a ~1.7e18 ns
-    # epoch exceeds 2^53 (same fix as operator_queries._events)
-    evt = stream.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    # same normalization choke point as the batch reader → TIMESTAMP_NTZ,
+    # timezone-independent; window() is NTZ-native since Spark 3.4
+    evt = _normalize_events_ts(stream)
     agg = evt.groupBy(
-        F.window("event_time", "1 hour").alias("w"), "event_type"
+        F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
     # unique sink name: re-invocation in a shared session must not collide
     # with a previous run's registered memory table / query name
@@ -122,10 +119,9 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streaming_event_counts: AvailableNow query did not finish "
             "within 300s"
         )
-    # NTZ output: plain collect() renders TIMESTAMP(LTZ) via the HOST OS
-    # timezone (not the session TZ), so a non-UTC host would drift vs the
-    # oracle's naive-UTC values. Casting under the pinned-UTC session
-    # yields naive UTC wall time regardless of host TZ.
+    # window over an NTZ event time is itself NTZ (naive UTC wall time),
+    # so collection is host/session-TZ independent; the cast is a no-op
+    # guard in case a future corpus reverts ts to an LTZ representation
     out = spark.table(sink).select(
         F.col("w.start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
