@@ -203,11 +203,12 @@ def kmeans_lite(
     centroid-training path for IVF-style ANN.
 
     - init: the k lowest-id vectors (deterministic, reproducible)
-    - assign (``kernel="numpy"``, default): the k centroids are collected
-      driver-side (k tiny rows/iteration) and captured in an Arrow
-      ``pandas_udf`` that returns the nearest cid per row directly — ONE
-      map pass over the corpus, no N×k crossJoin, no argmin shuffle, no
-      join back. ``np.argmin`` takes the first index on exact ties, which
+    - assign (``kernel="numpy"``, default): centroids live DRIVER-SIDE
+      between rounds (see ``_kmeans_numpy_loop``) and are captured in an
+      Arrow ``pandas_udf`` that returns the nearest cid per row directly —
+      ONE map pass over the corpus and ONE Spark job per Lloyd round, no
+      N×k crossJoin, no argmin shuffle, no join back, no per-round
+      checkpoint. ``np.argmin`` takes the first index on exact ties, which
       with cid-ordered centroids matches the HOF path's
       min(struct(dist, cid)) tie-break.
     - assign (``kernel="hof"``): broadcast centroids, interpreted
@@ -237,6 +238,9 @@ def kmeans_lite(
         .select("cid", "cv")
     )
 
+    if kernel == "numpy":
+        return _kmeans_numpy_loop(pts, centroids, iters, k)
+
     def _assign_hof(points: DataFrame, cents: DataFrame) -> DataFrame:
         dist2 = F.aggregate(
             F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
@@ -251,36 +255,9 @@ def kmeans_lite(
             "id", "v", F.col("best.cid").alias("cid")
         )
 
-    def _assign_np(points: DataFrame, cents: DataFrame) -> DataFrame:
-        import pandas as pd
-        from pyspark.sql.types import LongType
-
-        rows = cents.orderBy("cid").collect()  # k tiny rows
-        cmat = [[float(x) for x in r["cv"]] for r in rows]
-        cids = [int(r["cid"]) for r in rows]
-
-        @F.pandas_udf(LongType())
-        def _nearest(vec: pd.Series) -> pd.Series:
-            import numpy as np
-            import pandas as pd
-
-            if len(vec) == 0:
-                return pd.Series([], dtype="int64")
-            m = np.array(list(vec), dtype=np.float64)
-            c = np.array(cmat, dtype=np.float64)
-            # N×k distance matrix without materializing N×k×d:
-            # the (m·m) term is constant per row — drop it, argmin unchanged
-            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (m @ c.T)
-            idx = d2.argmin(axis=1)  # first index on ties = lowest cid
-            return pd.Series(np.array(cids, dtype=np.int64)[idx])
-
-        return points.withColumn("cid", _nearest(F.col("v")))
-
-    _assign = _assign_np if kernel == "numpy" else _assign_hof
-
     assigned = None
     for _ in range(iters):
-        assigned = _assign(pts, centroids)
+        assigned = _assign_hof(pts, centroids)
         centroids = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -301,6 +278,78 @@ def kmeans_lite(
     # otherwise every kmeans invocation pins a full embedding copy
     out_assign = assigned.select("id", "cid").localCheckpoint(eager=True)
     pts.unpersist()
+    return centroids, out_assign
+
+
+def _kmeans_numpy_loop(
+    pts: DataFrame, init_centroids: DataFrame, iters: int, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd iterations with DRIVER-RESIDENT centroids (numpy kernel).
+
+    The Arrow assignment kernel must collect the k centroids every round
+    anyway (they're captured in the pandas_udf closure), so keeping them
+    as a driver-side list between rounds removes the per-iteration
+    localCheckpoint job AND the per-iteration re-collect — ONE Spark job
+    per Lloyd round (the centroid-update aggregate) instead of two.
+    Centroid state is k×d doubles (even 4096×1024 ≈ 32 MB), the same
+    payload the closure already shipped per round; the full corpus never
+    leaves the cluster. Numerics are identical to the DataFrame loop:
+    the update is the same Spark avg aggregate, merely collected."""
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    spark = pts.sparkSession
+    cmat = [
+        [float(x) for x in r["cv"]]
+        for r in init_centroids.orderBy("cid").collect()
+    ]
+
+    def _nearest_udf(cmat_now: list[list[float]]):
+        @F.pandas_udf(LongType())
+        def _nearest(vec: pd.Series) -> pd.Series:
+            import numpy as np
+            import pandas as pd
+
+            if len(vec) == 0:
+                return pd.Series([], dtype="int64")
+            m = np.array(list(vec), dtype=np.float64)
+            c = np.array(cmat_now, dtype=np.float64)
+            # N×k distance matrix without materializing N×k×d: the (m·m)
+            # term is constant per row — drop it, argmin unchanged; argmin
+            # takes the first index on exact ties = lowest cid, matching
+            # the HOF path's min(struct(dist, cid)) tie-break
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (m @ c.T)
+            return pd.Series(d2.argmin(axis=1).astype("int64"))
+
+        return _nearest
+
+    assigned = None
+    for _ in range(iters):
+        assigned = pts.withColumn("cid", _nearest_udf(cmat)(F.col("v")))
+        rows = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .collect()  # k tiny rows — the round's ONE job
+        )
+        new_cmat: list[list[float] | None] = [None] * k
+        for r in rows:
+            new_cmat[int(r["cid"])] = [float(x) for x in r["cv"]]
+        # a cluster that lost all members keeps its previous centroid
+        cmat = [nc if nc is not None else old for nc, old in zip(new_cmat, cmat)]
+
+    out_assign = assigned.select("id", "cid").localCheckpoint(eager=True)
+    pts.unpersist()
+    centroids = spark.createDataFrame(
+        [(cid, cv) for cid, cv in enumerate(cmat)], "cid int, cv array<double>"
+    )
     return centroids, out_assign
 
 
