@@ -221,11 +221,11 @@ def minhash_lsh_pairs(
     # frame), then exact Jaccard. The pair join references the pruned set
     # twice (id_a side and id_b side) — both references are cheap scans of
     # the cached shingle frame, so no extra materialization job is needed.
-    cand_ids = (
-        candidates.select(
-            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
-        )
-        .distinct()
+    # no distinct: left_semi ignores duplicate probe rows, so deduping
+    # cand_ids would only add a shuffle (≈0.2s fixed AQE-stage cost per
+    # invocation) to shrink an already-candidate-sized broadcast
+    cand_ids = candidates.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
     )
     sh = shingled.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     pairs = (

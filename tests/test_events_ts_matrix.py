@@ -68,6 +68,42 @@ def test_all_representations_normalize_identically(
     assert got == _WALL, f"{label}: {got} != {_WALL}"
 
 
+@pytest.mark.parametrize(
+    "label,ts_type",
+    [("us_ntz", pa.timestamp("us")), ("ns_int64", pa.timestamp("ns"))],
+)
+def test_streaming_reader_matches_batch_per_representation(
+    spark, tmp_path_factory, label, ts_type
+) -> None:
+    """Round 3's worst failure was the STREAMING reader silently
+    misreading micros as nanos (10 windows near 1970 instead of 3385 real
+    ones). The stream now derives its schema from the same probe as the
+    batch reader; prove the full streaming aggregation equals the batch
+    aggregation for both physical representations."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_full_etl_process_spark.streaming.stream_pipeline import (
+        streaming_event_counts,
+    )
+
+    d = str(tmp_path_factory.mktemp(f"events_stream_{label}"))
+    _write_events(d, ts_type)
+    got = sorted(
+        tuple(r) for r in streaming_event_counts(spark, d).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _events(spark, d)
+        .groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == want and len(got) == 3  # three events, three distinct hours
+
+
 def test_unsupported_representation_fails_loudly(spark, tmp_path_factory) -> None:
     d = str(tmp_path_factory.mktemp("events_raw_int64"))
     _write_events(d, pa.timestamp("us"))
