@@ -298,13 +298,35 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (node, comp) with comp =
-    min node id of the component. Iterative min-label propagation: each
-    round every node takes the min of its own label and its neighbors'
-    labels; converges in O(component diameter) rounds (dedup clusters are
-    shallow). Each round is one join + one min-aggregate — the standard
-    scalable CC formulation without GraphX."""
+    min node id of the component.
+
+    Adaptive strategy (the same size-based switch AQE applies to joins):
+
+    - ≤ ``driver_threshold`` edges: collect and union-find driver-side —
+      an edge list under the threshold is broadcast-sized (1M pairs ≈
+      16 MB), and a local DSU replaces O(diameter) distributed rounds
+      (each a checkpoint + scan job) with microseconds. Near-dup pair
+      sets are usually tiny relative to their corpus: the pair list is
+      the OUTPUT of LSH pruning, not the corpus itself.
+    - above it: iterative min-label propagation — each round every node
+      takes the min of its own label and its neighbors' labels; converges
+      in O(component diameter) rounds (dedup clusters are shallow). Each
+      round is one join + one min-aggregate — the standard scalable CC
+      formulation without GraphX. Both paths produce identical labels
+      (comp = min node id of the component).
+
+    Callers should pass an already-materialized ``pairs`` frame (the LSH
+    operator returns a localCheckpoint) so the size probe is a scan, not
+    a recompute."""
+    if driver_threshold > 0:
+        head = pairs.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            return _cc_driver_union_find(
+                pairs.sparkSession, head, id_a, id_b
+            )
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.union(
@@ -358,6 +380,41 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _cc_driver_union_find(spark, edge_rows, id_a: str, id_b: str) -> DataFrame:
+    """Local DSU over a collected (small) edge list; same (node, comp =
+    min node of component) contract as the distributed loop. Path-halving
+    find + union-by-attachment keeps it near-linear."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        return r
+
+    for row in edge_rows:
+        a, b = row[id_a], row[id_b]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    # resolve comp = min node per root
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    data = [(n, comp_min[find(n)]) for n in parent]
+    schema = "node long, comp long"
+    if data and not isinstance(data[0][0], int):
+        schema = "node string, comp string"
+    return spark.createDataFrame(data, schema)
 
 
 def corpus_dedup_keep_list(

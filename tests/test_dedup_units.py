@@ -66,3 +66,37 @@ def test_hot_bucket_clone_corpus(spark):
     got = clone_pairs.count()
     assert got == expected, (got, expected)
     assert clone_pairs.where(F.col("jaccard_sim") < 1.0).count() == 0
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver union-find fast path and the distributed min-label loop
+    must produce identical (node, comp) labels — chains, a star, a cycle,
+    an isolated edge, and min-id components spread across edge order."""
+    import random
+
+    rng = random.Random(42)
+    edges = [(2, 9), (9, 4), (4, 2)]            # cycle {2,4,9} -> comp 2
+    edges += [(10 + i, 11 + i) for i in range(6)]  # chain 10..16 -> comp 10
+    edges += [(50, 60), (50, 70), (50, 80)]     # star -> comp 50
+    edges += [(99, 98)]                          # edge -> comp 98
+    rng.shuffle(edges)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long").localCheckpoint(
+        eager=True
+    )
+    fast = {
+        (r["node"], r["comp"])
+        for r in D.connected_components(pairs).collect()
+    }
+    dist = {
+        (r["node"], r["comp"])
+        for r in D.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist
+    comp_of = dict(fast)
+    assert comp_of[9] == 2 and comp_of[16] == 10
+    assert comp_of[80] == 50 and comp_of[99] == 98
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(pairs).count() == 0

@@ -471,3 +471,108 @@ def test_random_datefn_matches_duckdb_strict(spark, sf_dir, seed):
         spark, sf_dir, _spark_datefn_query(spec), _sql_datefn_query(spec)
     )
     assert ok, f"spec={spec} fn={DATE_FNS[spec['fn']][0]}: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# event-timestamp fuzzing (strict comparator): the events ``ts`` column has
+# changed physical representation between rounds and broke three components
+# in round 3. These specs exercise the normalized TIMESTAMP_NTZ surface the
+# way the analytics layer does — truncation buckets, exact epoch-µs math,
+# and lag-gap predicates (the sessionize shape) — against DuckDB's naive-
+# timestamp semantics, so a representation or timezone regression in the
+# reader surfaces here with a minimal repro spec instead of inside a
+# 40-line catalog query.
+# ---------------------------------------------------------------------------
+
+TRUNC_UNITS = ["minute", "hour", "day"]
+EVENT_TYPES = ["view", "click", "purchase", "add_to_cart"]
+
+
+def _gen_ts_spec(rng: random.Random) -> dict:
+    kind = rng.choice(["trunc_count", "epoch_minmax", "gap_count"])
+    return {
+        "kind": kind,
+        "unit": rng.choice(TRUNC_UNITS),
+        "etype": rng.choice(EVENT_TYPES) if rng.random() < 0.5 else None,
+        "gap_s": rng.choice([60, 300, 1800, 7200]),
+    }
+
+
+def _spark_ts_query(spec):
+    def q(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        from ecommerce_full_etl_process_spark.plans.operator_queries import (
+            _events,
+            ntz_epoch_micros,
+        )
+
+        e = _events(spark, sf_dir)
+        if spec["etype"]:
+            e = e.where(F.col("event_type") == spec["etype"])
+        if spec["kind"] == "trunc_count":
+            return e.groupBy(
+                F.date_trunc(spec["unit"], "ts").cast("timestamp_ntz").alias("g")
+            ).agg(F.count(F.lit(1)).alias("n_rows"))
+        if spec["kind"] == "epoch_minmax":
+            return e.groupBy(F.col("event_type").alias("g")).agg(
+                F.min(ntz_epoch_micros(F.col("ts"))).alias("lo"),
+                F.max(ntz_epoch_micros(F.col("ts"))).alias("hi"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        # gap_count: per user, events whose gap from the previous event
+        # (ordered by ts, event_id) exceeds the threshold — sessionize's
+        # boundary predicate with a fuzzed threshold
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        epoch = ntz_epoch_micros(F.col("ts")) / F.lit(1_000_000.0)
+        gap = epoch - F.lag(epoch).over(w)
+        return (
+            e.withColumn("brk", (gap > spec["gap_s"]).cast("long"))
+            .groupBy(F.col("user_id").alias("g"))
+            .agg(
+                F.coalesce(F.sum("brk"), F.lit(0)).cast("long").alias("n_breaks"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+
+    return q
+
+
+def _sql_ts_query(spec) -> str:
+    where = f"WHERE event_type = '{spec['etype']}'" if spec["etype"] else ""
+    if spec["kind"] == "trunc_count":
+        # CAST: duckdb date_trunc('day') yields DATE, Spark yields a
+        # timestamp — normalize the oracle to the timestamp class
+        return f"""
+SELECT CAST(date_trunc('{spec["unit"]}', ts) AS TIMESTAMP) AS g,
+       count(*) AS n_rows
+FROM events {where} GROUP BY 1
+"""
+    if spec["kind"] == "epoch_minmax":
+        return f"""
+SELECT event_type AS g, min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi,
+       count(*) AS n_rows
+FROM events {where} GROUP BY 1
+"""
+    return f"""
+WITH gaps AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {spec["gap_s"]}
+              THEN 1 ELSE 0 END AS brk
+  FROM events {where}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id AS g, CAST(sum(brk) AS BIGINT) AS n_breaks,
+       count(*) AS n_rows
+FROM gaps GROUP BY user_id
+"""
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_ts_matches_duckdb_strict(spark, sf_dir, seed):
+    rng = random.Random(7000 + seed)
+    spec = _gen_ts_spec(rng)
+    ok, msg = compare(
+        spark, sf_dir, _spark_ts_query(spec), _sql_ts_query(spec)
+    )
+    assert ok, f"spec={spec}: {msg}"
