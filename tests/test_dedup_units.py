@@ -100,3 +100,19 @@ def test_connected_components_paths_agree(spark):
 def test_connected_components_empty(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert D.connected_components(pairs).count() == 0
+
+
+def test_simhash_kernels_bit_identical(spark, sf_dir):
+    """The numpy Arrow kernel and the JVM aggregate path must produce the
+    SAME fingerprint for every document (hashlib md5 == JVM md5, same
+    first-15-hex-chars parse, same tie-votes-negative rule)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_fingerprints(docs, "doc_id", "text", kernel="numpy").collect()
+    }
+    b = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_fingerprints(docs, "doc_id", "text", kernel="jvm").collect()
+    }
+    assert a == b and len(a) > 0
