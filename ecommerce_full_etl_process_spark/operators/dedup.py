@@ -154,7 +154,11 @@ def minhash_lsh_pairs(
     # Phase 1 — candidates. Explode shingle hashes and compute the MinHash
     # signature as 32 plain ``min()`` aggregates — whole-stage-codegen'd,
     # map-side combined — instead of nested higher-order lambdas, which run
-    # interpreted (~4× slower measured at sf0.1). The groupBy is also the
+    # interpreted (~4× slower measured at sf0.1). A per-row Arrow numpy
+    # kernel (the shape that won 9× for SimHash) was ALSO measured here
+    # and lost (0.82 s vs 0.48 s at sf0.1): 32 codegen'd min-aggregates
+    # over map-side-combined rows beat Python md5 over 3-word shingle
+    # strings, so the JVM formulation stays. The groupBy is also the
     # plan barrier that stops Catalyst's projection collapse from inlining
     # (= recomputing) the md5 pass into downstream references. The band
     # hashes are computed INSIDE the cached frame (8 md5 columns over

@@ -227,8 +227,9 @@ def kmeans_lite(
     v = embeddings.select(
         F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
     )
-    pts = v.repartition("id").cache()  # reused by every iteration below
-    pts.count()
+    # reused by every iteration below; no eager count — the cache fills
+    # on the first Lloyd round's path (one fewer fixed job per training)
+    pts = v.repartition("id").cache()
     w = Window.orderBy("init_id")
     centroids = (
         v.orderBy("id")
