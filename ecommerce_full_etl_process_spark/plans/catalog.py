@@ -285,6 +285,16 @@ _REGISTRY: dict[
         oq.salted_join_revenue,
         oq.SALTED_JOIN_REVENUE_ORACLE,
     ),
+    # training-data curation (round-4 additions): contamination screening
+    # and mixture sampling with a deterministic cross-engine hash gate
+    "contamination_screen": (
+        lq.contamination_screen,
+        lq.CONTAMINATION_SCREEN_ORACLE,
+    ),
+    "weighted_source_sample": (
+        lq.weighted_source_sample,
+        lq.WEIGHTED_SOURCE_SAMPLE_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -788,3 +788,98 @@ def similarity_topk_ivf(spark, sf_dir):
 
 
 SIMILARITY_TOPK_IVF_ORACLE = SIMILARITY_TOPK_BRUTEFORCE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# contamination screening + mixture sampling (training-data curation ops)
+# ---------------------------------------------------------------------------
+
+#: deterministic probe set — stands in for a benchmark/eval phrase list in a
+#: real contamination screen (the op is the shape, the list is config)
+CONTAMINATION_PROBES = ("customer query", "window table", "merge batch")
+
+
+def contamination_screen(spark, sf_dir):
+    """Benchmark-contamination screening: per source, how many documents
+    contain any probe phrase (verbatim substring — the first, cheapest
+    tier of eval-contamination checks; n-gram and fuzzy tiers reuse the
+    winnowing/minhash operators). Pure column expressions: at scale this
+    is one substring scan + one map-side-combined aggregate, no shuffle
+    beyond the per-source rows."""
+    d = _docs(spark, sf_dir)
+    hits = [
+        F.col("text").like(f"%{p}%").cast("long").alias(f"h{i}")
+        for i, p in enumerate(CONTAMINATION_PROBES)
+    ]
+    flagged = d.select("source", *hits)
+    any_hit = sum(
+        (F.col(f"h{i}") for i in range(1, len(CONTAMINATION_PROBES))),
+        F.col("h0"),
+    )
+    aggs = [
+        F.sum(F.col(f"h{i}")).alias(f"n_probe{i}")
+        for i in range(len(CONTAMINATION_PROBES))
+    ]
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((any_hit > 0).cast("long")).alias("n_flagged"),
+        *aggs,
+    )
+
+
+CONTAMINATION_SCREEN_ORACLE = f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN text LIKE '%{CONTAMINATION_PROBES[0]}%'
+                      OR text LIKE '%{CONTAMINATION_PROBES[1]}%'
+                      OR text LIKE '%{CONTAMINATION_PROBES[2]}%'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(sum(CASE WHEN text LIKE '%{CONTAMINATION_PROBES[0]}%' THEN 1 ELSE 0 END) AS BIGINT) AS n_probe0,
+       CAST(sum(CASE WHEN text LIKE '%{CONTAMINATION_PROBES[1]}%' THEN 1 ELSE 0 END) AS BIGINT) AS n_probe1,
+       CAST(sum(CASE WHEN text LIKE '%{CONTAMINATION_PROBES[2]}%' THEN 1 ELSE 0 END) AS BIGINT) AS n_probe2
+FROM documents GROUP BY source
+"""
+
+
+def weighted_source_sample(spark, sf_dir):
+    """Mixture sampling: per-source keep rates (training-data mixture
+    weights) applied via a deterministic cross-engine hash gate —
+    md5(doc_id) bucket < rate(source) — so the SAME documents are kept on
+    every engine and every run. Rates derive from the numeric source
+    suffix (suffix % 3 → 75/50/25) purely so the test corpus exercises
+    three strata; a real pipeline passes a rate map. Reports the realized
+    per-source sample, which is how mixture weights are audited."""
+    d = _docs(spark, sf_dir)
+    bucket = D.hash32(F.col("doc_id").cast("string")) % 100
+    rate = (
+        F.when(F.expr("cast(substr(source, 4) as int)") % 3 == 0, 75)
+        .when(F.expr("cast(substr(source, 4) as int)") % 3 == 1, 50)
+        .otherwise(25)
+    )
+    kept = d.select(
+        "source",
+        (bucket < rate).cast("long").alias("keep"),
+        F.col("n_chars"),
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_kept"),
+        F.sum(F.when(F.col("keep") == 1, F.col("n_chars")).otherwise(0)).alias(
+            "chars_kept"
+        ),
+    )
+
+
+WEIGHTED_SOURCE_SAMPLE_ORACLE = """
+WITH gated AS (
+  SELECT source, n_chars,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                   < (CASE CAST(substr(source, 4) AS INT) % 3
+                        WHEN 0 THEN 75 WHEN 1 THEN 50 ELSE 25 END)
+              THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+FROM gated GROUP BY source
+"""
