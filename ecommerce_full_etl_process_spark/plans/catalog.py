@@ -295,6 +295,7 @@ _REGISTRY: dict[
         lq.weighted_source_sample,
         lq.WEIGHTED_SOURCE_SAMPLE_ORACLE,
     ),
+    "chunk_documents": (lq.chunk_documents, lq.CHUNK_DOCUMENTS_ORACLE),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -883,3 +883,47 @@ SELECT source, count(*) AS n_docs,
        CAST(sum(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
 FROM gated GROUP BY source
 """
+
+
+def chunk_documents(spark, sf_dir):
+    """Context-window chunking: split each document into 64-token chunks
+    with a 48-token stride (16-token overlap) — the standard preprocessing
+    step before tokenization/packing for fixed-window models. Pure column
+    expressions: tokens counted once, chunk starts generated with
+    ``sequence`` + ``explode`` (no shuffle at all — row-local fan-out),
+    so at scale this is a single map stage. Chunk count uses identical
+    integer arithmetic on both engines: 1 + max(0, (n-64+47) intdiv 48)."""
+    d = _docs(spark, sf_dir)
+    n = F.size(F.split(F.col("text"), " ")).cast("long")
+    nchunks = F.lit(1) + F.greatest(
+        F.lit(0).cast("long"), F.expr("(size(split(text, ' ')) - 64 + 47) div 48")
+    )
+    chunks = d.select(
+        "doc_id",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0).cast("long"), nchunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * 48
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("start_tok"),
+        F.least(F.lit(64).cast("long"), F.col("n") - start).alias("chunk_tokens"),
+    )
+
+
+CHUNK_DOCUMENTS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         1 + greatest(CAST(0 AS BIGINT), (n - 64 + 47) // 48) AS nchunks
+  FROM t
+)
+SELECT doc_id, CAST(gs AS BIGINT) AS chunk_idx,
+       CAST(gs * 48 AS BIGINT) AS start_tok,
+       least(CAST(64 AS BIGINT), n - gs * 48) AS chunk_tokens
+FROM (SELECT doc_id, n, unnest(range(0, nchunks)) AS gs FROM c)
+"""
