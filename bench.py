@@ -99,13 +99,17 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    # with any failed query, a summed total would silently cover fewer
+    # queries and read as a round-over-round speedup — null it out and
+    # flag the run partial so cross-round comparisons can't be fooled
+    total = round(sum(timings.values()), 3) if not errors else None
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "partial": bool(errors),
                 "queries": timings,
                 "queries_median": medians,
                 "errors": errors,

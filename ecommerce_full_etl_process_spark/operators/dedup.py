@@ -282,7 +282,11 @@ def simhash_fingerprints(
     (``2*ones > n`` — a tie votes negative).
 
     Two kernels with bit-identical output (hashlib md5 == JVM md5;
-    equivalence pinned by tests/test_dedup_units.py):
+    equivalence pinned by tests/test_dedup_units.py, including NULL text).
+    Docs with NULL text are DROPPED by both kernels: the JVM path's
+    ``explode(split(NULL))`` yields no token rows, and the numpy path
+    filters NULL up front to match. Empty-string text is kept by both
+    (``split("", " ")`` tokenizes to ``[""]``).
 
     - ``numpy`` (default): Arrow ``pandas_udf`` computing the fingerprint
       per row — NO shuffle at all, a pure embarrassingly-parallel map
@@ -316,10 +320,9 @@ def simhash_fingerprints(
             shifts = np.arange(bits, dtype=np.uint64)
             res = []
             for t in texts:
-                toks = list(set((t or "").split(" ")))
-                if not toks:
-                    res.append(0)
-                    continue
+                # NULL text never reaches here (filtered below to match the
+                # JVM path's explode-drop); split always yields >= [""]
+                toks = list(set(t.split(" ")))
                 hs = np.fromiter(
                     (
                         int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
@@ -337,8 +340,10 @@ def simhash_fingerprints(
 
         _simhash.__annotations__ = {"texts": pd.Series, "return": pd.Series}
         simhash_udf = F.pandas_udf(_simhash, LongType())
-        return _spread(df).select(
-            F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash")
+        return (
+            _spread(df)
+            .where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
         )
 
     tokens = _spread(df).select(
@@ -370,9 +375,10 @@ def connected_components(
 
     Adaptive strategy (the same size-based switch AQE applies to joins):
 
-    - ≤ ``driver_threshold`` edges: collect and union-find driver-side —
-      an edge list under the threshold is broadcast-sized (1M pairs ≈
-      16 MB), and a local DSU replaces O(diameter) distributed rounds
+    - ≤ ``driver_threshold`` edges: collect ONLY the two id columns and
+      union-find driver-side — 1M two-long pairs is ~16 MB of payload
+      (a few× that as Python Row objects, still comfortably
+      broadcast-scale), and a local DSU replaces O(diameter) distributed rounds
       (each a checkpoint + scan job) with microseconds. Near-dup pair
       sets are usually tiny relative to their corpus: the pair list is
       the OUTPUT of LSH pruning, not the corpus itself.
@@ -387,7 +393,12 @@ def connected_components(
     operator returns a localCheckpoint) so the size probe is a scan, not
     a recompute."""
     if driver_threshold > 0:
-        head = pairs.limit(driver_threshold + 1).collect()
+        # project to the two id columns BEFORE collecting: extra payload
+        # columns (similarity scores, band ids) would otherwise multiply
+        # driver memory for rows the DSU never reads
+        head = (
+            pairs.select(id_a, id_b).limit(driver_threshold + 1).collect()
+        )
         if len(head) <= driver_threshold:
             return _cc_driver_union_find(
                 pairs.sparkSession, head, id_a, id_b

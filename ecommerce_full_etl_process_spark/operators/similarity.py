@@ -259,7 +259,7 @@ def kmeans_lite(
     assigned = None
     for _ in range(iters):
         assigned = _assign_hof(pts, centroids)
-        centroids = (
+        new_c = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.avg("x").alias("m"))
@@ -268,8 +268,17 @@ def kmeans_lite(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
                     lambda s: s["m"],
-                ).alias("cv")
+                ).alias("cv_new")
             )
+        )
+        centroids = (
+            # a cluster that lost all members keeps its previous centroid
+            # (it may re-acquire points later) — same rule as the numpy
+            # loop, keeping the two kernels assignment-identical even when
+            # a cluster empties mid-training
+            centroids.select("cid", F.col("cv").alias("cv_prev"))
+            .join(new_c, "cid", "left")
+            .select("cid", F.coalesce("cv_new", "cv_prev").alias("cv"))
             # k tiny rows, but the LINEAGE doubles per Lloyd round —
             # truncate it so iters stay O(1) plan depth (same driver-heap
             # hazard as connected_components)

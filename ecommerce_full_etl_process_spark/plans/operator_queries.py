@@ -50,14 +50,21 @@ def _read_events_raw(spark: SparkSession, path: str) -> DataFrame:
     INT64 TIMESTAMP(NANOS) (rounds 1-2), which Spark's reader rejects
     outright unless nanos are read as raw longs, and parquet timestamp[us]
     (round 3+), which Spark reads natively as TIMESTAMP_NTZ. Try the
-    native read first; only on failure flip the legacy nanos conf (left
-    set afterwards: the scan consults it when decoding pages, not just at
-    schema inference, so save-and-restore would be unsound)."""
+    native read first; only on the SPECIFIC unsupported-nanos failure flip
+    the legacy nanos conf (left set afterwards: the scan consults it when
+    decoding pages, not just at schema inference, so save-and-restore would
+    be unsound). Any other failure — missing file, corrupt footer,
+    permission error — re-raises untouched: retrying those with a legacy
+    conf flipped session-wide would mask the real error behind a confusing
+    second failure (tests/test_events_ts_matrix.py pins this)."""
     try:
         return spark.read.parquet(path)
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path)
+    except Exception as exc:
+        msg = str(exc)
+        if "Illegal Parquet type" in msg and "NANOS" in msg:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return spark.read.parquet(path)
+        raise
 
 
 def _normalize_events_ts(df: DataFrame) -> DataFrame:

@@ -105,8 +105,13 @@ def test_connected_components_empty(spark):
 def test_simhash_kernels_bit_identical(spark, sf_dir):
     """The numpy Arrow kernel and the JVM aggregate path must produce the
     SAME fingerprint for every document (hashlib md5 == JVM md5, same
-    first-15-hex-chars parse, same tie-votes-negative rule)."""
+    first-15-hex-chars parse, same tie-votes-negative rule) — including
+    NULL-text rows, which BOTH kernels must drop entirely."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    null_row = docs.sparkSession.createDataFrame(
+        [(-1, None), (-2, "")], "doc_id long, text string"
+    )
+    docs = docs.select("doc_id", "text").unionByName(null_row)
     a = {
         r["doc_id"]: r["simhash"]
         for r in D.simhash_fingerprints(docs, "doc_id", "text", kernel="numpy").collect()
@@ -116,3 +121,5 @@ def test_simhash_kernels_bit_identical(spark, sf_dir):
         for r in D.simhash_fingerprints(docs, "doc_id", "text", kernel="jvm").collect()
     }
     assert a == b and len(a) > 0
+    assert -1 not in a  # NULL text dropped by both kernels
+    assert -2 in a  # empty-string text kept by both kernels

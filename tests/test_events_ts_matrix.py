@@ -104,6 +104,27 @@ def test_streaming_reader_matches_batch_per_representation(
     assert got == want and len(got) == 3  # three events, three distinct hours
 
 
+def test_corrupt_parquet_raises_original_error(spark, tmp_path_factory) -> None:
+    """A corrupt footer (or any non-nanos read failure) must surface the
+    ORIGINAL error and must NOT flip the session-wide nanosAsLong conf —
+    the retry is reserved for the specific unsupported-nanos rejection."""
+    from ecommerce_full_etl_process_spark.plans.operator_queries import (
+        _read_events_raw,
+    )
+
+    d = str(tmp_path_factory.mktemp("events_corrupt"))
+    with open(os.path.join(d, "events.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a parquet file")
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    with pytest.raises(Exception) as excinfo:
+        _read_events_raw(spark, d).collect()
+    msg = str(excinfo.value)
+    assert "Illegal Parquet type" not in msg  # the original error, not a retry
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
+    ), "corrupt read must not flip the legacy nanos conf"
+
+
 def test_unsupported_representation_fails_loudly(spark, tmp_path_factory) -> None:
     d = str(tmp_path_factory.mktemp("events_raw_int64"))
     _write_events(d, pa.timestamp("us"))

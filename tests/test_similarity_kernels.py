@@ -132,3 +132,26 @@ def test_kmeans_assign_kernels_agree(spark, sf_dir):
         .count()
     )
     assert diff == 0
+
+
+def test_kmeans_kernels_agree_when_cluster_empties(spark):
+    """Both kernels keep the stale centroid when a cluster loses all its
+    members (it may re-acquire points later). Duplicate init vectors force
+    an empty cluster on round 1: ids 1,2 share a vector, so init centroids
+    0 and 1 coincide and the lowest-cid tie-break starves cid 1."""
+    rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [10.0, 10.0]), (4, [10.5, 10.0])]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    c_np, a_np = S.kmeans_lite(e, k=3, iters=3, kernel="numpy")
+    c_hof, a_hof = S.kmeans_lite(e, k=3, iters=3, kernel="hof")
+    # the emptied cluster survives in BOTH centroid frames
+    assert c_np.count() == 3 and c_hof.count() == 3
+    np_c = {r["cid"]: tuple(r["cv"]) for r in c_np.collect()}
+    hof_c = {r["cid"]: tuple(r["cv"]) for r in c_hof.collect()}
+    assert np_c == hof_c
+    diff = (
+        a_np.withColumnRenamed("cid", "cid_np")
+        .join(a_hof.withColumnRenamed("cid", "cid_hof"), "id")
+        .where(F.col("cid_np") != F.col("cid_hof"))
+        .count()
+    )
+    assert diff == 0
