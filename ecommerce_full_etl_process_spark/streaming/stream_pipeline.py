@@ -87,11 +87,21 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # timestamp[us]/NTZ from round 3) instead of hard-coding one
     path = os.path.join(sf_dir, "events.parquet")
     sch = _read_events_raw(spark, path).schema
-    stream = (
-        spark.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # directory layout (Spark-written table: events.parquet/part-*.parquet
+        # — THE layout at scale): stream the table dir itself. A glob filter
+        # of "events.parquet" here would match no leaf file and the stream
+        # would silently aggregate 0 rows (tests/test_events_ts_matrix.py
+        # pins both layouts against the batch aggregation).
+        stream = spark.readStream.schema(sch).parquet(path)
+    else:
+        # single-file layout (driver testdata): stream the parent dir with a
+        # filename glob so sibling tables' parquet files are excluded
+        stream = (
+            spark.readStream.schema(sch)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # same normalization choke point as the batch reader → TIMESTAMP_NTZ,
     # timezone-independent; window() is NTZ-native since Spark 3.4
     evt = _normalize_events_ts(stream)

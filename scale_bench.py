@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Scale-headroom benchmark: time the heavy operators at ×1 vs ×N data.
+
+The per-round bench (bench.py) runs at sf0.1, where fixed job overhead
+(~0.2 s/AQE stage) dominates — it proves speed, not SCALING. This harness
+generates identically-distributed corpora at ×1 and ×N the sf0.1 row
+counts (sources/scale_corpus.py: deterministic, fully distributed) and
+times the heavy operators at both, so the wall-time growth ratio isolates
+how the PLAN scales with data volume: near-linear growth (ratio ≲ N, and
+in practice well under N while fixed overhead amortizes) is the evidence
+that the 100 TB design claims hold; a super-linear ratio flags a plan that
+would blow up on a real cluster.
+
+Usage:
+    python scale_bench.py                 # multipliers 1,10 → SCALEBENCH.json
+    python scale_bench.py --multipliers 1,10,30 --repeats 2
+
+Prints ONE JSON line:
+    {"metric": "scale_headroom", "multipliers": [...],
+     "queries": {name: {"x1": s, "xN": s, "growth_xN": r}}, ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ecommerce_full_etl_process_spark.plans import catalog  # noqa: E402
+from ecommerce_full_etl_process_spark.session import get_spark  # noqa: E402
+from ecommerce_full_etl_process_spark.sources import scale_corpus  # noqa: E402
+
+#: the operators whose 100 TB claims need volume evidence — everything
+#: here is super-constant work per row (LSH banding, CC, Lloyd rounds,
+#: per-user windows, micro-batch streaming), where a quadratic term or a
+#: driver bottleneck would show up as super-linear growth
+HEAVY = [
+    "minhash_lsh_neardups",
+    "corpus_dedup_components",
+    "simhash_planted_pairs",
+    "similarity_topk_ivf",
+    "sessionize_events",
+    "streaming_event_counts",
+]
+
+SCALE_ROOT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/repo/.scale")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--multipliers", default="1,10")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--out", default="SCALEBENCH.json")
+    args = ap.parse_args()
+    mults = [int(m) for m in args.multipliers.split(",")]
+
+    spark = get_spark(app_name="scale_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = catalog.spark_queries()
+
+    dirs: dict[int, str] = {}
+    for m in mults:
+        d = os.path.join(SCALE_ROOT, f"x{m}")
+        t0 = time.perf_counter()
+        scale_corpus.write_scale_dir(spark, d, m)
+        print(
+            f"scale_bench: corpus x{m} ready in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        dirs[m] = d
+
+    rows: dict[str, dict[int, int]] = {}
+    timings: dict[str, dict[str, float]] = {n: {} for n in HEAVY}
+    errors: dict[str, str] = {}
+    # warm the JVM once so x1 doesn't absorb first-job startup cost
+    queries[HEAVY[0]](spark, dirs[mults[0]]).limit(1).count()
+    import gc
+
+    for name in HEAVY:
+        for m in mults:
+            try:
+                samples = []
+                nrows = 0
+                for _ in range(args.repeats):
+                    t0 = time.perf_counter()
+                    nrows = queries[name](spark, dirs[m]).count()
+                    samples.append(time.perf_counter() - t0)
+                timings[name][f"x{m}"] = round(min(samples), 3)
+                rows.setdefault(name, {})[m] = nrows
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                errors[f"{name}@x{m}"] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"scale_bench: {name}@x{m} FAILED", file=sys.stderr)
+            # measurement hygiene: earlier heavy queries leave checkpointed
+            # blocks + garbage that GC-pause LATER measurements (observed:
+            # steady-state 1.4s read as 5s mid-suite). Drop Python-side
+            # DataFrame refs so the ContextCleaner unpersists their RDDs,
+            # then force a JVM GC so the next timing starts clean.
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+    base = mults[0]
+    for name in HEAVY:
+        t1 = timings[name].get(f"x{base}")
+        for m in mults[1:]:
+            tn = timings[name].get(f"x{m}")
+            if t1 and tn:
+                timings[name][f"growth_x{m}"] = round(tn / t1, 2)
+
+    result = {
+        "metric": "scale_headroom",
+        "unit": "sec",
+        "multipliers": mults,
+        "base_rows": {
+            "documents": scale_corpus.BASE_DOCS,
+            "embeddings": scale_corpus.BASE_VECS,
+            "events": scale_corpus.BASE_EVENTS,
+        },
+        "queries": timings,
+        "result_rows": {n: {f"x{m}": c for m, c in v.items()} for n, v in rows.items()},
+        "repeats_min": args.repeats,
+        "partial": bool(errors),
+        "errors": errors,
+    }
+    line = json.dumps(result)
+    print(line)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), args.out), "w") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

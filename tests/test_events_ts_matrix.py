@@ -104,6 +104,40 @@ def test_streaming_reader_matches_batch_per_representation(
     assert got == want and len(got) == 3  # three events, three distinct hours
 
 
+def test_streaming_reader_handles_directory_layout(
+    spark, tmp_path_factory
+) -> None:
+    """events.parquet as a DIRECTORY of part files (Spark-written table —
+    the layout at scale) must stream identically to the single-file layout;
+    the pathGlobFilter approach silently read 0 files for directories."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_full_etl_process_spark.streaming.stream_pipeline import (
+        streaming_event_counts,
+    )
+
+    d = str(tmp_path_factory.mktemp("events_dir_layout"))
+    _write_events(d, pa.timestamp("us"))
+    # rewrite as a directory: events.parquet/part-0.parquet
+    single = os.path.join(d, "events.parquet")
+    tbl = pq.read_table(single)
+    os.remove(single)
+    os.makedirs(single)
+    pq.write_table(tbl, os.path.join(single, "part-0.parquet"))
+    got = sorted(tuple(r) for r in streaming_event_counts(spark, d).collect())
+    want = sorted(
+        tuple(r)
+        for r in _events(spark, d)
+        .groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == want and len(got) == 3
+
+
 def test_corrupt_parquet_raises_original_error(spark, tmp_path_factory) -> None:
     """A corrupt footer (or any non-nanos read failure) must surface the
     ORIGINAL error and must NOT flip the session-wide nanosAsLong conf —
