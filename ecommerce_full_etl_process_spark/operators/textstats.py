@@ -117,8 +117,115 @@ def winnowing_fingerprints(
     )
 
 
+#: Gopher-style heuristic rules: (reason, predicate-builder) — predicate
+#: takes the signal columns and returns a boolean Column that fires when
+#: the document should be REJECTED. Thresholds are the knobs; the operator
+#: is the shape (Rae et al. 2021, "Scaling Language Models", App. A).
+QUALITY_RULES: tuple[tuple[str, str], ...] = (
+    ("too_short", "n_words < 10"),
+    ("too_long", "n_words > 100"),
+    ("word_len", "mean_word_len < 3.0 OR mean_word_len > 10.0"),
+    ("few_stopwords", "stopword_ratio < 0.05"),
+    ("low_alpha", "alpha_ratio < 0.8"),
+)
+
+
+def quality_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document-quality filter: combine the ``quality_stats``
+    signals into a keep/reject decision with an auditable reasons column —
+    the errors-array validation pattern (operators/validation.py) applied
+    to corpus curation. A rejected doc carries EVERY rule it tripped
+    (comma-joined in rule order), not just the first, so curation reports
+    can break rejections down by cause.
+
+    One map stage: signals and predicates are pure column expressions over
+    the text, no shuffle, no UDF — the ideal 100 TB shape (the groupBy
+    rollup, if wanted, is the caller's one aggregate on top)."""
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(*STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    sig = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        ((F.length(t) - (n_words - 1)).cast("double") / n_words).alias(
+            "mean_word_len"
+        ),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+        (n_alpha.cast("double") / F.length(t)).alias("alpha_ratio"),
+    )
+    # concat_ws skips NULL args on both Spark and DuckDB, so the fired
+    # rules join in declaration order with no array intermediary
+    reasons = F.concat_ws(
+        ",",
+        *[F.when(F.expr(cond), F.lit(name)) for name, cond in QUALITY_RULES],
+    )
+    return sig.select(
+        id_col,
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        reasons.alias("reject_reasons"),
+        (reasons == "").alias("keep"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     (the canonical-form hash used for exact dedup across formatting)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def fingerprint_overlap(
+    corpus: DataFrame,
+    probes: DataFrame,
+    corpus_id: str = "doc_id",
+    probe_id: str = "probe_id",
+    text_col: str = "text",
+    min_frac: float = 0.5,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing-fingerprint overlap of a SMALL probe set against a large
+    corpus — the n-gram tier of contamination screening (catches leaked
+    eval items embedded mid-document, where substring LIKE needs exact
+    phrasing). Returns (corpus_id, probe_id, n_shared, overlap_frac) for
+    every pair sharing ≥ ``min_frac`` of the probe's fingerprints;
+    winnowing guarantees any verbatim match of length ≥ k+window-1 chars
+    shares at least one fingerprint.
+
+    Scale shape: the probe set is benchmark-sized (thousands), so its
+    exploded fingerprint index BROADCASTS; the corpus side is one map
+    (fingerprint + explode, row-local fan-out) into a broadcast hash join
+    and a map-side-combined count — no corpus shuffle, no pairwise text
+    comparison ever happens."""
+    p_idx = winnowing_fingerprints(probes, probe_id, text_col, k, window).select(
+        probe_id,
+        F.size("fingerprints").alias("probe_n"),
+        F.explode("fingerprints").alias("fp"),
+    )
+    d_idx = winnowing_fingerprints(corpus, corpus_id, text_col, k, window).select(
+        corpus_id, F.explode("fingerprints").alias("fp")
+    )
+    # fingerprint sets are distinct (winnowing array_distincts), so the
+    # per-(doc, probe) join hit count IS the intersection size
+    hits = (
+        d_idx.join(F.broadcast(p_idx), "fp")
+        .groupBy(corpus_id, probe_id, "probe_n")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    # scaled-integer threshold, no float edge cases
+    return hits.where(
+        F.col("n_shared") * F.lit(1_000_000)
+        >= F.col("probe_n") * F.lit(int(min_frac * 1_000_000))
+    ).select(
+        corpus_id,
+        probe_id,
+        "n_shared",
+        F.round(
+            F.col("n_shared").cast("double") / F.col("probe_n"), 6
+        ).alias("overlap_frac"),
+    )

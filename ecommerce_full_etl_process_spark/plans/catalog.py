@@ -296,6 +296,17 @@ _REGISTRY: dict[
         lq.WEIGHTED_SOURCE_SAMPLE_ORACLE,
     ),
     "chunk_documents": (lq.chunk_documents, lq.CHUNK_DOCUMENTS_ORACLE),
+    # round-5 additions: the n-gram contamination tier (winnowing
+    # fingerprints vs a broadcast probe index) and the Gopher-style
+    # heuristic quality filter (errors-array pattern over quality signals)
+    "contamination_ngram_overlap": (
+        lq.contamination_ngram_overlap,
+        lq.CONTAMINATION_NGRAM_OVERLAP_ORACLE,
+    ),
+    "quality_filter_docs": (
+        lq.quality_filter_docs,
+        lq.QUALITY_FILTER_DOCS_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

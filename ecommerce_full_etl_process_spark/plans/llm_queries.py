@@ -927,3 +927,105 @@ SELECT doc_id, CAST(gs AS BIGINT) AS chunk_idx,
        least(CAST(64 AS BIGINT), n - gs * 48) AS chunk_tokens
 FROM (SELECT doc_id, n, unnest(range(0, nchunks)) AS gs FROM c)
 """
+
+
+def contamination_ngram_overlap(spark, sf_dir):
+    """N-gram-tier contamination screen (the tier above verbatim-substring
+    ``contamination_screen``): winnow-fingerprint a small probe set (eval
+    benchmark items — here the truncated copy of every 100th doc, standing
+    in for a leaked eval question) and the corpus, then report every
+    (doc, probe) pair sharing ≥ half the probe's fingerprints.
+
+    Scale shape: the probe set is benchmark-sized (thousands), so its
+    exploded fingerprint index BROADCASTS; the corpus side is one map
+    (fingerprint + explode, row-local fan-out) into a broadcast hash join
+    and a map-side-combined count — no corpus shuffle, no pairwise text
+    comparison ever happens. Catching-by-fingerprint means a contaminated
+    doc is found even when the leak is embedded mid-document (substring
+    LIKE would need the exact phrasing)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    probe_text = F.concat_ws(
+        " ", F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1)))
+    )
+    probes = d.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("probe_id"), probe_text.alias("text")
+    )
+    return T.fingerprint_overlap(d, probes, min_frac=0.5)
+
+
+def _winnow_sql(src: str, id_as: str) -> str:
+    """DuckDB mirror of winnowing_fingerprints(k=8, window=4) over
+    ``src(doc_id, text)`` → (id_as, fps)."""
+    return f"""
+  SELECT doc_id AS {id_as},
+         list_sort(list_distinct(
+           [ list_min(h[i:i+3])
+             for i in range(1, greatest(len(h) - 3, 0) + 1) ]
+         )) AS fps
+  FROM (
+    SELECT doc_id,
+           [ ('0x' || substr(md5(text[i:i+7]), 1, 8))::BIGINT
+             for i in range(1, greatest(length(text) - 7, 0) + 1) ] AS h
+    FROM ({src})
+  )"""
+
+
+CONTAMINATION_NGRAM_OVERLAP_ORACLE = f"""
+WITH dw AS ({_winnow_sql('SELECT doc_id, text FROM documents', 'doc_id')}),
+pw AS ({_winnow_sql(
+    '''SELECT doc_id, array_to_string(w[1:greatest(len(w) - 2, 1)], ' ') AS text
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       WHERE doc_id % 100 = 0''',
+    'probe_id',
+)})
+SELECT d.doc_id, p.probe_id,
+       CAST(len(list_intersect(d.fps, p.fps)) AS BIGINT) AS n_shared,
+       round(len(list_intersect(d.fps, p.fps))::DOUBLE / len(p.fps), 6)
+         AS overlap_frac
+FROM dw d JOIN pw p
+  ON len(list_intersect(d.fps, p.fps)) * 2 >= len(p.fps)
+"""
+
+
+def quality_filter_docs(spark, sf_dir):
+    """Gopher-style heuristic quality filter over the corpus: per doc, the
+    quality signals, every tripped rejection rule (auditable reasons
+    column), and the keep verdict — see operators/textstats.quality_filter
+    for the rule set and the scale argument (pure map, no shuffle)."""
+    return T.quality_filter(_docs(spark, sf_dir), "doc_id", "text")
+
+
+QUALITY_FILTER_DOCS_ORACLE = """
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+           / len(string_split(text, ' ')) AS mean_word_len,
+         len(list_filter(string_split(text, ' '),
+             w -> lower(w) IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
+           / len(string_split(text, ' ')) AS stopword_ratio,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+           / length(text) AS alpha_ratio
+  FROM documents
+),
+flagged AS (
+  SELECT *,
+         concat_ws(',',
+           CASE WHEN n_words < 10 THEN 'too_short' END,
+           CASE WHEN n_words > 100 THEN 'too_long' END,
+           CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+                THEN 'word_len' END,
+           CASE WHEN stopword_ratio < 0.05 THEN 'few_stopwords' END,
+           CASE WHEN alpha_ratio < 0.8 THEN 'low_alpha' END
+         ) AS reject_reasons
+  FROM sig
+)
+SELECT doc_id, n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       reject_reasons,
+       reject_reasons = '' AS keep
+FROM flagged
+"""
