@@ -155,3 +155,34 @@ class TableStore:
         d = self._table_dir(table)
         if os.path.exists(d):
             shutil.rmtree(d)
+
+    def vacuum(self, table: str, keep_versions: int = 1) -> list[str]:
+        """Remove crash debris and aged-out versions; returns removed dirs.
+
+        Deletes (a) version dirs NEWER than the manifest pointer — torn
+        writes from a run that died between data-write and manifest-flip —
+        and (b) versions older than the newest ``keep_versions`` at or below
+        the pointer (time-travel retention). Never touches the live version,
+        so it is safe to run concurrently with readers of the current
+        manifest (the same contract as Delta's VACUUM, SURVEY §7.5).
+        """
+        import re
+        import shutil
+
+        current = self._current_version(table)
+        if current is None:
+            return []
+        d = self._table_dir(table)
+        versions = sorted(
+            int(m.group(1))
+            for name in os.listdir(d)
+            if (m := re.fullmatch(r"v=(\d+)", name))
+        )
+        keep_floor = current - max(keep_versions, 1) + 1
+        doomed = [v for v in versions if v > current or v < keep_floor]
+        removed = []
+        for v in doomed:
+            path = self._data_dir(table, v)
+            shutil.rmtree(path)
+            removed.append(path)
+        return removed

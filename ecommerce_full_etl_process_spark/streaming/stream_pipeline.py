@@ -46,7 +46,17 @@ def with_event_time(tx: DataFrame) -> DataFrame:
 def dedup_stream(tx: DataFrame, watermark: str = "2 days") -> DataFrame:
     """Streaming idempotence: drop duplicate (transaction_id, product_id)
     within the watermark horizon — state bounded by the watermark, the
-    standard replacement for the batch anti-join against all history."""
+    standard replacement for the batch anti-join against all history.
+
+    Late-data policy (pinned by tests/test_streaming_pipeline.py::
+    test_late_data_beyond_watermark_is_dropped): rows whose event time is
+    older than the current watermark are DISCARDED at the operator input —
+    a late duplicate is never re-emitted (state for its key may already be
+    evicted, so letting it through would break exactly-once) and a late
+    never-seen row is sacrificed too. Net guarantee: exactly-once within
+    the watermark horizon, at-most-once outside it. Size ``watermark`` to
+    the real upstream disorder bound; the batch anti-join path
+    (operators/facts.py) remains the backfill route for older reruns."""
     return tx.withWatermark("event_time", watermark).dropDuplicates(
         ["transaction_id", "product_id"]
     )

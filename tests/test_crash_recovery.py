@@ -1,0 +1,146 @@
+"""Crash-recovery property tests for the versioned-directory atomic swap
+(SURVEY §7.4/§7.5 — the plain-parquet analogue of Delta's ACID commit).
+
+The overwrite protocol has exactly three externally observable points a run
+can die at:
+
+  (1) after writing ``v=n+1`` data, before the manifest flip  → torn write
+  (2) mid-manifest-write (temp file exists, ``os.replace`` never ran)
+  (3) after the flip                                          → committed
+
+The contract under test: at every crash point, readers of the store see one
+complete, previously committed dataset (never a mix, never the torn data),
+and simply re-running the same overwrite converges to the intended final
+state. ``vacuum`` then removes the debris without touching the live version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import tempfile
+
+import pytest
+
+from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+
+def _df(spark, tag: str, n: int = 3):
+    return spark.createDataFrame(
+        [(i, f"{tag}-{i}") for i in range(n)], "id long, v string"
+    )
+
+
+def _values(store: TableStore, table: str) -> set[str]:
+    return {r["v"] for r in store.read(table).collect()}
+
+
+def _torn_write(spark, store: TableStore, table: str, tag: str) -> None:
+    """Simulate a run that died at crash point (1): data for the next
+    version is fully on disk, manifest never flipped."""
+    current = store._current_version(table)
+    _df(spark, tag).write.mode("overwrite").parquet(
+        store._data_dir(table, (current or 0) + 1)
+    )
+
+
+def test_torn_overwrite_invisible_and_rerun_converges(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite("t", _df(spark, "committed"))
+
+    _torn_write(spark, store, "t", "torn")
+
+    # crash point (1): reader still sees the committed version, in full
+    assert _values(store, "t") == {f"committed-{i}" for i in range(3)}
+
+    # the retry overwrites the torn v=2 dir in place and flips the manifest
+    store.overwrite("t", _df(spark, "retry"))
+    assert _values(store, "t") == {f"retry-{i}" for i in range(3)}
+    with open(store._manifest_path("t")) as f:
+        assert json.load(f)["version"] == 2
+
+
+def test_crash_mid_manifest_write_leaves_store_consistent(spark, tmp_path):
+    """Crash point (2): a stray ``*.manifest`` temp file (mkstemp done,
+    os.replace never ran) must not affect reads, appends, or the next
+    overwrite."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite("t", _df(spark, "a"))
+
+    d = store._table_dir("t")
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".manifest")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"version": 999}, f)  # garbage a dying writer left behind
+
+    assert _values(store, "t") == {f"a-{i}" for i in range(3)}
+    store.overwrite("t", _df(spark, "b"))
+    assert _values(store, "t") == {f"b-{i}" for i in range(3)}
+    assert os.path.exists(tmp)  # debris is inert until vacuumed / cleaned
+
+
+def test_append_after_torn_overwrite_lands_in_live_version(spark, tmp_path):
+    """A torn overwrite must not divert subsequent appends: they belong to
+    the live (manifest-pointed) version, not the orphaned higher dir."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite("t", _df(spark, "live", n=1))
+    _torn_write(spark, store, "t", "torn")
+
+    store.append("t", _df(spark, "extra", n=1))
+    assert _values(store, "t") == {"live-0", "extra-0"}
+
+
+def test_vacuum_removes_torn_and_aged_versions_only(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    for tag in ("v1", "v2", "v3"):
+        store.overwrite("t", _df(spark, tag, n=1))
+    _torn_write(spark, store, "t", "torn")  # orphaned v=4
+
+    removed = store.vacuum("t", keep_versions=2)
+    names = sorted(os.path.basename(p) for p in removed)
+    assert names == ["v=1", "v=4"]  # aged-out + torn; v=2 (retention) + v=3 live stay
+    assert _values(store, "t") == {"v3-0"}
+    old = spark.read.parquet(store._data_dir("t", 2))  # retained for time-travel
+    assert [r["v"] for r in old.collect()] == ["v2-0"]
+    assert store.vacuum("t", keep_versions=2) == []  # idempotent
+
+
+def test_vacuum_on_missing_table_is_noop(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    assert store.vacuum("never_created") == []
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_randomized_crash_sequence_always_serves_committed_data(
+    spark, tmp_path, seed
+):
+    """Property: across a random interleaving of committed overwrites and
+    crashes at points (1)/(2), every read returns exactly the most recently
+    COMMITTED dataset, and a final retry + vacuum converges to a clean
+    single-live-version store."""
+    rng = random.Random(seed)
+    store = TableStore(spark, str(tmp_path / f"wh{seed}"))
+    store.overwrite("t", _df(spark, "g0", n=2))
+    committed = "g0"
+
+    for step in range(1, 7):
+        tag = f"g{step}"
+        action = rng.choice(["commit", "torn", "manifest_tmp"])
+        if action == "commit":
+            store.overwrite("t", _df(spark, tag, n=2))
+            committed = tag
+        elif action == "torn":
+            _torn_write(spark, store, "t", tag)
+        else:
+            fd, _ = tempfile.mkstemp(
+                dir=store._table_dir("t"), suffix=".manifest"
+            )
+            os.close(fd)
+        assert _values(store, "t") == {f"{committed}-0", f"{committed}-1"}
+
+    store.overwrite("t", _df(spark, "final", n=2))  # the retry
+    store.vacuum("t", keep_versions=1)
+    assert _values(store, "t") == {"final-0", "final-1"}
+    live = store._current_version("t")
+    dirs = [n for n in os.listdir(store._table_dir("t")) if n.startswith("v=")]
+    assert dirs == [f"v={live}"]  # no debris versions survive vacuum

@@ -106,6 +106,85 @@ def test_stateful_user_totals_across_microbatches(spark, tmp_path):
     assert len(rows) == 2  # two micro-batches → two emissions
 
 
+def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
+    """Late-data policy pin (SURVEY §2.12 — the reference has no policy;
+    ours is Spark's and this test documents it): once the watermark has
+    advanced past an event time, rows at that event time are DISCARDED at
+    the stateful operator's input — a late duplicate is not re-emitted,
+    a late never-seen row is not emitted, and a finalized window is never
+    revised.
+
+    The watermark only advances across micro-batch BOUNDARIES, so the two
+    arrivals are delivered as two separate checkpointed AvailableNow runs
+    (the watermark persists in the commit log and is restored on restart —
+    memory sinks can't recover, hence parquet sinks here).
+    """
+    src = str(tmp_path / "tx_src")
+    chk = {k: str(tmp_path / f"chk_{k}") for k in ("dd", "wc")}
+    out = {k: str(tmp_path / f"out_{k}") for k in ("dd", "wc")}
+
+    def _run(kind, builder):
+        stream = SP.with_event_time(SP.transactions_file_stream(spark, src))
+        q = (
+            builder(stream)
+            .writeStream.format("parquet")
+            .option("path", out[kind])
+            .option("checkpointLocation", chk[kind])
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    # arrival 1: tx1 on 02-01 plus tx2 on 02-10; the 2-day watermark lands
+    # at 02-08, so event times before 02-08 are now "too late"
+    spark.createDataFrame(
+        [
+            (1, "2026-02-01", 1, 1, 1, 10.0, "visa", "success"),
+            (2, "2026-02-10", 1, 1, 1, 20.0, "visa", "success"),
+        ],
+        schemas.TRANSACTIONS,
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run("dd", SP.dedup_stream)
+    _run("wc", SP.windowed_status_counts)
+
+    assert sorted(
+        r["transaction_id"] for r in spark.read.parquet(out["dd"]).collect()
+    ) == [1, 2]
+    # append mode emits only watermark-finalized windows: [02-01, 02-02)
+    assert [
+        (str(r["window_start"]), r["status"], r["n"])
+        for r in spark.read.parquet(out["wc"]).collect()
+    ] == [("2026-02-01 00:00:00", "success", 1)]
+
+    # arrival 2: a late duplicate of tx1, a late NEVER-SEEN tx3 (02-02,
+    # beyond the 02-08 watermark), and an on-time tx4
+    spark.createDataFrame(
+        [
+            (1, "2026-02-01", 1, 1, 1, 10.0, "visa", "success"),
+            (3, "2026-02-02", 1, 1, 1, 30.0, "visa", "failed"),
+            (4, "2026-02-11", 1, 1, 1, 40.0, "visa", "success"),
+        ],
+        schemas.TRANSACTIONS,
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run("dd", SP.dedup_stream)
+    _run("wc", SP.windowed_status_counts)
+
+    # tx3 dropped (late), tx1 dup not re-emitted, tx4 passes — so the
+    # dedup guarantee is exactly-once WITHIN the watermark horizon and
+    # at-most-once outside it (late rows sacrificed, never duplicated)
+    assert sorted(
+        r["transaction_id"] for r in spark.read.parquet(out["dd"]).collect()
+    ) == [1, 2, 4]
+    # the finalized 02-01 window is never revised and tx3's 02-02 window
+    # was discarded rather than emitted late; 02-10/02-11 windows are
+    # still open (watermark 02-09) so nothing else appears
+    assert [
+        (str(r["window_start"]), r["status"], r["n"])
+        for r in spark.read.parquet(out["wc"]).collect()
+    ] == [("2026-02-01 00:00:00", "success", 1)]
+
+
 def test_tablestore_schema_evolution_on_read(spark, tmp_path):
     """Appending files with an added column: readers see the union schema
     when mergeSchema is requested — the long-lived-warehouse evolution
