@@ -172,6 +172,159 @@ def quality_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, App. A): documents
+    dominated by repeated n-grams are generation loops / boilerplate and
+    get filtered before training. Per doc:
+
+    - ``distinct_word_frac``: |distinct words| / |words|
+    - ``top_bigram_frac``: occurrences of the most frequent word 2-gram
+      over all 2-grams (the "fraction covered by the top n-gram" rule)
+    - ``dup_trigram_frac``: fraction of word 3-grams that are repeats
+
+    Everything is row-local higher-order-function math over the split
+    word array — a pure map stage, no shuffle, no UDF, the ideal 100 TB
+    shape. The top-bigram count is O(distinct × n) per doc, which is fine
+    for document-sized arrays and stays inside whole-stage codegen.
+    """
+    w = F.split(F.col(text_col), " ")
+    n_words = F.size(w)
+
+    def _grams(n: int):
+        cnt = F.greatest(n_words - (n - 1), F.lit(0))
+        return F.when(
+            cnt > 0,
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bg, tg = _grams(2), _grams(3)
+    top_bg = F.when(
+        F.size(bg) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda g: F.size(F.filter(bg, lambda x: x == g)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(
+            F.size(F.array_distinct(w)).cast("double") / n_words, 6
+        ).alias("distinct_word_frac"),
+        F.when(
+            F.size(bg) > 0,
+            F.round(top_bg.cast("double") / F.size(bg), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.when(
+            F.size(tg) > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(tg)).cast("double") / F.size(tg),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )
+
+
+#: (name, java/RE2-compatible pattern, replacement token). Applied IN
+#: ORDER to the running redacted text — emails are consumed before the
+#: IPv4 rule so dotted digits inside an address can't double-count.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+)
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction for training corpora: replace emails / IPv4 addresses /
+    SSN-shaped ids with typed tokens and count each class per document
+    (the audit trail curation reports need). Patterns are deliberately in
+    the Java ∩ RE2 regex subset so the DuckDB oracle runs them verbatim.
+
+    Counts are taken on the running text between replacements, so classes
+    are counted post-consumption by earlier rules, never twice. Pure
+    ``regexp_replace`` / ``regexp_extract_all`` column expressions — map
+    stage, no shuffle, no UDF."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(F.col(id_col), *counts, cur.alias("redacted"))
+
+
+def line_dedup(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """C4-style global line deduplication (Raffel et al. 2020 §2.2): any
+    line occurring more than once in the ENTIRE corpus keeps only its
+    first occurrence (smallest (doc, position)); every later occurrence
+    is removed and each document is reassembled from its surviving lines
+    in order. Returns per-doc (n_lines, n_lines_kept, n_lines_removed,
+    cleaned_text); a fully-boilerplate doc comes back with empty text,
+    not a missing row.
+
+    Scale shape: two key-parallel shuffles — posexplode is row-local
+    fan-out, the first-occurrence choice is a window partitioned BY LINE
+    (same distribution as exact dedup's hash-groupBy; hot boilerplate
+    lines are single keys but their groups are tiny — one row per doc
+    containing the line), and reassembly groups by doc id. No UDFs; the
+    rebuild is collect_list → array_sort → transform, all JVM-side.
+    """
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    first = F.row_number().over(
+        Window.partitionBy("line").orderBy(id_col, "pos")
+    )
+    rebuilt = (
+        lines.withColumn("rn", first)
+        .where(F.col("rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines_kept"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("cleaned_text"),
+        )
+    )
+    orig = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("n_lines")
+    )
+    return orig.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        (F.col("n_lines") - F.coalesce("n_lines_kept", F.lit(0))).alias(
+            "n_lines_removed"
+        ),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     (the canonical-form hash used for exact dedup across formatting)."""

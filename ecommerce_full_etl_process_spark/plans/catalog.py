@@ -307,6 +307,18 @@ _REGISTRY: dict[
         lq.quality_filter_docs,
         lq.QUALITY_FILTER_DOCS_ORACLE,
     ),
+    # round-5 additions: Gopher repetition signals, PII redaction,
+    # C4-style global line dedup, and int8 embedding quantization
+    "repetition_stats_docs": (
+        lq.repetition_stats_docs,
+        lq.REPETITION_STATS_DOCS_ORACLE,
+    ),
+    "pii_scrub_docs": (lq.pii_scrub_docs, lq.PII_SCRUB_DOCS_ORACLE),
+    "line_dedup_corpus": (lq.line_dedup_corpus, lq.LINE_DEDUP_CORPUS_ORACLE),
+    "embedding_quantization": (
+        lq.embedding_quantization,
+        lq.EMBEDDING_QUANTIZATION_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -996,6 +996,196 @@ def quality_filter_docs(spark, sf_dir):
     return T.quality_filter(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def repetition_stats_docs(spark, sf_dir):
+    """Gopher repetition-rule signals per doc (distinct-word fraction, top
+    word-bigram coverage, duplicate-trigram fraction) — the loop/boilerplate
+    detector that complements ``quality_filter_docs``. Pure row-local HOF
+    map over the split word array, no shuffle (operators/textstats.py)."""
+    return T.repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+REPETITION_STATS_DOCS_ORACLE = """
+WITH grams AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) >= 2
+              THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+              ELSE [] END AS bg,
+         CASE WHEN len(w) >= 3
+              THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                    for i in range(1, len(w) - 1)]
+              ELSE [] END AS tg
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       round(len(list_distinct(w))::DOUBLE / len(w), 6) AS distinct_word_frac,
+       CASE WHEN len(bg) > 0
+            THEN round(list_max([len(list_filter(bg, x -> x = g))
+                                 for g in list_distinct(bg)])::DOUBLE
+                       / len(bg), 6)
+            ELSE 0.0 END AS top_bigram_frac,
+       CASE WHEN len(tg) > 0
+            THEN round(1.0 - len(list_distinct(tg))::DOUBLE / len(tg), 6)
+            ELSE 0.0 END AS dup_trigram_frac
+FROM grams
+"""
+
+
+def _pii_docs(spark, sf_dir):
+    """documents with deterministically planted PII: every 7th doc gains an
+    email, every 11th an IPv4, every 13th an SSN-shaped id — identically in
+    Spark and SQL so the scrub provably fires and both engines agree."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    email = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit(" contact user"), sid, F.lit("@mail.example.com now")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".7 logged"),
+        ),
+    ).otherwise(F.lit(""))
+    ssn = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" end"),
+        ),
+    ).otherwise(F.lit(""))
+    return d.select(
+        "doc_id", F.concat(F.col("text"), email, ip, ssn).alias("text")
+    )
+
+
+_PII_DOCS_SQL = """
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || doc_id::VARCHAR || '@mail.example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' from 10.0.' || (doc_id % 250)::VARCHAR || '.7 logged'
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 || ' end'
+            ELSE '' END AS text
+  FROM documents
+"""
+
+
+def pii_scrub_docs(spark, sf_dir):
+    """PII redaction over the (planted) corpus: per-class counts + fully
+    redacted text. Patterns live in operators/textstats.PII_PATTERNS and
+    the oracle SQL below is GENERATED from the same tuple, so the two
+    engines run byte-identical regexes. Pure map stage, no shuffle."""
+    return T.pii_scrub(_pii_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _pii_oracle() -> str:
+    steps, prev = [], "s0"
+    carried = []
+    for i, (name, pat, repl) in enumerate(T.PII_PATTERNS, start=1):
+        carry = ", ".join(carried) + (", " if carried else "")
+        steps.append(
+            f"s{i} AS (SELECT doc_id, {carry}"
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS INT) AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{repl}', 'g') AS t FROM {prev})"
+        )
+        carried.append(f"n_{name}")
+        prev = f"s{i}"
+    cols = ", ".join(carried)
+    return (
+        f"WITH s0 AS (SELECT doc_id, text AS t FROM ({_PII_DOCS_SQL})),\n"
+        + ",\n".join(steps)
+        + f"\nSELECT doc_id, {cols}, t AS redacted FROM {prev}"
+    )
+
+
+PII_SCRUB_DOCS_ORACLE = _pii_oracle()
+
+
+def line_dedup_corpus(spark, sf_dir):
+    """C4-style global line dedup over the corpus. The synthetic docs are
+    single-line, so two things make this non-trivial: (a) 'lines' are the
+    ' the '-separated segments (short segments genuinely repeat across
+    docs), and (b) every 20th doc is re-planted VERBATIM under
+    doc_id+2·OFFSET, so every clone line is a later occurrence and the
+    clone collapses to empty text. See operators/textstats.line_dedup for
+    the two-shuffle scale argument."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = d.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2 * OFFSET).alias("doc_id"), "text"
+    )
+    return T.line_dedup(d.unionByName(clones), "doc_id", "text", sep=" the ")
+
+
+LINE_DEDUP_CORPUS_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {2 * OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % 20 = 0
+),
+lines AS (
+  SELECT doc_id, u.i AS pos, u.s AS line FROM (
+    SELECT doc_id,
+           unnest([struct_pack(i := i, s := w[i])
+                   for i in range(1, len(w) + 1)]) AS u
+    FROM (SELECT doc_id, string_split(text, ' the ') AS w FROM src)
+  )
+),
+firsts AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_lines_kept,
+         string_agg(line, ' the ' ORDER BY pos) AS cleaned_text
+  FROM firsts WHERE rn = 1 GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(len(string_split(s.text, ' the ')) AS INT) AS n_lines,
+       CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(len(string_split(s.text, ' the '))
+            - coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_removed,
+       coalesce(r.cleaned_text, '') AS cleaned_text
+FROM src s LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def embedding_quantization(spark, sf_dir):
+    """Per-vector int8 quantization quality report (scale, reconstruction
+    RMSE, max level) over the embeddings table — the 4× storage lever for
+    100 TB vector corpora. Pure row-local HOF map (operators/quantize.py)."""
+    from ..operators.quantize import quantize_int8
+
+    return quantize_int8(_embs(spark, sf_dir), "vec_id", "embedding")
+
+
+EMBEDDING_QUANTIZATION_ORACLE = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))),
+                  1e-12) / 127.0 AS s
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(v) AS INT) AS dim,
+       round(s, 6) AS scale,
+       round(sqrt(list_sum([pow(x - round(x / s, 0) * s, 2) for x in v])
+                  / len(v)), 6) AS rmse,
+       CAST(list_max([abs(round(x / s, 0)) for x in v]) AS INT) AS max_q
+FROM v
+"""
+
+
 QUALITY_FILTER_DOCS_ORACLE = """
 WITH sig AS (
   SELECT doc_id,

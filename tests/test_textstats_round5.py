@@ -1,0 +1,149 @@
+"""Unit tests for the round-5 curation operators: Gopher repetition
+signals, PII scrubbing, C4-style global line dedup, int8 quantization —
+planted inputs with hand-computed expectations (the catalog oracle mirror
+in test_catalog_oracle.py covers the corpus-scale cross-engine check)."""
+
+from __future__ import annotations
+
+import math
+
+from ecommerce_full_etl_process_spark.operators import textstats as T
+from ecommerce_full_etl_process_spark.operators.quantize import quantize_int8
+
+
+def _rows(df, key="doc_id"):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+def test_repetition_stats_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # pure loop
+            (2, "w x y z"),          # no repetition
+            (3, "hi"),               # single word: no grams
+            (4, "p q p q p q"),      # period-2 loop
+        ],
+        "doc_id long, text string",
+    )
+    out = _rows(T.repetition_stats(df, "doc_id", "text"))
+
+    r1 = out[1]
+    assert r1["n_words"] == 4
+    assert r1["distinct_word_frac"] == 0.25
+    assert r1["top_bigram_frac"] == 1.0          # all 3 bigrams are "a a"
+    assert r1["dup_trigram_frac"] == 0.5         # 2 trigrams, 1 distinct
+
+    r2 = out[2]
+    assert r2["distinct_word_frac"] == 1.0
+    assert r2["top_bigram_frac"] == round(1 / 3, 6)
+    assert r2["dup_trigram_frac"] == 0.0
+
+    r3 = out[3]
+    assert (r3["top_bigram_frac"], r3["dup_trigram_frac"]) == (0.0, 0.0)
+
+    r4 = out[4]
+    # bigrams: pq qp pq qp pq → top "p q" covers 3/5
+    assert r4["top_bigram_frac"] == 0.6
+    # trigrams: pqp qpq pqp qpq → 2 distinct of 4
+    assert r4["dup_trigram_frac"] == 0.5
+
+
+def test_pii_scrub_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org and 10.1.2.3 plus 1.2.3.4"),
+            (2, "ssn 987-65-4321 inline"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = _rows(T.pii_scrub(df, "doc_id", "text"))
+
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_ssn"]) == (1, 2, 0)
+    assert r1["redacted"] == "mail <EMAIL> and <IP> plus <IP>"
+
+    r2 = out[2]
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_ssn"]) == (0, 0, 1)
+    assert r2["redacted"] == "ssn <SSN> inline"
+
+    r3 = out[3]
+    assert (r3["n_email"], r3["n_ipv4"], r3["n_ssn"]) == (0, 0, 0)
+    assert r3["redacted"] == "clean text only"
+
+
+def test_pii_email_consumes_dotted_digits_before_ip_rule(spark):
+    """Sequencing: digits dotted inside an email must not double-count as
+    an IPv4 once the email is redacted."""
+    df = spark.createDataFrame(
+        [(1, "x 10.2.3.4@h.example.com y")], "doc_id long, text string"
+    )
+    r = _rows(T.pii_scrub(df, "doc_id", "text"))[1]
+    assert (r["n_email"], r["n_ipv4"]) == (1, 0)
+    assert r["redacted"] == "x <EMAIL> y"
+
+
+def test_line_dedup_keeps_first_occurrence_globally(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "x\ny\nz"),
+            (2, "y\nw"),     # y already seen in doc 1
+            (3, "y\nx"),     # everything already seen → empty doc
+            (4, "q\nq"),     # in-doc duplicate: keep first only
+        ],
+        "doc_id long, text string",
+    )
+    out = _rows(T.line_dedup(df, "doc_id", "text"))
+
+    assert out[1]["cleaned_text"] == "x\ny\nz"
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_removed"]) == (3, 0)
+    assert out[2]["cleaned_text"] == "w"
+    assert (out[2]["n_lines_kept"], out[2]["n_lines_removed"]) == (1, 1)
+    assert out[3]["cleaned_text"] == ""
+    assert (out[3]["n_lines_kept"], out[3]["n_lines_removed"]) == (0, 2)
+    assert out[4]["cleaned_text"] == "q"
+    assert (out[4]["n_lines_kept"], out[4]["n_lines_removed"]) == (1, 1)
+
+
+def test_line_dedup_preserves_within_doc_order(spark):
+    df = spark.createDataFrame(
+        [(1, "c\na\nb"), (2, "a\nd\nc\ne")], "doc_id long, text string"
+    )
+    out = _rows(T.line_dedup(df, "doc_id", "text"))
+    assert out[1]["cleaned_text"] == "c\na\nb"   # original order, not sorted
+    assert out[2]["cleaned_text"] == "d\ne"      # survivors keep their order
+
+
+def test_quantize_int8_planted(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.54, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = _rows(quantize_int8(df, "vec_id", "embedding"), key="vec_id")
+
+    r1 = out[1]
+    scale = 2.54 / 127.0  # = 0.02
+    assert r1["dim"] == 3
+    assert r1["scale"] == round(scale, 6)
+    assert r1["max_q"] == 127  # the max-|x| element always hits ±127
+    # q = [50, -127, 0] → errors [1-50*0.02=0, 0, 0] → rmse 0 (within fp noise)
+    assert r1["rmse"] <= 1e-6
+
+    r2 = out[2]  # zero vector: floor scale, zero error, zero levels
+    assert r2["max_q"] == 0
+    assert r2["rmse"] == 0.0
+
+
+def test_quantize_int8_error_bound(spark):
+    """Quantization error per element is ≤ scale/2, so rmse ≤ scale/2."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-3, 3) for _ in range(64)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for r in quantize_int8(df, "vec_id", "embedding").collect():
+        assert r["max_q"] <= 127
+        assert r["rmse"] <= r["scale"] / 2 + 1e-9
+        assert not math.isnan(r["rmse"])
