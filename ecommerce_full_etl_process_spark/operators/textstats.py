@@ -325,6 +325,44 @@ def line_dedup(
     )
 
 
+def bpe_pair_stats(
+    df: DataFrame, text_col: str, top_k: int = 20
+) -> DataFrame:
+    """The first iteration of BPE tokenizer training, distributed: count
+    every adjacent character pair across the corpus weighted by word
+    frequency and return the top-``top_k`` merge candidates (Sennrich et
+    al. 2016 §3.2 — the argmax of this table IS the first merge rule).
+
+    Scale shape: two map-side-combined shuffles. Words are counted first
+    (groupBy word — the corpus collapses to its vocabulary, typically
+    thousands of times smaller), then pairs explode off the DISTINCT
+    words only, weighted by the word count — so the expensive per-pair
+    fan-out runs over the vocabulary, not the corpus. Top-k is a
+    TakeOrdered, not a full sort. Ties break on pair text so the result
+    is deterministic cross-engine.
+    """
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+    ).where(F.col("word") != "")
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
+    n = F.length("word")
+    pairs = vocab.where(n >= 2).select(
+        "wn",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(top_k)
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     (the canonical-form hash used for exact dedup across formatting)."""

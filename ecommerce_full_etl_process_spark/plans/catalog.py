@@ -319,6 +319,16 @@ _REGISTRY: dict[
         lq.embedding_quantization,
         lq.EMBEDDING_QUANTIZATION_ORACLE,
     ),
+    # round-5: distributed BPE merge-candidate counting and the end-to-end
+    # per-source curation funnel (quality → dedup → contamination → tokens)
+    "bpe_merge_candidates": (
+        lq.bpe_merge_candidates,
+        lq.BPE_MERGE_CANDIDATES_ORACLE,
+    ),
+    "corpus_prep_pipeline": (
+        lq.corpus_prep_pipeline,
+        lq.CORPUS_PREP_PIPELINE_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

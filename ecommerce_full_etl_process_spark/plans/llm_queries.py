@@ -1186,6 +1186,154 @@ FROM v
 """
 
 
+def bpe_merge_candidates(spark, sf_dir):
+    """Top-20 BPE merge candidates over the corpus (the first tokenizer-
+    training iteration). See operators/textstats.bpe_pair_stats: pair
+    fan-out runs over the distinct VOCABULARY, not the corpus, so the
+    shape survives 100 TB."""
+    return T.bpe_pair_stats(_docs(spark, sf_dir), "text", top_k=20)
+
+
+BPE_MERGE_CANDIDATES_ORACLE = """
+WITH vocab AS (
+  SELECT word, count(*) AS wn FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+  ) WHERE word != '' GROUP BY word
+),
+pairs AS (
+  SELECT unnest([word[i:i+1] for i in range(1, length(word))]) AS pair, wn
+  FROM vocab WHERE length(word) >= 2
+)
+SELECT pair, CAST(sum(wn) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair LIMIT 20
+"""
+
+
+def corpus_prep_pipeline(spark, sf_dir):
+    """End-to-end training-corpus preparation funnel, per source: quality
+    filter → exact dedup (first occurrence) → contamination screen →
+    final token accounting. Every document is attributed to the FIRST
+    stage that drops it, so the per-source funnel columns sum to n_docs —
+    the audit report a curation run ships with.
+
+    Scale shape: the quality verdict and contamination flag are row-local
+    column expressions; the only data-sized shuffles are the dedup window
+    (partitioned by text hash, same distribution as exact dedup) and the
+    final per-source aggregate (map-side combined). Composing the stages
+    in one labeled frame means ONE pass over the corpus, not one per
+    stage."""
+    d = _docs(spark, sf_dir)
+    reject_q = F.lit(False)
+    t = F.col("text")
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(*T.STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    sig = d.select(
+        "doc_id",
+        "source",
+        "text",
+        n_words.cast("long").alias("n_words"),
+        ((F.length(t) - (n_words - 1)).cast("double") / n_words).alias(
+            "mean_word_len"
+        ),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+        (n_alpha.cast("double") / F.length(t)).alias("alpha_ratio"),
+    )
+    for _, cond in T.QUALITY_RULES:
+        reject_q = reject_q | F.expr(cond)
+    contam = F.lit(False)
+    for p in CONTAMINATION_PROBES:
+        contam = contam | F.col("text").like(f"%{p}%")
+    # rank within (text-hash, quality-verdict): quality-rejected docs get
+    # their own partition so they never consume a dup slot of a kept doc
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("text"), "keep").orderBy("doc_id")
+    )
+    labeled = (
+        sig.withColumn("keep", ~reject_q)
+        .withColumn("rn", rn)
+        .select(
+            "source",
+            "text",
+            F.when(~F.col("keep"), F.lit("quality"))
+            .when(F.col("rn") > 1, F.lit("duplicate"))
+            .when(contam, F.lit("contaminated"))
+            .otherwise(F.lit("final"))
+            .alias("label"),
+        )
+    )
+    is_ = lambda s: (F.col("label") == s).cast("long")  # noqa: E731
+    return labeled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_("quality")).alias("n_quality_rejected"),
+        F.sum(is_("duplicate")).alias("n_dup_removed"),
+        F.sum(is_("contaminated")).alias("n_contaminated"),
+        F.sum(is_("final")).alias("n_final"),
+        F.sum(
+            F.when(F.col("label") == "final", T.token_count(F.col("text")))
+            .otherwise(F.lit(0))
+            .cast("long")
+        ).alias("tokens_final"),
+    )
+
+
+def _prep_oracle() -> str:
+    reject = " OR ".join(f"({c})" for _, c in T.QUALITY_RULES)
+    contam = " OR ".join(
+        f"text LIKE '%{p}%'" for p in CONTAMINATION_PROBES
+    )
+    stop_list = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+    return f"""
+WITH sig AS (
+  SELECT doc_id, source, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+           / len(string_split(text, ' ')) AS mean_word_len,
+         len(list_filter(string_split(text, ' '),
+             w -> lower(w) IN ({stop_list})))::DOUBLE
+           / len(string_split(text, ' ')) AS stopword_ratio,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+           / length(text) AS alpha_ratio
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, source, text, NOT ({reject}) AS keep, ({contam}) AS contam
+  FROM sig
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY md5(text), keep ORDER BY doc_id) AS rn
+  FROM flagged
+),
+labeled AS (
+  SELECT source, text,
+         CASE WHEN NOT keep THEN 'quality'
+              WHEN rn > 1 THEN 'duplicate'
+              WHEN contam THEN 'contaminated'
+              ELSE 'final' END AS label
+  FROM ranked
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN label = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_rejected,
+       CAST(sum(CASE WHEN label = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_removed,
+       CAST(sum(CASE WHEN label = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(CASE WHEN label = 'final' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_final,
+       CAST(sum(CASE WHEN label = 'final'
+                THEN len(regexp_extract_all(text, '{T.BPE_TOKEN_PATTERN}'))
+                ELSE 0 END) AS BIGINT) AS tokens_final
+FROM labeled GROUP BY source
+"""
+
+
+CORPUS_PREP_PIPELINE_ORACLE = _prep_oracle()
+
+
 QUALITY_FILTER_DOCS_ORACLE = """
 WITH sig AS (
   SELECT doc_id,

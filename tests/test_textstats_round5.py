@@ -114,6 +114,49 @@ def test_line_dedup_preserves_within_doc_order(spark):
     assert out[2]["cleaned_text"] == "d\ne"      # survivors keep their order
 
 
+def test_bpe_pair_stats_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "ab aaa")], "doc_id long, text string"
+    )
+    rows = [
+        (r["pair"], r["n_occurrences"])
+        for r in T.bpe_pair_stats(df, "text", top_k=10).collect()
+    ]
+    # ab appears 3× as a word (pair 'ab' ×3); 'aaa' contributes 'aa' twice
+    # from ONE word occurrence; cd once. Order: count desc, pair asc.
+    assert rows == [("ab", 3), ("aa", 2), ("cd", 1)]
+
+
+def test_bpe_pair_stats_weighting_uses_word_frequency(spark):
+    """The pair table must weight by word frequency, not distinct words:
+    10 occurrences of 'xy' beat one occurrence of 'zw zw zw' collapsed."""
+    df = spark.createDataFrame(
+        [(1, " ".join(["xy"] * 10) + " zw")], "doc_id long, text string"
+    )
+    top = T.bpe_pair_stats(df, "text", top_k=1).collect()
+    assert (top[0]["pair"], top[0]["n_occurrences"]) == ("xy", 10)
+
+
+def test_corpus_prep_funnel_is_exhaustive(spark, sf_dir):
+    """Every document lands in exactly one funnel stage: the per-source
+    stage counts must sum to n_docs (oracle equality is covered by the
+    catalog mirror; this pins the funnel algebra itself)."""
+    from ecommerce_full_etl_process_spark.plans.llm_queries import (
+        corpus_prep_pipeline,
+    )
+
+    for r in corpus_prep_pipeline(spark, sf_dir).collect():
+        assert (
+            r["n_quality_rejected"]
+            + r["n_dup_removed"]
+            + r["n_contaminated"]
+            + r["n_final"]
+            == r["n_docs"]
+        )
+        assert r["n_final"] > 0  # the synthetic corpus is not all-rejected
+        assert r["tokens_final"] > 0
+
+
 def test_quantize_int8_planted(spark):
     df = spark.createDataFrame(
         [(1, [1.0, -2.54, 0.0]), (2, [0.0, 0.0])],
