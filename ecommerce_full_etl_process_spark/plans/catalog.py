@@ -329,6 +329,11 @@ _REGISTRY: dict[
         lq.corpus_prep_pipeline,
         lq.CORPUS_PREP_PIPELINE_ORACLE,
     ),
+    # round-5: stream-stream interval join (click→purchase attribution)
+    "streaming_click_purchase_join": (
+        sp.streaming_click_purchase_join,
+        sp.STREAMING_CLICK_PURCHASE_JOIN_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -79,66 +79,78 @@ def windowed_status_counts(
     )
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table, normalized to the same
+    TIMESTAMP_NTZ ``ts`` the batch reader yields.
+
+    File streams need an explicit schema; it is probed from a driver-side
+    batch read of the same path so the stream tracks whatever physical
+    ``ts`` type the corpus currently uses (INT64 nanos in rounds 1-2,
+    timestamp[us]/NTZ from round 3) instead of hard-coding one. Handles
+    both layouts: a single ``events.parquet`` file (driver testdata) and
+    a Spark-written ``events.parquet/part-*.parquet`` directory — THE
+    layout at scale; a glob filter of "events.parquet" against the sf dir
+    would match no leaf file of a directory table and silently stream 0
+    rows (tests/test_events_ts_matrix.py pins both layouts)."""
+    import os
+
+    from ..plans.operator_queries import _normalize_events_ts, _read_events_raw
+
+    path = os.path.join(sf_dir, "events.parquet")
+    sch = _read_events_raw(spark, path).schema
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(sch).parquet(path)
+    else:
+        # single-file layout: stream the parent dir with a filename glob so
+        # sibling tables' parquet files are excluded
+        stream = (
+            spark.readStream.schema(sch)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    return _normalize_events_ts(stream)
+
+
+def _drain_to_memory_sink(agg: DataFrame, prefix: str, output_mode: str):
+    """Run ``agg`` as an AvailableNow streaming query into a uniquely-named
+    memory sink; returns (sink_name, spark). Fails loudly on timeout —
+    returning a partially-filled sink would surface downstream as a
+    confusing oracle value-mismatch instead of a clear error."""
+    import uuid
+
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            f"{prefix}: AvailableNow query did not finish within 300s"
+        )
+    return sink
+
+
 def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog entry (SURVEY §2.12): hourly event-type counts computed BY A
     REAL STREAMING QUERY — file-source stream over events.parquet,
     Trigger.AvailableNow, complete-mode memory sink — then returned as the
     sink's batch contents. AvailableNow processes the whole table, so the
     result equals the batch aggregation and is oracle-checkable."""
-    import os
-
     from pyspark.sql import functions as F
 
-    from ..plans.operator_queries import _normalize_events_ts, _read_events_raw
-
-    # file streams need an explicit schema; probe it from a driver-side
-    # batch read of the same file so the stream tracks whatever physical
-    # ``ts`` type the corpus currently uses (INT64 nanos in rounds 1-2,
-    # timestamp[us]/NTZ from round 3) instead of hard-coding one
-    path = os.path.join(sf_dir, "events.parquet")
-    sch = _read_events_raw(spark, path).schema
-    if os.path.isdir(path):
-        # directory layout (Spark-written table: events.parquet/part-*.parquet
-        # — THE layout at scale): stream the table dir itself. A glob filter
-        # of "events.parquet" here would match no leaf file and the stream
-        # would silently aggregate 0 rows (tests/test_events_ts_matrix.py
-        # pins both layouts against the batch aggregation).
-        stream = spark.readStream.schema(sch).parquet(path)
-    else:
-        # single-file layout (driver testdata): stream the parent dir with a
-        # filename glob so sibling tables' parquet files are excluded
-        stream = (
-            spark.readStream.schema(sch)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-    # same normalization choke point as the batch reader → TIMESTAMP_NTZ,
-    # timezone-independent; window() is NTZ-native since Spark 3.4
-    evt = _normalize_events_ts(stream)
+    # window() is NTZ-native since Spark 3.4; the stream shares the batch
+    # reader's normalization choke point
+    evt = _events_stream(spark, sf_dir)
     agg = evt.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
     # unique sink name: re-invocation in a shared session must not collide
     # with a previous run's registered memory table / query name
-    import uuid
-
-    sink = f"streaming_event_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        # fail loudly: returning the partially-filled memory sink would
-        # surface downstream as a confusing oracle value-mismatch instead
-        # of a clear timeout
-        raise RuntimeError(
-            "streaming_event_counts: AvailableNow query did not finish "
-            "within 300s"
-        )
+    sink = _drain_to_memory_sink(agg, "streaming_event_counts", "complete")
     # window over an NTZ event time is itself NTZ (naive UTC wall time),
     # so collection is host/session-TZ independent; the cast is a no-op
     # guard in case a future corpus reverts ts to an LTZ representation
@@ -156,6 +168,91 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAMING_EVENT_COUNTS_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
 FROM events GROUP BY ALL
+"""
+
+
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL JOIN (SURVEY §2.12 extension): click →
+    purchase attribution — every (click, purchase) pair of the same user
+    with the purchase within 1 hour of the click, computed by a real
+    Structured Streaming self-join with event-time watermarks on both
+    sides and a time-range join condition.
+
+    Scale shape: the range condition bounds the join state — each side
+    buffers only rows within watermark + 1 h of event time, so state is
+    O(arrival rate × horizon), not O(stream length); the join itself
+    shuffles both sides by user_id. AvailableNow over a static corpus
+    ingests everything in one micro-batch (no files arrive beyond it), so
+    the append-mode result equals the batch interval join and is
+    oracle-checkable; with live data the same query runs unchanged with
+    bounded state."""
+    from pyspark.sql import functions as F
+
+    from ..plans.operator_queries import ntz_epoch_micros
+
+    ev = _events_stream(spark, sf_dir)
+    # watermarks demand TIMESTAMP (LTZ): pin the naive NTZ instant to the
+    # epoch via µs math — timestamp_micros() fixes the instant regardless
+    # of session timezone, and every downstream use (watermark horizon,
+    # range condition, unix_micros diff) is instant arithmetic, so no
+    # wall-clock rendering ever leaks into the result (the round-3 LTZ
+    # lesson)
+    ts_l = F.timestamp_micros(ntz_epoch_micros(F.col("ts")))
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            ts_l.alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            ts_l.alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        on=(
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            )
+        ),
+        how="inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        # exact integer µs on both engines (whole-second diffs would
+        # truncate) — see sessionize_events
+        (
+            F.unix_micros(F.col("purchase_ts"))
+            - F.unix_micros(F.col("click_ts"))
+        ).alias("micros_to_purchase"),
+    )
+    sink = _drain_to_memory_sink(
+        joined, "streaming_click_purchase_join", "append"
+    )
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
+
+
+STREAMING_CLICK_PURCHASE_JOIN_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS micros_to_purchase
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
 """
 
 

@@ -138,6 +138,57 @@ def test_streaming_reader_handles_directory_layout(
     assert got == want and len(got) == 3
 
 
+@pytest.mark.parametrize("layout", ["single_file", "directory"])
+def test_stream_stream_interval_join_both_layouts(
+    spark, tmp_path_factory, layout
+) -> None:
+    """The click→purchase stream-stream interval join must yield exactly
+    the batch interval-join pairs in both physical layouts: same-user
+    purchases within [click, click+1h] match; later/earlier/other-user
+    purchases don't."""
+    from ecommerce_full_etl_process_spark.streaming.stream_pipeline import (
+        streaming_click_purchase_join,
+    )
+
+    t = dt.datetime(2024, 3, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    events = [
+        (1, t, 10, "click"),
+        (2, t + 30 * m, 10, "purchase"),   # 30 min after click 1 → match
+        (3, t + 90 * m, 10, "purchase"),   # 90 min → no match for click 1
+        (4, t, 20, "click"),               # user 20 never purchases
+        (5, t + 10 * m, 30, "purchase"),   # other user
+        (6, t - 10 * m, 20, "purchase"),   # before the click
+        (7, t + 20 * m, 10, "click"),      # matches 2 (10 min) and 3 (70m? no)
+    ]
+    d = str(tmp_path_factory.mktemp(f"ssjoin_{layout}"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([e[0] for e in events], pa.int64()),
+            "ts": pa.array([e[1] for e in events]).cast(pa.timestamp("us")),
+            "user_id": pa.array([e[2] for e in events], pa.int64()),
+            "event_type": pa.array([e[3] for e in events]),
+            "value": pa.array([1.0] * len(events), pa.float64()),
+            "props": pa.array(["{}"] * len(events)),
+        }
+    )
+    path = os.path.join(d, "events.parquet")
+    if layout == "single_file":
+        pq.write_table(tbl, path)
+    else:
+        os.makedirs(path)
+        pq.write_table(tbl, os.path.join(path, "part-0.parquet"))
+
+    got = sorted(
+        (r["click_id"], r["purchase_id"], r["micros_to_purchase"])
+        for r in streaming_click_purchase_join(spark, d).collect()
+    )
+    assert got == [
+        (1, 2, 30 * 60 * 1_000_000),
+        (7, 2, 10 * 60 * 1_000_000),
+    ]
+
+
 def test_corrupt_parquet_raises_original_error(spark, tmp_path_factory) -> None:
     """A corrupt footer (or any non-nanos read failure) must surface the
     ORIGINAL error and must NOT flip the session-wide nanosAsLong conf —
