@@ -52,6 +52,11 @@ HEADLINE = [
     "similarity_topk_ivf",
     "multimodal_features",
     "streaming_event_counts",
+    # round-5 curation + streaming additions
+    "line_dedup_corpus",
+    "corpus_prep_pipeline",
+    "bpe_merge_candidates",
+    "streaming_click_purchase_join",
 ]
 
 

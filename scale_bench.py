@@ -45,6 +45,10 @@ HEAVY = [
     "similarity_topk_ivf",
     "sessionize_events",
     "streaming_event_counts",
+    # round-5 additions: the new shuffle-bearing curation operators
+    "line_dedup_corpus",       # window by line + regroup by doc
+    "corpus_prep_pipeline",    # dedup window + per-source aggregate
+    "bpe_merge_candidates",    # vocab collapse + pair aggregate + top-k
 ]
 
 SCALE_ROOT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/repo/.scale")

@@ -114,6 +114,51 @@ def test_line_dedup_preserves_within_doc_order(spark):
     assert out[2]["cleaned_text"] == "d\ne"      # survivors keep their order
 
 
+import pytest
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_line_dedup_properties_random_corpus(spark, seed):
+    """Randomized invariants: every distinct corpus line survives exactly
+    once; each doc's kept lines are a subsequence of its original lines;
+    the surviving copy belongs to the smallest (doc_id, position) owner."""
+    import random
+
+    rng = random.Random(seed)
+    pool = [f"line{i}" for i in range(12)]  # small pool → many collisions
+    docs = [
+        (i, "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 8))))
+        for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = _rows(T.line_dedup(df, "doc_id", "text"))
+
+    orig = {i: t.split("\n") for i, t in docs}
+    all_kept = []
+    for i, lines in orig.items():
+        r = out[i]
+        kept = r["cleaned_text"].split("\n") if r["cleaned_text"] else []
+        all_kept.extend(kept)
+        assert r["n_lines"] == len(lines)
+        assert r["n_lines_kept"] == len(kept)
+        assert r["n_lines_removed"] == len(lines) - len(kept)
+        it = iter(lines)  # subsequence check
+        assert all(any(x == k for x in it) for k in kept)
+
+    distinct = {ln for lines in orig.values() for ln in lines}
+    assert sorted(all_kept) == sorted(distinct)  # each line exactly once
+
+    # the surviving copy is the globally first occurrence
+    first_owner = {}
+    for i in sorted(orig):
+        for pos, ln in enumerate(orig[i]):
+            first_owner.setdefault(ln, i)
+    for i in orig:
+        kept = out[i]["cleaned_text"].split("\n") if out[i]["cleaned_text"] else []
+        for ln in kept:
+            assert first_owner[ln] == i
+
+
 def test_bpe_pair_stats_planted(spark):
     df = spark.createDataFrame(
         [(1, "ab ab cd"), (2, "ab aaa")], "doc_id long, text string"
