@@ -334,6 +334,11 @@ _REGISTRY: dict[
         sp.streaming_click_purchase_join,
         sp.STREAMING_CLICK_PURCHASE_JOIN_ORACLE,
     ),
+    # round-5: ANALYZE-style per-column statistics (CBO / data-quality feed)
+    "table_stats_orders": (
+        oq.table_stats_orders,
+        oq.TABLE_STATS_ORDERS_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -1179,3 +1179,75 @@ SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style column profiling (the stats a cost-based optimizer feeds on)
+# ---------------------------------------------------------------------------
+
+#: columns profiled by table_stats_orders; o_orderdate is normalized to a
+#: DATE first so its string rendering is engine-identical
+_STATS_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def table_stats_orders(spark, sf_dir):
+    """Per-column table statistics over orders — row count, null count,
+    exact NDV, min/max — the ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    COLUMNS shape (what a cost-based optimizer and a data-quality monitor
+    both consume).
+
+    Scale shape: ONE aggregate over the table computes every column's
+    stats (count/min/max are map-side combined; the exact countDistincts
+    share the single Expand-based aggregate — the standard ANALYZE cost);
+    the melt to one-row-per-column happens on the single result row.
+    min/max are taken on the NATIVE type and cast to string only for the
+    uniform report schema (casting first would compare lexicographically).
+    """
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in _STATS_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__cnt"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = o.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"{c}__cnt")).alias("n_nulls"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in _STATS_COLS
+    ]
+    return row.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+
+
+def _table_stats_oracle() -> str:
+    parts = []
+    for c in _STATS_COLS:
+        expr = f"CAST({c} AS DATE)" if c == "o_orderdate" else c
+        parts.append(
+            f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
+            f"CAST(count(*) - count({expr}) AS BIGINT) AS n_nulls, "
+            f"CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct, "
+            f"CAST(min({expr}) AS VARCHAR) AS min_value, "
+            f"CAST(max({expr}) AS VARCHAR) AS max_value FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+TABLE_STATS_ORDERS_ORACLE = _table_stats_oracle()
