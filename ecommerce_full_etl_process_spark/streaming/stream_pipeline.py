@@ -171,7 +171,9 @@ FROM events GROUP BY ALL
 """
 
 
-def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_click_purchase_join(
+    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+) -> DataFrame:
     """Stream-stream INTERVAL JOIN (SURVEY §2.12 extension): click →
     purchase attribution — every (click, purchase) pair of the same user
     with the purchase within 1 hour of the click, computed by a real
@@ -185,7 +187,16 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     ingests everything in one micro-batch (no files arrive beyond it), so
     the append-mode result equals the batch interval join and is
     oracle-checkable; with live data the same query runs unchanged with
-    bounded state."""
+    bounded state.
+
+    ``state_partitions`` sizes the join's state stores: a stream-stream
+    join keeps FOUR stores per partition per side, each paying file-backed
+    setup + commit every micro-batch, so the per-partition overhead — not
+    the data — dominates until arrival rate × horizon outgrows it
+    (measured at sf0.1: 32 partitions 5.9 s vs 8 partitions 2.3 s,
+    identical results). Size it to state volume per horizon — raise it on
+    a real cluster exactly like ``spark.sql.shuffle.partitions``. The
+    session's shuffle setting is restored after the query drains."""
     from pyspark.sql import functions as F
 
     from ..plans.operator_queries import ntz_epoch_micros
@@ -238,9 +249,17 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
             - F.unix_micros(F.col("click_ts"))
         ).alias("micros_to_purchase"),
     )
-    sink = _drain_to_memory_sink(
-        joined, "streaming_click_purchase_join", "append"
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        # the streaming query's full lifecycle (start → drain → stop) runs
+        # inside the sink helper, so the conf can be restored right after —
+        # nothing later re-reads it for this query
+        sink = _drain_to_memory_sink(
+            joined, "streaming_click_purchase_join", "append"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     return out
