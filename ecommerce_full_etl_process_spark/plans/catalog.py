@@ -339,6 +339,13 @@ _REGISTRY: dict[
         oq.table_stats_orders,
         oq.TABLE_STATS_ORDERS_ORACLE,
     ),
+    # round-5: custom stateful streaming sessionization (applyInPandasWithState
+    # + event-time timeout) — emitted rows = batch sessions minus each user's
+    # still-open trailing session
+    "stateful_sessionize": (
+        sp.stateful_sessionize,
+        sp.STATEFUL_SESSIONIZE_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -275,6 +275,152 @@ FROM events c JOIN events p
 """
 
 
+def stateful_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Custom stateful streaming SESSIONIZATION via
+    ``applyInPandasWithState`` + event-time timeout (SURVEY §2.11/§2.12 —
+    the operator shape Spark's built-ins can't express when the per-group
+    logic outgrows ``session_window``): per user, an open session lives in
+    Arrow-backed group state; a gap > ``gap_minutes`` closes it and emits
+    one session row; the event-time timeout closes idle sessions when the
+    watermark passes last_seen + gap on a live stream.
+
+    Emission contract (what makes this oracle-checkable): a session row is
+    emitted when CLOSED — by an in-batch gap or by event-time timeout.
+    Under ``AvailableNow`` on a static corpus the data arrives in one
+    micro-batch, then the trigger runs a final empty batch with the
+    advanced watermark (global max ts − 1 h) that fires timeouts: every
+    non-final session closes by gap, and a user's FINAL session closes by
+    timeout iff its end + gap is older than that watermark (ms-truncated,
+    strict <). Only final sessions still inside the horizon stay in state
+    — exactly as on a live stream. The oracle's QUALIFY clause encodes
+    both conditions.
+
+    Scale shape: one shuffle by user_id into ``state_partitions`` state
+    stores (same sizing logic as the stream-stream join); per-group work
+    is a sorted scan of that batch's rows; state is one (start, last, n)
+    triple per user."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..plans.operator_queries import ntz_epoch_micros
+
+    ev = _events_stream(spark, sf_dir)
+    # Two time columns, one job each: ``ts`` (LTZ) exists ONLY for the
+    # watermark/timeout machinery; ``t_us`` carries the instant as epoch µs
+    # computed JVM-side. The pandas function must never read ``ts`` —
+    # Arrow renders LTZ timestamps in the SESSION timezone, so epoch math
+    # done python-side would shift by the TZ offset under a non-UTC
+    # session (caught by the bare-session TZ=America/New_York check).
+    stream = ev.select(
+        "user_id",
+        F.timestamp_micros(ntz_epoch_micros(F.col("ts"))).alias("ts"),
+        ntz_epoch_micros(F.col("ts")).alias("t_us"),
+    ).withWatermark("ts", "1 hour")
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    output_schema = (
+        "user_id long, session_start_us long, session_end_us long, "
+        "n_events long"
+    )
+    state_schema = "start long, last long, n long"
+
+    # self-contained closure: no module-level references (cloudpickle)
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        uid = key[0]
+        out = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            out.append((uid, start, last, n))
+            state.remove()
+        else:
+            start, last, n = state.get if state.exists else (None, 0, 0)
+            ts = []
+            for pdf in pdfs:
+                ts.extend(int(v) for v in pdf["t_us"])
+            for t in sorted(ts):
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_us:
+                    out.append((uid, start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = max(last, t), n + 1
+            if start is not None:
+                state.update((start, last, n))
+                # event-time timeout: fires when watermark > last + gap
+                state.setTimeoutTimestamp((last + gap_us) // 1000)
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "session_start_us",
+                "session_end_us",
+                "n_events",
+            ],
+        )
+
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        sink = _drain_to_memory_sink(sessions, "stateful_sessionize", "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
+
+
+STATEFUL_SESSIONIZE_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events
+),
+flagged AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > 30 * 60 * 1000000
+              OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sess AS (
+  SELECT user_id, t,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY t
+           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, sid,
+         min(t) AS session_start_us, max(t) AS session_end_us,
+         count(*) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM agg
+-- emitted = closed sessions: every non-final session (closed by gap) plus
+-- final sessions whose timeout fired in the trailing empty micro-batch —
+-- i.e. (end + gap) in ms-truncated event time is strictly below the final
+-- watermark (global max ts, ms-truncated, minus the 1 h delay)
+QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
+     OR (session_end_us + 30 * 60 * 1000000) // 1000
+        < (SELECT max(t) FROM e) // 1000 - 3600 * 1000
+"""
+
+
 def stateful_user_totals(tx_stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user running (n_tx, total_spend) maintained across micro-batches in

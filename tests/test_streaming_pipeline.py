@@ -185,6 +185,64 @@ def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
     ] == [("2026-02-01 00:00:00", "success", 1)]
 
 
+def test_stateful_sessionize_emission_cases(spark, tmp_path):
+    """Pins the three emission cases of the stateful sessionizer: a
+    gap-closed session emits, a final session old enough for the
+    event-time timeout emits, a final session still inside the watermark
+    horizon stays in state (not emitted)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecommerce_full_etl_process_spark.streaming.stream_pipeline import (
+        stateful_sessionize,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: session A (3 events), then session B after a 70-min gap
+        (1, t0, 1), (2, t0 + 10 * m, 1), (3, t0 + 20 * m, 1),
+        (4, t0 + 90 * m, 1),
+        # user 2: final session ending 18:50 → timeout 19:20 > wm 19:00 → open
+        (5, t0 + 525 * m, 2), (6, t0 + 530 * m, 2),
+        # user 99: drives the watermark to 19:00; its own session stays open
+        (7, t0 + 600 * m, 99),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows]).cast(pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    d = str(tmp_path / "sess_events")
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+
+    def us(delta_min):
+        # naive wall time treated as UTC — matches ntz_epoch_micros, and
+        # keeps the expectation independent of the host timezone
+        aware = (t0 + delta_min * m).replace(tzinfo=dt.timezone.utc)
+        return int(aware.timestamp() * 1_000_000)
+
+    got = sorted(
+        tuple(r)
+        for r in stateful_sessionize(spark, d).select(
+            "user_id", "session_start_us", "session_end_us", "n_events"
+        ).collect()
+    )
+    assert got == [
+        (1, us(0), us(20), 3),    # closed by the 70-min gap
+        (1, us(90), us(90), 1),   # final but old → closed by timeout
+        # user 2 and user 99: final sessions inside the horizon — in state
+    ]
+
+
 def test_tablestore_schema_evolution_on_read(spark, tmp_path):
     """Appending files with an added column: readers see the union schema
     when mergeSchema is requested — the long-lived-warehouse evolution
