@@ -19,6 +19,85 @@ from pyspark.sql import functions as F
 SCALE_FLOOR = 1e-12
 
 
+def _quantize_arr(arr) -> "F.Column":
+    """array<float> → array<long> of int8 levels (engine-side round so the
+    SQL oracle's round() makes the identical choice)."""
+    v = F.transform(arr, lambda x: x.cast("double"))
+    scale = (
+        F.greatest(
+            F.array_max(F.transform(v, lambda x: F.abs(x))),
+            F.lit(SCALE_FLOOR),
+        )
+        / F.lit(127.0)
+    )
+    return F.transform(v, lambda x: F.round(x / scale, 0).cast("long"))
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    shortlist: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN over int8-quantized vectors: shortlist by an
+    INTEGER-ONLY approximate cosine, then exact float rescoring of the
+    shortlist — the standard serving pattern for quantized indexes
+    (score cheap on compressed vectors, rescore the few survivors).
+
+    The approximate score needs no scales at all: with symmetric
+    per-vector quantization, cos(v, q) ≈ Σ qv·qq / (√Σqv² · √Σqq²) — the
+    scale factors cancel — so stage 1 runs entirely on small integers
+    (every term < 2^21, exact in both engines). Stage 2 re-scores only
+    ``shortlist`` rows against the float query and takes the final top-k;
+    both orderings are on 6-dp-rounded scores with an id tie-break, so the
+    result is deterministic and oracle-checkable.
+
+    Scale shape: stage 1 is a pure map over the corpus + TakeOrdered(40);
+    stage 2 touches 40 rows. At 100 TB the int8 index is what you SCAN
+    (4× less I/O than float32); the float rescore reads only the
+    shortlist."""
+    qq = _quantize_arr(F.col("q"))
+    qv = _quantize_arr(F.col(vec_col))
+    num = F.aggregate(
+        F.zip_with(qv, qq, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda a: F.aggregate(  # noqa: E731
+        F.transform(a, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    na, nb = sq(qv), sq(qq)
+    approx = F.when(
+        (na > 0) & (nb > 0),
+        F.round(num / F.sqrt((na * nb).cast("double")), 6),
+    ).otherwise(F.lit(0.0))
+    staged = (
+        embeddings.crossJoin(F.broadcast(query))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("q"),
+            approx.alias("approx_sim"),
+        )
+        .orderBy(F.desc("approx_sim"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    from .similarity import cosine
+
+    return (
+        staged.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("q")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Per-vector int8 quantization with quality accounting.
 

@@ -346,6 +346,11 @@ _REGISTRY: dict[
         sp.stateful_sessionize,
         sp.STATEFUL_SESSIONIZE_ORACLE,
     ),
+    # round-5: two-stage quantized ANN (int8 shortlist → float rescore)
+    "similarity_topk_quantized": (
+        lq.similarity_topk_quantized,
+        lq.SIMILARITY_TOPK_QUANTIZED_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

