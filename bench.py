@@ -57,6 +57,8 @@ HEADLINE = [
     "corpus_prep_pipeline",
     "bpe_merge_candidates",
     "streaming_click_purchase_join",
+    "stateful_sessionize",
+    "similarity_topk_quantized",
 ]
 
 
