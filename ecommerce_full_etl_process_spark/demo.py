@@ -9,6 +9,11 @@ Usage:
 
 Exit code 0 iff the run succeeds AND all QA checks pass (the reference's
 PASS/FAIL report, demo.ipynb cell 26).
+
+Corpus mode (beyond-reference): ``--corpus /root/testdata/sf0.01`` prints
+the training-corpus curation report instead — per-source funnel, near-dup
+pairs, packing and quantization summaries, each with a PASS/FAIL
+invariant.
 """
 
 from __future__ import annotations
@@ -55,8 +60,78 @@ def qa_checks(store: TableStore) -> dict[str, int]:
     }
 
 
+def corpus_report(spark, sf_dir: str) -> int:
+    """Training-corpus curation report (the LLM-pipeline counterpart of
+    the ETL QA report): per-source curation funnel, near-dup pairs,
+    packing and quantization summaries, each with a PASS/FAIL invariant.
+    Exit code 0 iff every invariant holds."""
+    from .plans import llm_queries as lq
+
+    print(f"== corpus curation report over {sf_dir} ==")
+    funnel = lq.corpus_prep_pipeline(spark, sf_dir).orderBy("source").collect()
+    print(f"  {'source':<8} {'docs':>6} {'quality':>8} {'dup':>5} "
+          f"{'contam':>7} {'final':>6} {'tokens':>9}")
+    ok = True
+    for r in funnel:
+        print(f"  {r['source']:<8} {r['n_docs']:>6} "
+              f"{r['n_quality_rejected']:>8} {r['n_dup_removed']:>5} "
+              f"{r['n_contaminated']:>7} {r['n_final']:>6} "
+              f"{r['tokens_final']:>9}")
+        ok = ok and (
+            r["n_quality_rejected"] + r["n_dup_removed"]
+            + r["n_contaminated"] + r["n_final"] == r["n_docs"]
+        )
+    print(f"  [{'PASS' if ok else 'FAIL'}] funnel stages sum to n_docs")
+
+    pairs = lq.minhash_lsh_neardups(spark, sf_dir)
+    n_pairs = pairs.count()
+    n_below = pairs.where(F.col("jaccard_sim") < 0.5).count()
+    print(f"== near-duplicates (MinHash+LSH): {n_pairs} verified pairs ==")
+    mark = n_below == 0
+    ok = ok and mark
+    print(f"  [{'PASS' if mark else 'FAIL'}] all pairs >= 0.5 jaccard "
+          f"({n_below} below)")
+
+    packs = lq.token_budget_packing(spark, sf_dir).collect()
+    total_fill = sum(r["n_tokens"] for r in packs)
+    print(f"== packing: {len(packs)} bins, {total_fill} tokens ==")
+    # bins per language must be gapless 0..max (the prefix-sum assignment
+    # can overfill a bin by at most one straddling doc, never skip one)
+    by_lang: dict[str, list[int]] = {}
+    for r in packs:
+        by_lang.setdefault(r["lang"], []).append(r["bin"])
+    gaps = {
+        lang: bins
+        for lang, bins in by_lang.items()
+        if sorted(bins) != list(range(max(bins) + 1))
+    }
+    mark = not gaps
+    ok = ok and mark
+    print(f"  [{'PASS' if mark else 'FAIL'}] bins gapless per language "
+          f"({len(gaps)} languages with gaps)")
+
+    quant = lq.embedding_quantization(spark, sf_dir)
+    bad_q = quant.where(
+        (F.col("max_q") > 127) | (F.col("rmse") > F.col("scale") / 2 + 1e-9)
+    ).count()
+    print(f"== int8 quantization: {quant.count()} vectors ==")
+    mark = bad_q == 0
+    ok = ok and mark
+    print(f"  [{'PASS' if mark else 'FAIL'}] levels <= 127 and "
+          f"rmse <= scale/2 ({bad_q} violations)")
+
+    print("RESULT:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--corpus",
+        metavar="SF_DIR",
+        help="run the training-corpus curation report over this testdata "
+        "dir instead of the ETL demo",
+    )
     ap.add_argument("--today", default="2026-02-02")
     ap.add_argument("--users", type=int, default=100)
     ap.add_argument("--products", type=int, default=25)
@@ -69,6 +144,8 @@ def main(argv: list[str] | None = None) -> int:
     today = datetime.strptime(args.today, "%Y-%m-%d").date()
     spark = get_spark(app_name="etl-demo")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.corpus:
+        return corpus_report(spark, args.corpus)
     store = TableStore(spark, args.warehouse)
 
     print(f"== populate: {args.users} users, {args.products} products, "

@@ -5,6 +5,11 @@ from __future__ import annotations
 from ecommerce_full_etl_process_spark import demo
 
 
+def test_demo_corpus_report_passes(spark, sf_dir):
+    rc = demo.main(["--corpus", sf_dir])
+    assert rc == 0
+
+
 def test_demo_main_passes(spark, tmp_path):
     rc = demo.main(
         [
