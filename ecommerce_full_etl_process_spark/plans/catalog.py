@@ -351,6 +351,11 @@ _REGISTRY: dict[
         lq.similarity_topk_quantized,
         lq.SIMILARITY_TOPK_QUANTIZED_ORACLE,
     ),
+    # round-5: stream-static dimension enrichment (broadcast, stateless)
+    "streaming_enriched_segment_counts": (
+        sp.streaming_enriched_segment_counts,
+        sp.STREAMING_ENRICHED_SEGMENT_COUNTS_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

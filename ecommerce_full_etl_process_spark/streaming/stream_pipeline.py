@@ -275,6 +275,46 @@ FROM events c JOIN events p
 """
 
 
+def streaming_enriched_segment_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-STATIC dimension enrichment (SURVEY §2.12 — the third
+    streaming join type next to the interval self-join and foreachBatch):
+    the events stream joins a static customer dimension (broadcast,
+    stateless — no watermark or join state needed; the dim is re-resolved
+    per micro-batch, so a dim refresh between batches is picked up) and
+    aggregates counts by market segment × event type.
+
+    Scale shape: the dim broadcasts (or hash-joins if large); the only
+    stateful piece is the complete-mode aggregate, map-side combined."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = _events_stream(spark, sf_dir)
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = _drain_to_memory_sink(
+        agg, "streaming_enriched_segment_counts", "complete"
+    )
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
+
+
+STREAMING_ENRICHED_SEGMENT_COUNTS_ORACLE = """
+SELECT c_mktsegment, event_type, count(*) AS n
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY ALL
+"""
+
+
 def stateful_sessionize(
     spark: SparkSession,
     sf_dir: str,
