@@ -272,7 +272,8 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def line_dedup(
     df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
 ) -> DataFrame:
-    """C4-style global line deduplication (Raffel et al. 2020 §2.2): any
+    """C4-style global line deduplication (Raffel et al. 2020 §2.2;
+    ``sep`` is a Java regex — escape metacharacters for literals): any
     line occurring more than once in the ENTIRE corpus keeps only its
     first occurrence (smallest (doc, position)); every later occurrence
     is removed and each document is reassembled from its surviving lines

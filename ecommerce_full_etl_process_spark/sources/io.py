@@ -118,11 +118,22 @@ class TableStore:
             empty = self.spark.createDataFrame([], schema)
             self.overwrite(table, empty)
 
-    def read(self, table: str) -> DataFrame:
-        version = self._current_version(table)
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Read the current version, or time-travel to an explicit
+        ``version`` that retention (``vacuum``) has kept."""
         if version is None:
-            raise FileNotFoundError(f"table {table!r} not found in {self.root}")
-        return self.spark.read.parquet(self._data_dir(table, version))
+            version = self._current_version(table)
+            if version is None:
+                raise FileNotFoundError(
+                    f"table {table!r} not found in {self.root}"
+                )
+        path = self._data_dir(table, version)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"table {table!r} has no version {version} on disk "
+                "(vacuumed or never written)"
+            )
+        return self.spark.read.parquet(path)
 
     def overwrite(
         self, table: str, df: DataFrame, partition_by: list[str] | None = None
@@ -164,7 +175,11 @@ class TableStore:
         and (b) versions older than the newest ``keep_versions`` at or below
         the pointer (time-travel retention). Never touches the live version,
         so it is safe to run concurrently with readers of the current
-        manifest (the same contract as Delta's VACUUM, SURVEY §7.5).
+        manifest (the same contract as Delta's VACUUM, SURVEY §7.5) — but
+        NOT concurrently with a writer: an in-flight overwrite's v=n+1 dir
+        looks exactly like torn debris until its manifest flip. Run vacuum
+        from the same scheduler slot as writes (the reference's pipeline is
+        single-writer-per-table by construction).
         """
         import re
         import shutil

@@ -105,6 +105,27 @@ def test_vacuum_removes_torn_and_aged_versions_only(spark, tmp_path):
     assert store.vacuum("t", keep_versions=2) == []  # idempotent
 
 
+def test_time_travel_read_and_vacuum_boundary(spark, tmp_path):
+    """read(table, version=n) serves retained history; a vacuumed or
+    never-written version raises loudly instead of returning garbage."""
+    import pytest
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    for tag in ("v1", "v2", "v3"):
+        store.overwrite("t", _df(spark, tag, n=1))
+
+    assert _values(store, "t") == {"v3-0"}
+    assert {r["v"] for r in store.read("t", version=1).collect()} == {"v1-0"}
+    assert {r["v"] for r in store.read("t", version=2).collect()} == {"v2-0"}
+
+    store.vacuum("t", keep_versions=2)  # drops v=1, keeps v=2 (retention)
+    assert {r["v"] for r in store.read("t", version=2).collect()} == {"v2-0"}
+    with pytest.raises(FileNotFoundError, match="no version 1"):
+        store.read("t", version=1)
+    with pytest.raises(FileNotFoundError, match="no version 9"):
+        store.read("t", version=9)
+
+
 def test_vacuum_on_missing_table_is_noop(spark, tmp_path):
     store = TableStore(spark, str(tmp_path / "wh"))
     assert store.vacuum("never_created") == []
