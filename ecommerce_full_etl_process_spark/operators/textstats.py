@@ -326,6 +326,58 @@ def line_dedup(
     )
 
 
+def repeated_span_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Cross-document repeated-span detection — the ExactSubstr dedup
+    signal (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better") at fixed n-token granularity: for every doc, how many
+    of its token n-grams also occur in at least one OTHER document.
+    High ``repeated_frac`` docs are templated/boilerplate/leaked content
+    that span-level dedup would cut.
+
+    Scale shape: one explode + one map-side-combined groupBy over gram
+    hashes (the same distribution as exact dedup), a semi-join of the
+    gram stream against the (small) repeated-hash set, and a regroup by
+    doc. Hashes are md5 strings computed identically in both engines.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col), F.explode(grams).alias("gh"))
+    rep = (
+        g.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = g.join(rep, "gh").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_repeated")
+    )
+    base = df.select(F.col(id_col), cnt.cast("long").alias("n_grams"))
+    return base.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_repeated", F.lit(0)).alias("n_repeated"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(
+                F.coalesce("n_repeated", F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("repeated_frac"),
+    )
+
+
 def bpe_pair_stats(
     df: DataFrame, text_col: str, top_k: int = 20
 ) -> DataFrame:

@@ -356,6 +356,11 @@ _REGISTRY: dict[
         sp.streaming_enriched_segment_counts,
         sp.STREAMING_ENRICHED_SEGMENT_COUNTS_ORACLE,
     ),
+    # round-5: ExactSubstr-style cross-doc repeated-span signal
+    "repeated_ngram_spans": (
+        lq.repeated_ngram_spans,
+        lq.REPEATED_NGRAM_SPANS_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

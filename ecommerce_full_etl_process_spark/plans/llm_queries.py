@@ -1186,6 +1186,53 @@ FROM v
 """
 
 
+def repeated_ngram_spans(spark, sf_dir):
+    """Cross-doc repeated-span stats (ExactSubstr-style dedup signal) over
+    the corpus with every 20th doc re-planted verbatim: clone 8-grams are
+    cross-doc repeats by construction (repeated_frac = 1.0 for clones and
+    their originals), while random-word docs share no 8-gram. See
+    operators/textstats.repeated_span_stats for the scale shape."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = d.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2 * OFFSET).alias("doc_id"), "text"
+    )
+    return T.repeated_span_stats(d.unionByName(clones), "doc_id", "text", n=8)
+
+
+REPEATED_NGRAM_SPANS_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {2 * OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % 20 = 0
+),
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM src),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 8
+         THEN [md5(array_to_string(w[i:i+7], ' '))
+               for i in range(1, len(w) - 6)]
+         ELSE [] END) AS gh
+  FROM toks
+),
+rep AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+hits AS (
+  SELECT doc_id, count(*) AS n_repeated
+  FROM grams JOIN rep USING (gh) GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST(greatest(len(w) - 7, 0) AS BIGINT) AS n_grams
+  FROM toks
+)
+SELECT b.doc_id, b.n_grams,
+       CAST(coalesce(h.n_repeated, 0) AS BIGINT) AS n_repeated,
+       CASE WHEN b.n_grams > 0
+            THEN round(coalesce(h.n_repeated, 0)::DOUBLE / b.n_grams, 6)
+            ELSE 0.0 END AS repeated_frac
+FROM base b LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def bpe_merge_candidates(spark, sf_dir):
     """Top-20 BPE merge candidates over the corpus (the first tokenizer-
     training iteration). See operators/textstats.bpe_pair_stats: pair

@@ -202,6 +202,27 @@ def test_corpus_prep_funnel_is_exhaustive(spark, sf_dir):
         assert r["tokens_final"] > 0
 
 
+def test_repeated_span_stats_planted(spark):
+    """A shared 8-gram embedded mid-document flags BOTH docs; repetition
+    within a single doc does not count (cross-doc distinct-count ≥ 2)."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} u1 u2"),          # 3 grams, 1 repeated (leading)
+            (2, f"v1 v2 {shared}"),          # 3 grams, 1 repeated (trailing)
+            (3, "a b c d e f g h i j"),      # all unique → 0
+            (4, " ".join(["w"] * 16)),       # in-doc repeats only → 0
+        ],
+        "doc_id long, text string",
+    )
+    out = _rows(T.repeated_span_stats(df, "doc_id", "text", n=8))
+    assert (out[1]["n_grams"], out[1]["n_repeated"]) == (3, 1)
+    assert out[1]["repeated_frac"] == round(1 / 3, 6)
+    assert (out[2]["n_grams"], out[2]["n_repeated"]) == (3, 1)
+    assert (out[3]["n_grams"], out[3]["n_repeated"]) == (3, 0)
+    assert (out[4]["n_grams"], out[4]["n_repeated"]) == (9, 0)
+
+
 def test_quantize_int8_planted(spark):
     df = spark.createDataFrame(
         [(1, [1.0, -2.54, 0.0]), (2, [0.0, 0.0])],
