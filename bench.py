@@ -59,6 +59,8 @@ HEADLINE = [
     "streaming_click_purchase_join",
     "stateful_sessionize",
     "similarity_topk_quantized",
+    "repeated_ngram_spans",
+    "streaming_enriched_segment_counts",
 ]
 
 
