@@ -1410,13 +1410,15 @@ sc AS (
   FROM embeddings
 ),
 approx AS (
+  -- no rounding: every term is an exactly-representable integer, so the
+  -- float64 score is bit-identical across engines/kernels
   SELECT vec_id, embedding,
-         round(CASE WHEN list_dot_product(qv, qv) > 0
-                     AND list_dot_product(qq, qq) > 0
-               THEN list_dot_product(qv, qq)
-                    / sqrt((list_dot_product(qv, qv)
-                            * list_dot_product(qq, qq))::DOUBLE)
-               ELSE 0.0 END, 6) AS approx_sim
+         CASE WHEN list_dot_product(qv, qv) > 0
+               AND list_dot_product(qq, qq) > 0
+              THEN list_dot_product(qv, qq)
+                   / sqrt((list_dot_product(qv, qv)
+                           * list_dot_product(qq, qq))::DOUBLE)
+              ELSE 0.0 END AS approx_sim
   FROM sc, qq
 ),
 short AS (

@@ -141,6 +141,24 @@ def test_quantized_topk_recall_contract(spark):
     assert recall >= 0.9, f"recall@10 = {recall:.2f} < 0.9"
 
 
+def test_quantized_topk_kernels_identical_rows(spark, sf_dir):
+    """The Arrow numpy stage-1 kernel and the JVM HOF oracle-reference
+    kernel must return identical (vec_id, cos_sim) rows — stage-1 scores
+    are integer-exact float64 in both, so even the unrounded ordering
+    agrees."""
+    import os
+
+    from ecommerce_full_etl_process_spark.operators.quantize import (
+        quantized_topk,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    a = [tuple(r) for r in quantized_topk(e, q, kernel="numpy").collect()]
+    b = [tuple(r) for r in quantized_topk(e, q, kernel="hof").collect()]
+    assert a == b and len(a) == 10
+
+
 def test_quantize_shortlist_never_exceeds_exact_scores(spark):
     """The rescored top-k scores are true cosines: each returned cos_sim
     must equal the brute-force score for the same vec_id (the quantized
