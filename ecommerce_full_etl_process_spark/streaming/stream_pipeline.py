@@ -319,7 +319,7 @@ def stateful_sessionize(
     spark: SparkSession,
     sf_dir: str,
     gap_minutes: int = 30,
-    state_partitions: int = 8,
+    state_partitions: int = 16,
 ) -> DataFrame:
     """Custom stateful streaming SESSIONIZATION via
     ``applyInPandasWithState`` + event-time timeout (SURVEY §2.11/§2.12 —
@@ -341,9 +341,12 @@ def stateful_sessionize(
     both conditions.
 
     Scale shape: one shuffle by user_id into ``state_partitions`` state
-    stores (same sizing logic as the stream-stream join); per-group work
-    is a sorted scan of that batch's rows; state is one (start, last, n)
-    triple per user."""
+    stores; per-group work is a sorted scan of that batch's rows; state
+    is one (start, last, n) triple per user. Unlike the stream-stream
+    join (4 stores/partition/side — fewer partitions win), the cost here
+    is the per-group PYTHON apply, so parallelism wins: measured at
+    sf0.1, 16 partitions 3.5 s vs 8 partitions 4.1 s vs 2 partitions
+    6.8 s. Size to python-worker parallelism, not store count."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
