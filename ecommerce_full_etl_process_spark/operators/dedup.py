@@ -493,6 +493,114 @@ def _cc_driver_union_find(spark, edge_rows, id_a: str, id_b: str) -> DataFrame:
     return spark.createDataFrame(data, schema)
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., *Connected Components in MapReduce and
+    Beyond*, SoCC'14) → (node, comp) with comp = min node id, identical to
+    :func:`connected_components`.
+
+    Why a second distributed algorithm: min-label propagation needs
+    O(component diameter) rounds — fine for shallow near-dup clusters, but a
+    chain-shaped graph (e.g. consecutive-page dedup, sessions stitched by
+    overlap) of length d costs d rounds, each a full join job. Star
+    contraction converges in O(log d) rounds because every round re-points
+    nodes directly at their neighborhood minimum, halving tree heights:
+
+    - **large-star** (per node u): for every neighbor v > u, re-point v at
+      m = min(N(u) ∪ {u}).
+    - **small-star** (per node u, edges directed high→low): re-point every
+      neighbor v < u (and u itself) at m = min(N(u) ∪ {u}).
+
+    Both steps are one groupBy-min plus one join — no explode of neighbor
+    sets, so a hot node (huge component hub) costs a skewed-but-AQE-
+    splittable aggregation, never a driver-side list. Converged when the
+    edge set is a star forest: every surviving edge already points at its
+    component minimum. Each round localCheckpoints to cut lineage exactly
+    like the min-label loop.
+    """
+    spark = pairs.sparkSession
+    # symmetric edge list, self-loops dropped
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # ---- large-star: u's min over N(u) ∪ {u}; re-point v>u at it
+        mins = edges.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            edges.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # large-star keeps the graph symmetric-connected: re-symmetrize
+        sym = (
+            large.union(
+                large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star: direct edges high→low, group per high endpoint
+        down = sym.where(F.col("v") < F.col("u"))
+        smins = down.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            down.join(smins, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_edges = (
+            small.union(
+                small.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged when every directed edge already points at a local
+        # minimum that is itself a root: i.e. the high→low projection is a
+        # star forest — no node is BOTH a source of a down-edge and the
+        # target of one from a lower root. Cheap scan-only check: the edge
+        # set reaches a fixed point.
+        if (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        ):
+            edges = new_edges
+            break
+        edges = new_edges
+    # star forest → labels: every down-edge (u→v) says comp(u)=v; roots
+    # (min nodes) label themselves.
+    down = edges.where(F.col("v") < F.col("u"))
+    labels = down.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = (
+        edges.select(F.col("u").alias("node"))
+        .exceptAll(down.select(F.col("u").alias("node")))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    return labels.unionByName(roots)
+
+
 def corpus_dedup_keep_list(
     df: DataFrame,
     id_col: str,

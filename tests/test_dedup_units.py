@@ -100,6 +100,57 @@ def test_connected_components_paths_agree(spark):
 def test_connected_components_empty(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert D.connected_components(pairs).count() == 0
+    assert D.connected_components_star(pairs).count() == 0
+
+
+def test_connected_components_star_agrees(spark):
+    """Large-star/small-star contraction must label identically to the DSU
+    fast path on the mixed-topology graph, a long chain (the high-diameter
+    case star contraction exists for), and random graphs."""
+    import random
+
+    rng = random.Random(7)
+    cases = []
+    mixed = [(2, 9), (9, 4), (4, 2), (50, 60), (50, 70), (99, 98)]
+    mixed += [(10 + i, 11 + i) for i in range(6)]
+    cases.append(mixed)
+    # 60-node chain: diameter 59, min-label would need ~59 rounds but star
+    # contraction must finish inside the default max_iter=20 (O(log d))
+    cases.append([(100 + i, 101 + i) for i in range(60)])
+    for seed in (1, 2):
+        r = random.Random(seed)
+        cases.append(
+            [(r.randrange(40), r.randrange(40)) for _ in range(50)]
+        )
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        rng.shuffle(edges)
+        pairs = spark.createDataFrame(
+            edges, "id_a long, id_b long"
+        ).localCheckpoint(eager=True)
+        dsu = {
+            (r["node"], r["comp"])
+            for r in D.connected_components(pairs).collect()
+        }
+        star = {
+            (r["node"], r["comp"])
+            for r in D.connected_components_star(pairs).collect()
+        }
+        assert star == dsu, f"star CC diverged on {sorted(edges)[:5]}..."
+
+
+def test_connected_components_star_chain_round_count(spark):
+    """The chain case must converge well under max_iter — cap rounds at 8
+    (log2(60) ≈ 6) to pin the O(log d) behavior, not just the answer."""
+    edges = [(i, i + 1) for i in range(40)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long").localCheckpoint(
+        eager=True
+    )
+    out = {
+        (r["node"], r["comp"])
+        for r in D.connected_components_star(pairs, max_iter=8).collect()
+    }
+    assert out == {(i, 0) for i in range(41)}
 
 
 def test_simhash_kernels_bit_identical(spark, sf_dir):
