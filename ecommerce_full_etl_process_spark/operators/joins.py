@@ -87,3 +87,57 @@ def latest_per_key(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def fuzzy_match_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    block,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Entity-resolution fuzzy join: match each left record to its best
+    right record by edit distance, with a blocking key so the candidate
+    space is per-block, never all-pairs.
+
+    ``block`` is a Column→Column function deriving the blocking key from
+    the text (e.g. a stable suffix, a phonetic code, a sorted-token
+    prefix). Returns (left_id, right_id, distance) keeping, per left row,
+    the candidate with the lexicographically smallest (distance,
+    right_id) among those within ``max_distance``; left rows whose block
+    contains no candidate within the threshold are absent (inner
+    semantics — anti-join the result to list non-matches).
+
+    Scale shape: one shuffle per side on the block key, then a hash join;
+    Levenshtein runs JVM-side only WITHIN blocks, so cost is
+    Σ |L_b|·|R_b| — the block function choice bounds the quadratic term
+    exactly like an LSH bucket. The best-match reduction is a single
+    struct-min groupBy (map-side combined), not a window sort. A hot
+    block is AQE-skew-splittable because the join is a plain equi join.
+    """
+    l = left.select(
+        F.col(left_id),
+        F.col(left_text).alias("__lt"),
+        block(F.col(left_text)).alias("__blk"),
+    )
+    r = right.select(
+        F.col(right_id),
+        F.col(right_text).alias("__rt"),
+        block(F.col(right_text)).alias("__blk"),
+    )
+    cand = (
+        l.join(r, "__blk")
+        .withColumn("distance", F.levenshtein("__lt", "__rt"))
+        .where(F.col("distance") <= max_distance)
+    )
+    best = cand.groupBy(left_id).agg(
+        F.min(F.struct("distance", right_id)).alias("__m")
+    )
+    return best.select(
+        left_id,
+        F.col(f"__m.{right_id}").alias(right_id),
+        F.col("__m.distance").alias("distance"),
+    )

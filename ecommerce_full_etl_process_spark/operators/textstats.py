@@ -416,6 +416,54 @@ def bpe_pair_stats(
     )
 
 
+def trigram_lm_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Char-trigram language-model scoring — the CCNet/KenLM-style
+    perplexity signal for corpus quality filtering, self-trained on the
+    scored corpus: a document full of rare character sequences (mojibake,
+    base64 blobs, boilerplate markup) scores a low average log-probability
+    and can be dropped by thresholding.
+
+    Returns (id, n_trigrams, n_distinct, avg_logprob) where avg_logprob =
+    Σ c_dt·ln(c_tg/total) / Σ c_dt over the doc's trigrams (c_dt = count in
+    doc, c_tg = corpus count).
+
+    Scale shape: ONE explode pass over the corpus (row-local fan-out, no
+    shuffle); per-(doc, trigram) counts are map-side combined; the corpus
+    model is derived by re-aggregating those counts (no second scan) and is
+    vocab-bounded (≤ |charset|³ rows) so it BROADCASTS back for scoring —
+    the only corpus-keyed shuffle is the (doc_id, trigram) groupBy. At
+    100 TB the model stays a few MB; nothing grows with corpus size except
+    the two map-side-combinable aggregations.
+    """
+    t = F.lower(F.col(text_col))
+    grams = F.when(
+        F.length(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 2),
+            lambda i: F.substring(t, i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per = (
+        df.select(F.col(id_col), F.explode(grams).alias("tg"))
+        .groupBy(id_col, "tg")
+        .agg(F.count(F.lit(1)).alias("c_dt"))
+    )
+    model = per.groupBy("tg").agg(F.sum("c_dt").alias("c"))
+    total = model.agg(F.sum("c").cast("double").alias("total"))
+    scored = per.join(F.broadcast(model), "tg").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.sum("c_dt").alias("n_trigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.sum(F.col("c_dt") * F.log(F.col("c") / F.col("total")))
+            / F.sum("c_dt"),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     (the canonical-form hash used for exact dedup across formatting)."""

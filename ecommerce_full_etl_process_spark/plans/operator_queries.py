@@ -1251,3 +1251,67 @@ def _table_stats_oracle() -> str:
 
 
 TABLE_STATS_ORDERS_ORACLE = _table_stats_oracle()
+
+
+def fuzzy_name_match(spark, sf_dir):
+    """Entity resolution over customer names: three deterministic
+    corruption classes (char deletion, separator swap, digits masked) are
+    derived in-query, then matched back to the canonical side with
+    suffix-blocking + Levenshtein ≤ 2 best-match
+    (operators/joins.fuzzy_match_join). The digits-masked class lands in
+    an empty block, pinning the no-match path. Mirrors the reference's
+    dirty-data repair theme (ETL/validation normalization) as a set-based
+    blocked join instead of per-row lookups."""
+    from ..operators.joins import fuzzy_match_join
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    key = F.col("c_custkey")
+    d0 = c.where(key % 7 == 0).select(
+        key.alias("dirty_id"),
+        F.concat(
+            F.substring("c_name", 1, 2), F.expr("substring(c_name, 4)")
+        ).alias("name"),
+    )
+    d3 = c.where(key % 7 == 3).select(
+        key.alias("dirty_id"), F.translate("c_name", "#", "-").alias("name")
+    )
+    d5 = c.where(key % 7 == 5).select(
+        key.alias("dirty_id"),
+        F.regexp_replace("c_name", "[0-9]", "X").alias("name"),
+    )
+    dirty = d0.unionByName(d3).unionByName(d5)
+    return fuzzy_match_join(
+        dirty,
+        c,
+        "dirty_id",
+        "name",
+        "c_custkey",
+        "c_name",
+        block=lambda col: F.substring(col, -6, 6),
+        max_distance=2,
+    )
+
+
+FUZZY_NAME_MATCH_ORACLE = """
+WITH c AS (SELECT c_custkey, c_name FROM customer),
+dirty AS (
+  SELECT c_custkey AS dirty_id,
+         substr(c_name, 1, 2) || substr(c_name, 4) AS name
+  FROM c WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, replace(c_name, '#', '-') FROM c WHERE c_custkey % 7 = 3
+  UNION ALL
+  SELECT c_custkey, regexp_replace(c_name, '[0-9]', 'X', 'g')
+  FROM c WHERE c_custkey % 7 = 5
+),
+cand AS (
+  SELECT d.dirty_id, r.c_custkey,
+         CAST(levenshtein(d.name, r.c_name) AS INT) AS dist
+  FROM dirty d JOIN c r ON substr(d.name, -6, 6) = substr(r.c_name, -6, 6)
+  WHERE levenshtein(d.name, r.c_name) <= 2
+),
+best AS (SELECT dirty_id, min(dist) AS distance FROM cand GROUP BY dirty_id)
+SELECT c.dirty_id, min(c.c_custkey) AS c_custkey, b.distance
+FROM cand c JOIN best b ON c.dirty_id = b.dirty_id AND c.dist = b.distance
+GROUP BY c.dirty_id, b.distance
+"""

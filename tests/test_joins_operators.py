@@ -95,3 +95,52 @@ def test_latest_per_key(spark):
     out = latest_per_key(df, ["k"], "v")
     got = {r["k"]: r["tag"] for r in out.collect()}
     assert got == {1: "b", 2: "c"}
+
+def test_fuzzy_match_join_planted(spark):
+    from pyspark.sql import functions as F
+
+    from ecommerce_full_etl_process_spark.operators.joins import (
+        fuzzy_match_join,
+    )
+
+    canon = spark.createDataFrame(
+        [(1, "Customer#000000101"), (2, "Customer#000000102"),
+         (3, "Customer#000000103")],
+        "cid long, cname string",
+    )
+    dirty = spark.createDataFrame(
+        [
+            (10, "Cutomer#000000101"),    # deletion, dist 1 -> cid 1
+            (20, "Kustomer#000000102"),   # substitution, dist 1 -> cid 2
+            (30, "CCCustomer#00000103"),  # same block, dist 3 -> dropped
+            (40, "Customer#000XXXXXX"),   # block key matches nothing
+        ],
+        "did long, dname string",
+    )
+    out = {
+        r["did"]: (r["cid"], r["distance"])
+        for r in fuzzy_match_join(
+            dirty, canon, "did", "dname", "cid", "cname",
+            block=lambda c: F.substring(c, -6, 6), max_distance=2,
+        ).collect()
+    }
+    assert out == {10: (1, 1), 20: (2, 1)}
+
+
+def test_fuzzy_match_join_tie_breaks_min_id(spark):
+    from pyspark.sql import functions as F
+
+    from ecommerce_full_etl_process_spark.operators.joins import (
+        fuzzy_match_join,
+    )
+
+    # two canonical rows in the same block at equal distance: keep min id
+    canon = spark.createDataFrame(
+        [(7, "ax-123456"), (5, "ay-123456")], "cid long, cname string"
+    )
+    dirty = spark.createDataFrame([(1, "az-123456")], "did long, dname string")
+    out = fuzzy_match_join(
+        dirty, canon, "did", "dname", "cid", "cname",
+        block=lambda c: F.substring(c, -6, 6), max_distance=2,
+    ).collect()
+    assert [(r["did"], r["cid"], r["distance"]) for r in out] == [(1, 5, 1)]

@@ -256,3 +256,47 @@ def test_quantize_int8_error_bound(spark):
         assert r["max_q"] <= 127
         assert r["rmse"] <= r["scale"] / 2 + 1e-9
         assert not math.isnan(r["rmse"])
+
+
+def test_trigram_lm_scores_planted(spark):
+    """A doc made of corpus-common trigrams must outscore a doc of unique
+    junk trigrams; counts must match hand-derivation."""
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "zq#7x!v9@k"),          # every trigram unique -> lowest score
+        (4, "ab"),                   # < 3 chars -> no trigrams, excluded
+        (5, None),                   # NULL text -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in T.trigram_lm_scores(df, "doc_id", "text").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # "the cat sat on the mat" = 22 chars -> 20 trigrams
+    assert out[1]["n_trigrams"] == 20
+    assert out[3]["n_trigrams"] == 8
+    # junk doc scores strictly below both natural docs
+    assert out[3]["avg_logprob"] < out[1]["avg_logprob"]
+    assert out[3]["avg_logprob"] < out[2]["avg_logprob"]
+    # shared trigrams push docs 1/2 close together, far from doc 3
+    assert abs(out[1]["avg_logprob"] - out[2]["avg_logprob"]) < 0.5
+
+
+def test_trigram_lm_repeated_trigram_weighting(spark):
+    """c_dt weighting: a doc repeating one trigram counts it per
+    occurrence, not once."""
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.trigram_lm_scores(df, "doc_id", "text").collect()
+    }
+    assert out[1]["n_trigrams"] == 2 and out[1]["n_distinct"] == 1
+    assert out[2]["n_trigrams"] == 2 and out[2]["n_distinct"] == 2
+    # 'aaa' occurs twice in corpus (both in doc 1), 'abc'/'bcd' once each:
+    # doc 1 avg = ln(2/4), doc 2 avg = ln(1/4)
+    assert out[1]["avg_logprob"] == round(math.log(2 / 4), 6)
+    assert out[2]["avg_logprob"] == round(math.log(1 / 4), 6)
