@@ -120,6 +120,147 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _band_hashes(shingled: DataFrame) -> DataFrame:
+    """(doc_id, bh0..bh{n_bands-1}) LSH band hashes from a (doc_id,
+    shingles) frame: 32 codegen'd min-aggregates build the MinHash
+    signature, then each band of ROWS_PER_BAND signature slots collapses
+    to one md5. Shared by the one-shot pair finder and the persistable
+    incremental index."""
+    exploded = shingled.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.col("shingles"), lambda s: hash32(s))
+        ).alias("h"),
+    )
+    sig_cols = exploded.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
+    )
+    n_bands = NUM_HASHES // ROWS_PER_BAND
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        ).alias(f"bh{b}")
+        for b in range(n_bands)
+    ]
+    return sig_cols.select("doc_id", *band_cols)
+
+
+def minhash_band_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Persistable LSH index of a corpus: (doc_id, bh0..bh7). Write this
+    to a TableStore table when the archive is first deduplicated; every
+    later batch then runs :func:`minhash_lsh_pairs_incremental` against it
+    instead of re-signaturing the archive."""
+    shingled = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    )
+    return _band_hashes(shingled)
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: find every verified pair touching
+    the NEW batch — (new, archive) and (new, new) — without recomputing
+    anything over the archive except the handful of colliding docs.
+
+    ``index`` is the archive's persisted band table
+    (:func:`minhash_band_index`); ``corpus`` supplies archive text ONLY
+    for docs that actually collide (semi-join prune before shingling).
+    Archive-internal pairs are by construction absent — they were found
+    when the archive was indexed. Ids must be disjoint across the two
+    sets. Output matches the full-corpus run filtered to pairs with at
+    least one new id (equivalence pinned in tests).
+
+    Scale shape: per batch, signature work is O(batch), the band join
+    probes the (skinny, bucketable) index, and archive text is re-read
+    for candidate docs only — the archive's 100 TB of text is never
+    re-scanned. This is the difference between O(batch + collisions) and
+    O(archive) per ingest cycle.
+    """
+    n_bands = NUM_HASHES // ROWS_PER_BAND
+    new_sh = _spread(new_docs).select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    ).cache()
+
+    def _banded(bdf: DataFrame) -> DataFrame:
+        return bdf.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[F.col(f"bh{b}") for b in range(n_bands)])
+            ).alias("band", "band_hash"),
+        )
+
+    banded_new = _banded(_band_hashes(new_sh)).cache()
+    banded_all = _banded(index).unionByName(banded_new)
+    candidates = (
+        banded_all.join(
+            banded_new.select(
+                "band", "band_hash", F.col("doc_id").alias("__new_id")
+            ),
+            ["band", "band_hash"],
+        )
+        .where(F.col("doc_id") != F.col("__new_id"))
+        .select(
+            F.least("doc_id", "__new_id").alias("id_a"),
+            F.greatest("doc_id", "__new_id").alias("id_b"),
+        )
+        .distinct()
+        .cache()
+    )
+    cand_ids = candidates.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
+    )
+    # archive text touched ONLY for colliding docs: prune BEFORE shingling
+    old_sh = (
+        corpus.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+        )
+        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id", word_shingles(F.col("__text"), n).alias("shingles"))
+    )
+    sh = new_sh.join(F.broadcast(cand_ids), "doc_id", "left_semi").unionByName(
+        old_sh
+    )
+    pairs = candidates.join(
+        sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
+    )
+    result = (
+        pairs.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard_sim") >= min_jaccard)
+        .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+        .localCheckpoint(eager=True)
+    )
+    candidates.unpersist()
+    banded_new.unpersist()
+    new_sh.unpersist()
+    return result
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -166,34 +307,8 @@ def minhash_lsh_pairs(
     # 8 hashes per doc) and every downstream consumer derives its band rows
     # with a free posexplode — no 8×-exploded frame is ever cached and no
     # separate signature materialization job runs.
-    exploded = shingled.select(
-        "doc_id",
-        F.explode(
-            F.transform(F.col("shingles"), lambda s: hash32(s))
-        ).alias("h"),
-    )
-    sig_cols = exploded.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
-                f"m{i}"
-            )
-            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-        ]
-    )
+    bands_df = _band_hashes(shingled).cache()
     n_bands = NUM_HASHES // ROWS_PER_BAND
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
-                    for r in range(ROWS_PER_BAND)
-                ],
-            )
-        ).alias(f"bh{b}")
-        for b in range(n_bands)
-    ]
-    bands_df = sig_cols.select("doc_id", *band_cols).cache()
     banded = bands_df.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"bh{b}") for b in range(n_bands)])).alias(

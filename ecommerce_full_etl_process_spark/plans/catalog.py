@@ -361,6 +361,27 @@ _REGISTRY: dict[
         lq.repeated_ngram_spans,
         lq.REPEATED_NGRAM_SPANS_ORACLE,
     ),
+    # round-5: O(log d) star-contraction CC variant, same oracle as the
+    # adaptive DSU/min-label path
+    "corpus_dedup_components_star": (
+        lq.corpus_dedup_components_star,
+        lq.CORPUS_DEDUP_COMPONENTS_STAR_ORACLE,
+    ),
+    # round-5: self-trained char-trigram LM quality scoring (CCNet-style)
+    "trigram_lm_scores": (
+        lq.trigram_lm_scores,
+        lq.TRIGRAM_LM_SCORES_ORACLE,
+    ),
+    # round-5: blocked Levenshtein entity resolution
+    "fuzzy_name_match": (
+        oq.fuzzy_name_match,
+        oq.FUZZY_NAME_MATCH_ORACLE,
+    ),
+    # round-5: incremental dedup against a persisted archive band index
+    "minhash_incremental_pairs": (
+        lq.minhash_incremental_pairs,
+        lq.MINHASH_INCREMENTAL_PAIRS_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

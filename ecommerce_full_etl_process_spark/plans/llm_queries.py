@@ -238,6 +238,29 @@ SELECT id_a, id_b, jaccard_sim FROM verified WHERE jaccard_sim >= 0.5
 MINHASH_LSH_NEARDUPS_ORACLE = _minhash_oracle()
 
 
+def minhash_incremental_pairs(spark, sf_dir):
+    """Incremental dedup against a pre-built archive index: originals
+    (< OFFSET) are the indexed archive, planted copies (≥ OFFSET) are the
+    new batch. Finds (new, archive) + (new, new) verified pairs without
+    re-signaturing the archive — operators/dedup.minhash_lsh_pairs_incremental
+    for the O(batch) scale shape. Oracle = the full-corpus run filtered to
+    pairs touching a new id (equivalence also pinned in pytest)."""
+    aug = _augmented_docs(spark, sf_dir)
+    archive = aug.where(F.col("doc_id") < OFFSET)
+    batch = aug.where(F.col("doc_id") >= OFFSET)
+    index = D.minhash_band_index(archive, "doc_id", "text", n=3)
+    return D.minhash_lsh_pairs_incremental(
+        batch, archive, index, "doc_id", "text", n=3, min_jaccard=0.5
+    )
+
+
+MINHASH_INCREMENTAL_PAIRS_ORACLE = f"""
+SELECT * FROM (
+{_minhash_oracle()}
+) WHERE id_a >= {OFFSET} OR id_b >= {OFFSET}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Corpus dedup end-to-end: LSH pairs → connected components → keep list
 # ---------------------------------------------------------------------------
@@ -275,6 +298,58 @@ FROM reach GROUP BY node
 
 
 CORPUS_DEDUP_COMPONENTS_ORACLE = _cc_oracle()
+
+
+def trigram_lm_scores(spark, sf_dir):
+    """Self-trained char-trigram LM quality score per document (CCNet-style
+    perplexity filtering signal). See operators/textstats.trigram_lm_scores
+    for the broadcast-model scale shape."""
+    return T.trigram_lm_scores(
+        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id", "text"
+    )
+
+
+TRIGRAM_LM_SCORES_ORACLE = """
+WITH tg AS (
+  SELECT doc_id,
+         unnest([substr(t, i, 3)
+                 for i in range(1, greatest(length(t) - 2, 0) + 1)]) AS tg
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+),
+per AS (
+  SELECT doc_id, tg, CAST(count(*) AS BIGINT) AS c_dt
+  FROM tg GROUP BY doc_id, tg
+),
+model AS (SELECT tg, CAST(sum(c_dt) AS BIGINT) AS c FROM per GROUP BY tg),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM model)
+SELECT per.doc_id,
+       CAST(sum(c_dt) AS BIGINT) AS n_trigrams,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(sum(c_dt * ln(c / total)) / sum(c_dt), 6) AS avg_logprob
+FROM per JOIN model USING (tg) CROSS JOIN tot
+GROUP BY per.doc_id
+"""
+
+
+def corpus_dedup_components_star(spark, sf_dir):
+    """Same end-to-end corpus dedup, but connected components computed by
+    alternating large-star/small-star contraction
+    (:func:`~..operators.dedup.connected_components_star`) instead of the
+    adaptive DSU/min-label path — O(log diameter) rounds, the variant for
+    chain-shaped duplicate graphs. Shares the recursive-CTE oracle with
+    ``corpus_dedup_components`` because the label contract is identical."""
+    pairs = D.minhash_lsh_pairs(
+        _augmented_docs(spark, sf_dir), "doc_id", "text", n=3, min_jaccard=0.5
+    )
+    comps = D.connected_components_star(pairs)
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        "comp",
+        (F.col("node") == F.col("comp")).alias("keep"),
+    )
+
+
+CORPUS_DEDUP_COMPONENTS_STAR_ORACLE = CORPUS_DEDUP_COMPONENTS_ORACLE
 
 
 # ---------------------------------------------------------------------------

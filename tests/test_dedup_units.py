@@ -174,3 +174,55 @@ def test_simhash_kernels_bit_identical(spark, sf_dir):
     assert a == b and len(a) > 0
     assert -1 not in a  # NULL text dropped by both kernels
     assert -2 in a  # empty-string text kept by both kernels
+
+
+def test_minhash_incremental_matches_full_run(spark, sf_dir):
+    """Incremental (batch vs indexed archive) output == full-corpus run
+    filtered to pairs touching a batch id; archive-internal pairs absent."""
+    from ecommerce_full_etl_process_spark.plans import llm_queries as lq
+
+    aug = lq._augmented_docs(spark, sf_dir)
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in D.minhash_lsh_pairs(
+            aug, "doc_id", "text", n=3, min_jaccard=0.5
+        ).collect()
+    }
+    want = {
+        t for t in full if t[0] >= lq.OFFSET or t[1] >= lq.OFFSET
+    }
+    assert want, "fixture must plant cross-batch duplicates"
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in lq.minhash_incremental_pairs(spark, str(sf_dir)).collect()
+    }
+    assert got == want
+
+
+def test_minhash_index_roundtrips_through_tablestore(spark, sf_dir, tmp_path):
+    """The band index survives parquet persistence: incremental pairs from
+    a stored index == pairs from a freshly computed one."""
+    from ecommerce_full_etl_process_spark.plans import llm_queries as lq
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+    from pyspark.sql import functions as F
+
+    aug = lq._augmented_docs(spark, str(sf_dir))
+    archive = aug.where(F.col("doc_id") < lq.OFFSET)
+    batch = aug.where(F.col("doc_id") >= lq.OFFSET)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite("lsh_index", D.minhash_band_index(archive, "doc_id", "text"))
+    stored = store.read("lsh_index")
+    fresh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs_incremental(
+            batch, archive, D.minhash_band_index(archive, "doc_id", "text"),
+            "doc_id", "text",
+        ).collect()
+    }
+    stored_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs_incremental(
+            batch, archive, stored, "doc_id", "text"
+        ).collect()
+    }
+    assert stored_pairs == fresh_pairs and stored_pairs
