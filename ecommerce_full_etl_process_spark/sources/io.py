@@ -32,6 +32,22 @@ from ..schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _json_safe(v):
+    """JSON-encodable, ORDER-PRESERVING rendering of a parquet stat value:
+    dates/timestamps → ISO strings (lexicographic == chronological),
+    Decimal → float; ints/floats/strs pass through. Both the stored stats
+    and the probe bounds go through this, so range comparisons stay
+    consistent."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, _Dec):
+        return float(v)
+    return v
+
+
 def read_testdata(
     spark: SparkSession, sf_dir: str, tables: Iterable[str] | None = None
 ) -> dict[str, DataFrame]:
@@ -159,6 +175,141 @@ class TableStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._data_dir(table, version))
+
+    # -- file-skipping stats (Delta-style data skipping on plain parquet) ---
+
+    def _stats_path(self, table: str, version: int) -> str:
+        return os.path.join(self._table_dir(table), f"_stats_v{version}.json")
+
+    def collect_stats(self, table: str, version: int | None = None) -> dict:
+        """Collect per-file column min/max/null stats from parquet footers
+        and persist them next to the manifest (``_stats_v<n>.json``).
+
+        Footer reads are metadata-only (no data pages); here they run
+        driver-side because the container is one machine — at cluster scale
+        this is either the write job's task-level stats (how Delta collects
+        them at commit) or a small distributed metadata job. The stats file
+        is what makes :meth:`read_where` prune whole files without a
+        cluster-side listing.
+        """
+        import pyarrow.parquet as pq
+
+        if version is None:
+            version = self._current_version(table)
+        data_dir = self._data_dir(table, version)
+        per_file: dict[str, dict] = {}
+        for dirpath, _dirs, files in os.walk(data_dir):
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(dirpath, fname)
+                md = pq.ParquetFile(fpath).metadata
+                cols: dict[str, dict] = {}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        st = c.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        mn, mx = st.min, st.max
+                        if isinstance(mn, bytes):
+                            continue  # no ordering contract for raw bytes
+                        name = c.path_in_schema
+                        prev = cols.get(name)
+                        if prev is None:
+                            cols[name] = {
+                                "min": mn,
+                                "max": mx,
+                                "nulls": st.null_count or 0,
+                            }
+                        else:
+                            prev["min"] = min(prev["min"], mn)
+                            prev["max"] = max(prev["max"], mx)
+                            prev["nulls"] += st.null_count or 0
+                per_file[os.path.relpath(fpath, data_dir)] = {
+                    "rows": md.num_rows,
+                    "columns": {
+                        k: {
+                            "min": _json_safe(v["min"]),
+                            "max": _json_safe(v["max"]),
+                            "nulls": v["nulls"],
+                        }
+                        for k, v in cols.items()
+                    },
+                }
+        stats = {"version": version, "files": per_file}
+        fd, tmp = tempfile.mkstemp(dir=self._table_dir(table), suffix=".stats")
+        with os.fdopen(fd, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, self._stats_path(table, version))
+        return stats
+
+    def prune_files(
+        self, table: str, col: str, lo, hi, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """File-skipping decision for ``col BETWEEN lo AND hi``: returns
+        (kept file paths, skipped count). Files without stats for ``col``
+        are conservatively kept; no stats file at all keeps everything."""
+        if version is None:
+            version = self._current_version(table)
+        data_dir = self._data_dir(table, version)
+        spath = self._stats_path(table, version)
+        if not os.path.exists(spath):
+            all_files = [
+                os.path.join(dp, f)
+                for dp, _d, fs in os.walk(data_dir)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+            return all_files, 0
+        with open(spath) as f:
+            stats = json.load(f)
+        lo_k, hi_k = _json_safe(lo), _json_safe(hi)
+        kept, skipped = [], 0
+        for rel, info in stats["files"].items():
+            cstat = info["columns"].get(col)
+            if cstat is None or cstat["min"] is None:
+                kept.append(os.path.join(data_dir, rel))
+                continue
+            if cstat["max"] < lo_k or cstat["min"] > hi_k:
+                skipped += 1
+                continue
+            kept.append(os.path.join(data_dir, rel))
+        return kept, skipped
+
+    def read_where(
+        self, table: str, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Range read with file skipping: prune whole files via the stats
+        manifest, then still apply the predicate (stats prune at file
+        granularity; the filter handles row granularity and also pushes
+        down to row-group skipping inside the kept files)."""
+        kept, _skipped = self.prune_files(table, col, lo, hi, version)
+        if not kept:
+            base = self.read(table, version)
+            return base.where(F.lit(False))
+        df = self.spark.read.parquet(*kept)
+        return df.where(F.col(col).between(lo, hi))
+
+    def cluster_by(
+        self, table: str, cols: list[str], num_files: int
+    ) -> None:
+        """OPTIMIZE-style layout rewrite: range-partition the table on
+        ``cols[0]`` into ``num_files`` files, sort within files by all
+        ``cols``, write as a new version, refresh stats. After clustering,
+        each file owns a narrow disjoint range of the leading column, so
+        :meth:`read_where` on it skips all but ~1/num_files of the data —
+        the plain-parquet analogue of Delta OPTIMIZE ZORDER (single-column
+        linear clustering; true multi-column locality would interleave key
+        bits the same way before range-partitioning)."""
+        df = (
+            self.read(table)
+            .repartitionByRange(num_files, *[F.col(c) for c in cols])
+            .sortWithinPartitions(*cols)
+        )
+        self.overwrite(table, df)
+        self.collect_stats(table)
 
     def drop(self, table: str) -> None:
         import shutil

@@ -78,3 +78,94 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+# ---------------------------------------------------------------------------
+# TableStore file skipping (Delta-style data skipping on plain parquet)
+# ---------------------------------------------------------------------------
+
+def _skip_store(spark, tmp_path):
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+        F.concat(F.lit("row-"), F.col("id")).alias("s"),
+    )
+    store.overwrite("t", df.repartition(8))  # k spread across all files
+    return store
+
+
+def test_file_skipping_after_cluster_by(spark, tmp_path):
+    store = _skip_store(spark, tmp_path)
+    # unclustered + no stats: nothing skipped, read still correct
+    kept, skipped = store.prune_files("t", "k", 100, 199)
+    assert skipped == 0 and len(kept) == 8
+    assert store.read_where("t", "k", 100, 199).count() == 100
+
+    store.collect_stats("t")
+    # random layout: every file spans ~the full k range -> still no skips
+    _kept, skipped = store.prune_files("t", "k", 100, 199)
+    assert skipped == 0
+
+    store.cluster_by("t", ["k"], num_files=8)
+    kept, skipped = store.prune_files("t", "k", 100, 199)
+    assert skipped >= 6, f"expected most files skipped, got {skipped}"
+    out = store.read_where("t", "k", 100, 199)
+    assert out.count() == 100
+    # pruned read ≡ full-scan filter
+    full = store.read("t").where(F.col("k").between(100, 199))
+    assert sorted(r["k"] for r in out.collect()) == sorted(
+        r["k"] for r in full.collect()
+    )
+
+
+def test_file_skipping_stats_survive_versioning(spark, tmp_path):
+    """Stats are per-version: a new overwrite without stats must fall back
+    to keep-everything (never prune on a stale version's stats)."""
+    store = _skip_store(spark, tmp_path)
+    store.cluster_by("t", ["k"], num_files=4)
+    _kept, skipped = store.prune_files("t", "k", 0, 10)
+    assert skipped == 3
+    # new version written WITHOUT stats -> conservative full keep
+    store.overwrite("t", store.read("t").repartition(5))
+    kept, skipped = store.prune_files("t", "k", 0, 10)
+    assert skipped == 0 and len(kept) == 5
+    assert store.read_where("t", "k", 0, 10).count() == 11
+
+
+def test_file_skipping_empty_result(spark, tmp_path):
+    store = _skip_store(spark, tmp_path)
+    store.cluster_by("t", ["k"], num_files=4)
+    kept, skipped = store.prune_files("t", "k", 50_000, 60_000)
+    assert kept == [] and skipped == 4
+    assert store.read_where("t", "k", 50_000, 60_000).count() == 0
+
+
+def test_file_skipping_string_and_date_stats(spark, tmp_path):
+    """ISO-rendered date stats order chronologically; string stats prune
+    lexicographic ranges."""
+    import datetime as dt
+
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh2"))
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit(dt.date(2024, 1, 1)), F.col("id").cast("int") % 365).alias("d"),
+    )
+    store.overwrite("dates", df)
+    store.cluster_by("dates", ["d"], num_files=6)
+    kept, skipped = store.prune_files(
+        "dates", "d", dt.date(2024, 2, 1), dt.date(2024, 2, 7)
+    )
+    assert skipped >= 4
+    got = store.read_where(
+        "dates", "d", dt.date(2024, 2, 1), dt.date(2024, 2, 7)
+    ).count()
+    want = (
+        store.read("dates")
+        .where(F.col("d").between("2024-02-01", "2024-02-07"))
+        .count()
+    )
+    assert got == want > 0
