@@ -61,6 +61,10 @@ HEADLINE = [
     "similarity_topk_quantized",
     "repeated_ngram_spans",
     "streaming_enriched_segment_counts",
+    # round-5 session additions: incremental dedup, LM scoring, entity res
+    "minhash_incremental_pairs",
+    "trigram_lm_scores",
+    "fuzzy_name_match",
 ]
 
 

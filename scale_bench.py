@@ -105,6 +105,66 @@ def main() -> None:
             # then force a JVM GC so the next timing starts clean.
             gc.collect()
             spark.sparkContext._jvm.System.gc()
+    # ---- incremental-dedup headroom: FIXED batch vs GROWING archive -----
+    # The claim under test: per-ingest cost of the index-probe path is
+    # O(batch + collisions), not O(archive). A fixed 500-doc batch against
+    # a ×1/×10/×30 archive should time ~flat for the incremental path
+    # while the full-corpus rerun grows with the archive. The index build
+    # is NOT timed — it is amortized across every later ingest (that is
+    # the operator's point).
+    incremental: dict[str, dict[str, float]] = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from ecommerce_full_etl_process_spark.operators import dedup as D
+
+        for m in mults:
+            docs = spark.read.parquet(
+                os.path.join(dirs[m], "documents.parquet")
+            ).select("doc_id", "text")
+            n_docs = scale_corpus.BASE_DOCS * m
+            step = max(n_docs // 500, 1)
+            words = F.split(F.col("text"), " ")
+            batch = docs.where(
+                (F.col("doc_id") % step == 0) & (F.col("doc_id") < step * 500)
+            ).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1))),
+                ).alias("text"),
+            )
+            index = D.minhash_band_index(
+                docs, "doc_id", "text"
+            ).localCheckpoint(eager=True)
+            inc_s, full_s = [], []
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                D.minhash_lsh_pairs_incremental(
+                    batch, docs, index, "doc_id", "text"
+                ).count()
+                inc_s.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                D.minhash_lsh_pairs(
+                    docs.unionByName(batch), "doc_id", "text"
+                ).count()
+                full_s.append(time.perf_counter() - t0)
+            incremental[f"x{m}"] = {
+                "incremental": round(min(inc_s), 3),
+                "full_rerun": round(min(full_s), 3),
+            }
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        b = incremental[f"x{mults[0]}"]
+        for m in mults[1:]:
+            cur = incremental[f"x{m}"]
+            cur["growth_incremental"] = round(
+                cur["incremental"] / b["incremental"], 2
+            )
+            cur["growth_full"] = round(cur["full_rerun"] / b["full_rerun"], 2)
+    except Exception as exc:  # noqa: BLE001 — isolate the section
+        errors["incremental_dedup"] = f"{type(exc).__name__}: {exc}"[:500]
+
     base = mults[0]
     for name in HEAVY:
         t1 = timings[name].get(f"x{base}")
@@ -123,6 +183,7 @@ def main() -> None:
             "events": scale_corpus.BASE_EVENTS,
         },
         "queries": timings,
+        "incremental_dedup": incremental,
         "result_rows": {n: {f"x{m}": c for m, c in v.items()} for n, v in rows.items()},
         "repeats_min": args.repeats,
         "partial": bool(errors),
