@@ -65,6 +65,7 @@ HEADLINE = [
     "minhash_incremental_pairs",
     "trigram_lm_scores",
     "fuzzy_name_match",
+    "semantic_dedup_components",
 ]
 
 

@@ -382,6 +382,11 @@ _REGISTRY: dict[
         lq.minhash_incremental_pairs,
         lq.MINHASH_INCREMENTAL_PAIRS_ORACLE,
     ),
+    # round-5: SemDeDup-style embedding-space dedup end-to-end
+    "semantic_dedup_components": (
+        lq.semantic_dedup_components,
+        lq.SEMANTIC_DEDUP_COMPONENTS_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -528,6 +528,88 @@ FROM pairs WHERE round({_cos_sql('va', 'vb')}, 6) >= 0.9
 """
 
 
+def semantic_dedup_components(spark, sf_dir):
+    """SemDeDup-style semantic dedup end-to-end: sign-bucket blocking →
+    within-bucket cosine pairs (``cosine_neardup_pairs``) → connected
+    components → keep list (vec_id, comp, keep). Planted perturbed copies
+    (every 20th vector, same construction as ``embedding_neardup_pairs``)
+    guarantee clusters to find.
+
+    Scale shape: the bucket bounds the quadratic term to |bucket|² (at
+    100 TB the block is an IVF cell from ``kmeans_lite`` or a multi-bit
+    LSH bucket — same join, narrower blocks); CC runs on the pair OUTPUT,
+    which is collision-sized, not corpus-sized. A copy whose perturbation
+    flips a leading sign lands in a different bucket and is missed by
+    design — recall is traded for the bound exactly like MinHash banding
+    (multi-probe widens it); the oracle mirrors the same blocking, so the
+    contract is exact."""
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    n = F.size(F.col("embedding"))
+    perturbed = F.transform(
+        v, lambda x, i: x + F.lit(0.1) * F.element_at(v, ((i + 1) % n) + 1)
+    )
+    base = e.where(F.col("vec_id") < OFFSET).select("vec_id", v.alias("v"))
+    copies = e.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + OFFSET).alias("vec_id"), perturbed.alias("v")
+    )
+    aug = base.unionByName(copies).withColumn(
+        "bucket", S.sign_bucket(F.col("v"))
+    )
+    pairs = S.cosine_neardup_pairs(
+        aug, "bucket", 0.9, id_col="vec_id", vec_col="v"
+    )
+    comps = D.connected_components(pairs)
+    return comps.select(
+        F.col("node").alias("vec_id"),
+        "comp",
+        (F.col("node") == F.col("comp")).alias("keep"),
+    )
+
+
+def _sign_bucket_sql(v: str, bits: int = 8) -> str:
+    return "(" + " + ".join(
+        f"(CASE WHEN {v}[{j + 1}] > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(bits)
+    ) + ")"
+
+
+SEMANTIC_DEDUP_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+copies AS (
+  SELECT vec_id + {OFFSET} AS vec_id,
+         [ v[i] + 0.1 * v[(i % len(v)) + 1] for i in range(1, len(v) + 1) ] AS v
+  FROM v WHERE vec_id % 20 = 0
+),
+aug AS (
+  SELECT vec_id, v, {_sign_bucket_sql('v')} AS bucket FROM v
+  UNION ALL
+  SELECT vec_id, v, {_sign_bucket_sql('v')} AS bucket FROM copies
+),
+prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM aug a JOIN aug b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= 0.9
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM prs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS vec_id, min(root) AS comp, node = min(root) AS keep
+FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
