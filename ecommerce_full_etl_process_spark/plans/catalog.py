@@ -387,6 +387,16 @@ _REGISTRY: dict[
         lq.semantic_dedup_components,
         lq.SEMANTIC_DEDUP_COMPONENTS_ORACLE,
     ),
+    # round-5: time-range window frame (trailing 1-hour per-user features)
+    "rolling_hourly_user_value": (
+        oq.rolling_hourly_user_value,
+        oq.ROLLING_HOURLY_USER_VALUE_ORACLE,
+    ),
+    # round-5: binary VARIANT semi-structured access (Spark 4)
+    "variant_extract_events": (
+        oq.variant_extract_events,
+        oq.VARIANT_EXTRACT_EVENTS_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

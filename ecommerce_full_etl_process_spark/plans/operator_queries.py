@@ -1315,3 +1315,69 @@ SELECT c.dirty_id, min(c.c_custkey) AS c_custkey, b.distance
 FROM cand c JOIN best b ON c.dirty_id = b.dirty_id AND c.dist = b.distance
 GROUP BY c.dirty_id, b.distance
 """
+
+
+def rolling_hourly_user_value(spark, sf_dir):
+    """Trailing 1-hour per-user rolling aggregate per event — a TIME-RANGE
+    window frame (RANGE BETWEEN 1 HOUR PRECEDING AND CURRENT ROW), the
+    standard real-time-feature shape (fraud velocity checks, rate
+    limiting, feature-store trailing windows). The frame is defined on
+    epoch MICROSECONDS (``ntz_epoch_micros``) so bounds are exact integer
+    arithmetic on both engines; a range frame is order-insensitive within
+    ties, so the result is deterministic without an event_id tie-break.
+
+    Scale shape: one shuffle on user_id, then a per-partition ordered
+    scan; the frame buffer holds only one hour of one user's events."""
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    ep = ntz_epoch_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__ep")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.withColumn("__ep", ep)
+        .select(
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.round(F.sum("value").over(w), 6).alias("value_1h"),
+        )
+    )
+
+
+ROLLING_HOURLY_USER_VALUE_ORACLE = """
+SELECT event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       round(sum(value) OVER w, 6) AS value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def variant_extract_events(spark, sf_dir):
+    """Semi-structured access through the binary VARIANT type (Spark 4):
+    ``parse_json`` once, then typed ``variant_get`` extraction, NULL-safe
+    ``try_variant_get`` on an absent path, and ``schema_of_variant``
+    introspection. Complements ``json_extract_events`` (string-path
+    get_json_object): at scale a parsed-once Variant column is stored and
+    re-read without re-parsing JSON text per access. The generator emits a
+    fixed {"k": int} shape, so the introspected schema is a constant the
+    oracle pins literally."""
+    e = _t(spark, sf_dir, "events")
+    var = F.parse_json("props")
+    return e.where(F.col("event_id") % 100 == 0).select(
+        "event_id",
+        F.variant_get(var, "$.k", "long").alias("k"),
+        F.try_variant_get(var, "$.absent", "string").alias("absent"),
+        F.schema_of_variant(var).alias("vschema"),
+    )
+
+
+VARIANT_EXTRACT_EVENTS_ORACLE = """
+SELECT event_id,
+       CAST(props->>'k' AS BIGINT) AS k,
+       CAST(NULL AS VARCHAR) AS absent,
+       'OBJECT<k: BIGINT>' AS vschema
+FROM events WHERE event_id % 100 = 0
+"""
