@@ -397,6 +397,11 @@ _REGISTRY: dict[
         oq.variant_extract_events,
         oq.VARIANT_EXTRACT_EVENTS_ORACLE,
     ),
+    # round-5: full-corpus SimHash banding (guaranteed-recall LSH)
+    "simhash_banded_neardups": (
+        lq.simhash_banded_neardups,
+        lq.SIMHASH_BANDED_NEARDUPS_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -416,6 +416,59 @@ FROM fp a JOIN fp b ON b.doc_id = a.doc_id + {OFFSET}
 SIMHASH_PLANTED_PAIRS_ORACLE = _simhash_oracle()
 
 
+def simhash_banded_neardups(spark, sf_dir):
+    """Full-corpus SimHash near-dups via fingerprint banding (10×6-bit
+    slices, guaranteed recall for hamming ≤ 9) over the augmented corpus —
+    see operators/dedup.simhash_band_pairs."""
+    return D.simhash_band_pairs(
+        _augmented_docs(spark, sf_dir), "doc_id", "text", max_hamming=8
+    )
+
+
+def _simhash_banded_oracle() -> str:
+    bits = D.SIMHASH_BITS
+    bands, width = 10, bits // 10
+    mask = (1 << width) - 1
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN 2 * s{b} > n THEN {2 ** b}::BIGINT ELSE 0::BIGINT END"
+        for b in range(bits)
+    )
+    return f"""
+WITH aug AS ({_AUGMENTED_DOCS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM aug
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+s AS (
+  SELECT doc_id, count(*) AS n, {sums} FROM h GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, {fp} AS simhash FROM s
+),
+bands AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * {width})) & {mask} AS bv
+  FROM fp CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) b
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+FROM cands WHERE bit_count(xor(sa, sb)) <= 8
+"""
+
+
+SIMHASH_BANDED_NEARDUPS_ORACLE = _simhash_banded_oracle()
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------

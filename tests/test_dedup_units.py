@@ -226,3 +226,34 @@ def test_minhash_index_roundtrips_through_tablestore(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert stored_pairs == fresh_pairs and stored_pairs
+
+
+def test_simhash_banding_recall_guarantee(spark, sf_dir):
+    """Pigeonhole contract: every pair within hamming <= bands-1 of the
+    ground-truth fingerprint set MUST appear in the banded candidates.
+    Ground truth = all-pairs popcount over the fingerprints."""
+    from ecommerce_full_etl_process_spark.plans import llm_queries as lq
+
+    aug = lq._augmented_docs(spark, sf_dir)
+    fps = D.simhash_fingerprints(aug, "doc_id", "text")
+    a = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    truth = {
+        (r["id_a"], r["id_b"]): r["h"]
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", D.hamming60(F.col("sa"), F.col("sb")).alias("h")
+        )
+        .where(F.col("h") <= 8)
+        .collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_band_pairs(
+            aug, "doc_id", "text", max_hamming=8, bands=10
+        ).collect()
+    }
+    # bands=10 guarantees recall through hamming 9 > threshold 8: banded
+    # output must EQUAL the ground truth, not just be a subset
+    assert banded == truth and truth
