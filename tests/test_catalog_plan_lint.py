@@ -34,3 +34,21 @@ def test_tier1_families_inside_graded_window():
     # would silently push a family out on the next driver run
     assert len(names) >= catalog.GRADED_WINDOW
     assert len(catalog.TIER1_REQUIRED) == catalog.GRADED_WINDOW
+
+
+def test_readme_count_matches_registry():
+    """Every '<N> named queries' claim in README.md must equal the live
+    registry size (round-4 verdict: stale counts in the first file a
+    reader opens invite confusion)."""
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "README.md")) as f:
+        text = f.read()
+    claims = [int(m) for m in re.findall(r"(\d+) named queries", text)]
+    assert claims, "README should state the catalog size"
+    n = len(catalog._REGISTRY)
+    assert all(c == n for c in claims), (claims, n)
+    grew = re.findall(r"Catalog grew 74 → (\d+)", text)
+    assert all(int(g) == n for g in grew), (grew, n)

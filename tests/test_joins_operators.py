@@ -144,3 +144,54 @@ def test_fuzzy_match_join_tie_breaks_min_id(spark):
         block=lambda c: F.substring(c, -6, 6), max_distance=2,
     ).collect()
     assert [(r["did"], r["cid"], r["distance"]) for r in out] == [(1, 5, 1)]
+
+
+def test_fuzzy_match_join_random_invariants(spark):
+    """Random corruptions: every emitted match respects max_distance and
+    is the true (distance, id)-minimum among same-block candidates."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_full_etl_process_spark.operators.joins import (
+        fuzzy_match_join,
+    )
+
+    rng = random.Random(5)
+    canon = [(i, f"entity-{rng.randrange(10)}-{i:06d}") for i in range(80)]
+    dirty = []
+    for did in range(40):
+        cid, name = canon[rng.randrange(len(canon))]
+        pos = rng.randrange(max(len(name) - 7, 1))
+        mutated = name[:pos] + rng.choice("xyz") + name[pos + 1:]
+        dirty.append((did, mutated))
+    cdf = spark.createDataFrame(canon, "cid long, cname string")
+    ddf = spark.createDataFrame(dirty, "did long, dname string")
+    out = {
+        r["did"]: (r["cid"], r["distance"])
+        for r in fuzzy_match_join(
+            ddf, cdf, "did", "dname", "cid", "cname",
+            block=lambda c: F.substring(c, -6, 6), max_distance=2,
+        ).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for did, dname in dirty:
+        cands = [
+            (lev(dname, cname), cid)
+            for cid, cname in canon
+            if cname[-6:] == dname[-6:] and lev(dname, cname) <= 2
+        ]
+        if cands:
+            assert out[did] == tuple(reversed(min(cands))), (did, dname)
+        else:
+            assert did not in out

@@ -300,3 +300,32 @@ def test_trigram_lm_repeated_trigram_weighting(spark):
     # doc 1 avg = ln(2/4), doc 2 avg = ln(1/4)
     assert out[1]["avg_logprob"] == round(math.log(2 / 4), 6)
     assert out[2]["avg_logprob"] == round(math.log(1 / 4), 6)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_trigram_lm_invariants_random_corpus(spark, seed):
+    """For any corpus: avg_logprob <= 0 (a trigram's corpus count never
+    exceeds the total), n_distinct <= n_trigrams, and n_trigrams ==
+    len(text) - 2 exactly for every doc with >= 3 chars."""
+    import random
+
+    rng = random.Random(seed)
+    alpha = "ab cd"
+    rows = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in T.trigram_lm_scores(df, "doc_id", "text").collect()
+    }
+    by_id = dict(rows)
+    for i, text in rows:
+        if len(text) >= 3:
+            assert out[i]["n_trigrams"] == len(text) - 2, (i, text)
+        else:
+            assert i not in out
+    for r in out.values():
+        assert r["avg_logprob"] <= 0.0
+        assert 1 <= r["n_distinct"] <= r["n_trigrams"]
