@@ -292,6 +292,25 @@ class TableStore:
         df = self.spark.read.parquet(*kept)
         return df.where(F.col(col).between(lo, hi))
 
+    def compact(self, table: str, target_files: int) -> int:
+        """Small-file compaction (OPTIMIZE file-count): rewrite the current
+        version into ``target_files`` files, refresh stats, return the
+        file count before compaction. Many appends → many small files →
+        footer/listing overhead per read and tiny row groups; compaction
+        restores the scan shape. Ordering within files is NOT preserved —
+        run :meth:`cluster_by` instead when a clustered layout matters."""
+        version = self._current_version(table)
+        data_dir = self._data_dir(table, version)
+        before = sum(
+            1
+            for _dp, _d, fs in os.walk(data_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        self.overwrite(table, self.read(table).repartition(target_files))
+        self.collect_stats(table)
+        return before
+
     def cluster_by(
         self, table: str, cols: list[str], num_files: int
     ) -> None:

@@ -169,3 +169,51 @@ def test_file_skipping_string_and_date_stats(spark, tmp_path):
         .count()
     )
     assert got == want > 0
+
+
+def test_compact_restores_file_count(spark, tmp_path):
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh3"))
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    store.overwrite("t", df.repartition(2))
+    for _ in range(6):  # simulated micro-batch appends -> file bloat
+        store.append("t", df.limit(50).repartition(4))
+    before = store.compact("t", target_files=4)
+    assert before >= 20
+    data_dir = store._data_dir("t", store._current_version("t"))
+    after = sum(
+        1 for _dp, _d, fs in os.walk(data_dir)
+        for f in fs if f.endswith(".parquet")
+    )
+    assert after <= 4
+    assert store.read("t").count() == 2000 + 6 * 50
+    # compaction wrote a NEW version: the pre-compaction one time-travels
+    prev = store._current_version("t") - 1
+    assert store.read("t", version=prev).count() == 2000 + 6 * 50
+
+
+def test_schema_evolution_across_versions(spark, tmp_path):
+    """Each version dir is schema-isolated: adding a column in a new
+    version never corrupts old-version time-travel reads."""
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh4"))
+    v1 = spark.range(0, 10).select(F.col("id").alias("k"))
+    store.overwrite("t", v1)
+    v2 = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("extra")
+    )
+    store.overwrite("t", v2)
+    assert store.read("t").columns == ["k", "extra"]
+    old = store.read("t", version=1)
+    assert old.columns == ["k"] and old.count() == 10
+
+
+def test_read_where_pushes_row_group_filter(spark, tmp_path):
+    """File skipping composes with parquet pushdown: the kept files are
+    still scanned WITH the predicate pushed to the reader."""
+    store = _skip_store(spark, tmp_path)
+    store.cluster_by("t", ["k"], num_files=8)
+    plan = store.read_where("t", "k", 100, 199)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(k,100" in plan, plan[:2000]
