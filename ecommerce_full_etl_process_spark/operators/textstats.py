@@ -464,6 +464,41 @@ def trigram_lm_scores(
     )
 
 
+def normalize_text(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus text canonicalization (the C4/CCNet preprocessing step):
+    Unicode NFC composition, lowercase, whitespace collapse + trim.
+    Returns (id, norm_text, changed).
+
+    NFC runs in an Arrow pandas_udf (Python ``unicodedata`` — Spark has
+    no built-in Unicode-normalization expression); lowercase/whitespace
+    stay JVM-side around it. Shuffle-free row-local map, so it scales as
+    a pure scan; put it FIRST in the curation funnel so every downstream
+    hash (exact dedup, MinHash, winnowing) sees canonical bytes — the
+    composed/decomposed forms of the same text must collide, not dodge
+    dedup."""
+    import pandas as pd
+
+    def _nfc(texts):
+        import unicodedata
+
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    _nfc.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    nfc_udf = F.pandas_udf(_nfc, "string")
+    norm = F.trim(
+        F.regexp_replace(F.lower(nfc_udf(F.col(text_col))), r"\s+", " ")
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        (~norm.eqNullSafe(F.col(text_col))).alias("changed"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     (the canonical-form hash used for exact dedup across formatting)."""

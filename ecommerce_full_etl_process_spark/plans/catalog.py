@@ -402,6 +402,11 @@ _REGISTRY: dict[
         lq.simhash_banded_neardups,
         lq.SIMHASH_BANDED_NEARDUPS_ORACLE,
     ),
+    # round-5: Unicode NFC canonicalization (Arrow kernel vs nfc_normalize)
+    "unicode_normalize_docs": (
+        lq.unicode_normalize_docs,
+        lq.UNICODE_NORMALIZE_DOCS_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

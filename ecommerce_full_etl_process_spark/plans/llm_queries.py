@@ -663,6 +663,43 @@ FROM reach GROUP BY node
 """
 
 
+def unicode_normalize_docs(spark, sf_dir):
+    """Text canonicalization over the corpus plus planted rows that
+    exercise each rule: a decomposed-accent string (NFC must compose it),
+    stray case/whitespace, and a NULL. See operators/textstats.
+    normalize_text — runs FIRST in a curation funnel so dedup hashes see
+    canonical bytes."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [
+            (9_000_001, "Cafe\u0301  MENU"),
+            (9_000_002, "  already clean "),
+            (9_000_003, None),
+        ],
+        "doc_id long, text string",
+    )
+    return T.normalize_text(d.unionByName(planted), "doc_id", "text")
+
+
+UNICODE_NORMALIZE_DOCS_ORACLE = r"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9000001, 'Cafe' || chr(769) || '  MENU'),
+    (9000002, '  already clean '),
+    (9000003, NULL)
+  ) t(doc_id, text)
+)
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+         AS norm_text,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+         IS DISTINCT FROM text AS changed
+FROM src
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -70,6 +70,25 @@ def write_day_partitioned(
     ).partitionBy("dt").parquet(path)
 
 
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    shards: int,
+    order_col: str | None = None,
+) -> None:
+    """Training-data delivery sink: write the frame as ``shards``
+    gzip-compressed JSONL files (the interchange format LLM training
+    stacks consume). ``order_col`` sorts WITHIN each shard via
+    repartition + sortWithinPartitions — a global sort would serialize on
+    one reducer for no training benefit; per-shard order is what loaders
+    that stream shard-by-shard actually see. Columns serialize with their
+    Spark types (arrays → JSON arrays, timestamps → ISO strings)."""
+    out = df.repartition(shards)
+    if order_col is not None:
+        out = out.sortWithinPartitions(order_col)
+    out.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
 def read_day_slice(spark: SparkSession, path: str, day: str) -> DataFrame:
     """Read exactly one day's partition — Catalyst turns the dt filter into
     PartitionFilters (no other day's files are listed or scanned)."""

@@ -217,3 +217,32 @@ def test_read_where_pushes_row_group_filter(spark, tmp_path):
     store.cluster_by("t", ["k"], num_files=8)
     plan = store.read_where("t", "k", 100, 199)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThanOrEqual(k,100" in plan, plan[:2000]
+
+
+def test_export_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    """JSONL export: shard count respected, gzip'd, and a JSON-lines read
+    round-trips every row (ids and text equal)."""
+    import glob
+    import gzip
+    import json as _json
+
+    from ecommerce_full_etl_process_spark.sources.io import export_jsonl
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "corpus_jsonl")
+    export_jsonl(docs, out, shards=3, order_col="doc_id")
+    files = sorted(glob.glob(os.path.join(out, "part-*.json.gz")))
+    assert len(files) == 3
+    rows = []
+    for fp in files:
+        with gzip.open(fp, "rt") as f:
+            shard = [_json.loads(line) for line in f]
+        # per-shard ordering contract
+        ids = [r["doc_id"] for r in shard]
+        assert ids == sorted(ids)
+        rows.extend(shard)
+    want = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: r["text"] for r in rows}
+    assert got == want
