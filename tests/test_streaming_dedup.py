@@ -1,0 +1,81 @@
+"""End-to-end streaming dedup ingestion: incremental LSH against the
+growing TableStore index, per-batch keep/dup decisions, replay guard."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ecommerce_full_etl_process_spark.sources.io import TableStore
+from ecommerce_full_etl_process_spark.streaming.stream_pipeline import (
+    run_streaming_dedup_ingest,
+)
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong potions under a pale winter moon tonight"
+)
+
+
+def _write_batch(spark, src_dir, name, rows):
+    # append a new part file into the watched dir (one file = one batch
+    # under maxFilesPerTrigger=1); `name` is only documentation
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src_dir)
+
+
+def _run(spark, src, ckpt, wh):
+    q = run_streaming_dedup_ingest(spark, src, ckpt, wh)
+    q.awaitTermination(120)
+    return TableStore(spark, wh)
+
+
+def test_streaming_dedup_ingest_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    wh = str(tmp_path / "wh")
+    os.makedirs(src, exist_ok=True)
+
+    # batch 1: two distinct docs + one in-batch near-dup of doc 1
+    _write_batch(
+        spark,
+        src,
+        "b1",
+        [
+            (1, DOC),
+            (2, "completely different text about spark structured streaming engines running stateful aggregations at scale"),
+            (3, DOC + " extra"),
+        ],
+    )
+    store = _run(spark, src, ckpt, wh)
+    log1 = {r["doc_id"]: r for r in store.read("dedup_log").collect()}
+    assert log1[1]["keep"] and log1[2]["keep"]
+    assert not log1[3]["keep"] and log1[3]["dup_of"] == 1
+    assert store.read("corpus").count() == 3
+    assert store.read("lsh_bands").count() == 3
+
+    # batch 2: a near-dup of ARCHIVED doc 1, and a fresh doc
+    _write_batch(
+        spark,
+        src,
+        "b2",
+        [
+            (10, DOC + " again"),
+            (11, "yet another unrelated document mentioning warehouses catalogs manifests and atomic version flips"),
+        ],
+    )
+    store = _run(spark, src, ckpt, wh)
+    log = {r["doc_id"]: r for r in store.read("dedup_log").collect()}
+    assert len(log) == 5
+    assert not log[10]["keep"] and log[10]["dup_of"] == 1  # cross-batch dup
+    assert log[11]["keep"]
+    assert store.read("corpus").count() == 5
+    assert store.read("lsh_bands").count() == 5
+
+    # replay with a FRESH checkpoint: both files re-delivered; the
+    # batch-id guard must skip re-committed batches -> no duplicate rows
+    store = _run(spark, src, str(tmp_path / "ckpt2"), wh)
+    assert store.read("dedup_log").count() == 5
+    assert store.read("corpus").count() == 5
