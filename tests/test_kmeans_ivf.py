@@ -79,3 +79,33 @@ def test_ivf_multiprobe_converges_to_bruteforce(embs):
     assert allprobe == exact
     probe2 = ivf_topk(embs, q, cents, assigns, k=5, nprobe=2).collect()
     assert probe2[0]["vec_id"] == 42
+
+
+def test_ivf_index_persists_through_tablestore(spark, embs, tmp_path):
+    """ANN serving shape: train once, PERSIST centroids + assignments,
+    answer queries from the stored index — reloaded index must return
+    exactly the trained index's top-k. (Band-index persistence has the
+    same test for MinHash; this closes it for IVF.)"""
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    cents, assigns = kmeans_lite(embs, k=8, iters=3)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite("ivf_centroids", cents)
+    store.overwrite("ivf_assignments", assigns)
+    q = embs.where(F.col("vec_id") == 7).select(F.col("embedding").alias("q"))
+    fresh = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivf_topk(embs, q, cents, assigns, k=10, nprobe=2).collect()
+    ]
+    stored = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivf_topk(
+            embs,
+            q,
+            store.read("ivf_centroids"),
+            store.read("ivf_assignments"),
+            k=10,
+            nprobe=2,
+        ).collect()
+    ]
+    assert stored == fresh and len(stored) == 10
