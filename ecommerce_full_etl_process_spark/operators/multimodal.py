@@ -168,3 +168,62 @@ def sample_frames(media: DataFrame, every_nth: int = 4, decode: str = "fake") ->
         "media_id", "payload", F.col("meta.n_frames").alias("n_frames")
     )
     return src.mapInPandas(_batches, schema=FRAMES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, decode: str = "fake"
+) -> DataFrame:
+    """Image resize to a fixed (width, height) — the standard
+    pre-training normalization step. Arrow-batched 1→1 mapInPandas; the
+    Spark-side plumbing (schema, batch shape, metadata update) is real,
+    the pixel work is env-gated like the other multimodal kernels:
+    ``decode='real'`` is where PIL's ``Image.resize`` would run
+    (NotImplementedError here — no PIL in the container); the ``fake``
+    path emits a deterministic byte-resample of the payload sized
+    ``width·height`` bytes (1 byte/px stand-in), so downstream batch
+    sizing and storage accounting behave like the real thing."""
+    if decode not in ("fake", "real"):
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+    w, h = int(width), int(height)
+
+    def _batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real image resize requires PIL, not present in this "
+                    "container"
+                )
+
+            def _resample(b):
+                if b is None:
+                    return None
+                n = w * h
+                if len(b) == 0:
+                    return bytes(n)
+                # nearest-neighbour byte resample: index stretch/shrink
+                return bytes(b[(i * len(b)) // n] for i in range(n))
+
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(_resample),
+                    "width": _pd.Series([w] * len(pdf), dtype="int32"),
+                    "height": _pd.Series([h] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _batches, schema=RESIZED_SCHEMA
+    )

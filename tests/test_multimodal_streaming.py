@@ -161,3 +161,34 @@ def test_windowed_status_counts_batch_semantics(spark):
         ("2026-02-02", "failed"): 1,
         ("2026-02-03", "success"): 1,
     }
+
+
+def test_resize_images_fake_path(spark, sf_dir):
+    from ecommerce_full_etl_process_spark.operators import multimodal as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = M.media_from_documents(docs)
+    out = M.resize_images(media, width=16, height=8).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["width"] == 16 and r["height"] == 8
+        assert len(r["payload"]) == 16 * 8
+    # deterministic: same input -> same resampled bytes
+    again = M.resize_images(media, width=16, height=8).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == {
+        r["media_id"]: bytes(r["payload"]) for r in again
+    }
+
+
+def test_resize_images_real_path_env_gated(spark, sf_dir):
+    import pytest
+
+    from ecommerce_full_etl_process_spark.operators import multimodal as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2)
+    media = M.media_from_documents(docs)
+    with pytest.raises(Exception) as exc:
+        M.resize_images(media, 4, 4, decode="real").collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
