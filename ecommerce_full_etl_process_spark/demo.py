@@ -124,6 +124,56 @@ def corpus_report(spark, sf_dir: str) -> int:
     return 0 if ok else 1
 
 
+def stream_dedup_report(spark, workdir: str) -> int:
+    """Drive the continuous-dedup loop end-to-end on a synthetic feed:
+    two micro-batches where batch 2 near-duplicates an archived batch-1
+    doc, then replay from a fresh checkpoint. PASS iff the cross-batch
+    dup is caught, fresh docs are kept, and replay commits nothing new."""
+    import os
+    import shutil
+
+    from .streaming.stream_pipeline import run_streaming_dedup_ingest
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    src = os.path.join(workdir, "incoming")
+    wh = os.path.join(workdir, "wh")
+    os.makedirs(src)
+    base = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew strong potions under a pale winter moon")
+
+    def _feed(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def _run(ckpt):
+        q = run_streaming_dedup_ingest(spark, src, os.path.join(workdir, ckpt), wh)
+        q.awaitTermination(120)
+
+    print(f"== streaming dedup ingest under {workdir} ==")
+    _feed([(1, base), (2, "unrelated text about atomic manifest flips and versioned parquet tables")])
+    _run("ckpt1")
+    _feed([(10, base + " tonight"), (11, "fresh unique document mentioning broadcast joins and skew salting")])
+    _run("ckpt1")
+    store = TableStore(spark, wh)
+    log = {r["doc_id"]: r for r in store.read("dedup_log").collect()}
+    ok = True
+    mark = (not log[10]["keep"]) and log[10]["dup_of"] == 1
+    ok = ok and mark
+    print(f"  [{'PASS' if mark else 'FAIL'}] cross-batch near-dup 10 -> dup_of 1")
+    mark = log[1]["keep"] and log[2]["keep"] and log[11]["keep"]
+    ok = ok and mark
+    print(f"  [{'PASS' if mark else 'FAIL'}] originals and fresh docs kept")
+    n_before = store.read("dedup_log").count()
+    _run("ckpt_replay")  # fresh checkpoint re-delivers every file
+    mark = store.read("dedup_log").count() == n_before
+    ok = ok and mark
+    print(f"  [{'PASS' if mark else 'FAIL'}] replay committed 0 new rows "
+          f"({n_before} total)")
+    print("RESULT:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
@@ -131,6 +181,12 @@ def main(argv: list[str] | None = None) -> int:
         metavar="SF_DIR",
         help="run the training-corpus curation report over this testdata "
         "dir instead of the ETL demo",
+    )
+    ap.add_argument(
+        "--stream-dedup",
+        metavar="WORKDIR",
+        help="drive the continuous streaming-dedup loop end-to-end in "
+        "this scratch directory and print its PASS/FAIL report",
     )
     ap.add_argument("--today", default="2026-02-02")
     ap.add_argument("--users", type=int, default=100)
@@ -146,6 +202,8 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     if args.corpus:
         return corpus_report(spark, args.corpus)
+    if args.stream_dedup:
+        return stream_dedup_report(spark, args.stream_dedup)
     store = TableStore(spark, args.warehouse)
 
     print(f"== populate: {args.users} users, {args.products} products, "

@@ -22,3 +22,7 @@ def test_demo_main_passes(spark, tmp_path):
         ]
     )
     assert rc == 0
+
+def test_demo_stream_dedup_passes(spark, tmp_path):
+    rc = demo.main(["--stream-dedup", str(tmp_path / "sd")])
+    assert rc == 0
