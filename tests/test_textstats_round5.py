@@ -329,3 +329,27 @@ def test_trigram_lm_invariants_random_corpus(spark, seed):
     for r in out.values():
         assert r["avg_logprob"] <= 0.0
         assert 1 <= r["n_distinct"] <= r["n_trigrams"]
+
+
+def test_trigram_lm_kernels_identical(spark, sf_dir):
+    """The Arrow Counter kernel and the JVM explode path must produce
+    identical rows — including NULL and sub-3-char texts, which both
+    kernels drop."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [(-1, None), (-2, "ab"), (-3, "UPPER case MIX")],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(extra)
+    a = {
+        r["doc_id"]: (r["n_trigrams"], r["n_distinct"], r["avg_logprob"])
+        for r in T.trigram_lm_scores(docs, "doc_id", "text", kernel="numpy").collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_trigrams"], r["n_distinct"], r["avg_logprob"])
+        for r in T.trigram_lm_scores(docs, "doc_id", "text", kernel="jvm").collect()
+    }
+    assert a == b and len(a) > 0
+    assert -1 not in a and -2 not in a and -3 in a
