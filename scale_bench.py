@@ -49,6 +49,9 @@ HEAVY = [
     "line_dedup_corpus",       # window by line + regroup by doc
     "corpus_prep_pipeline",    # dedup window + per-source aggregate
     "bpe_merge_candidates",    # vocab collapse + pair aggregate + top-k
+    # round-5 session: row-local Counter kernel + vocab-bounded broadcast
+    # model — the claim is the model never grows with the corpus
+    "trigram_lm_scores",
 ]
 
 SCALE_ROOT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/repo/.scale")
