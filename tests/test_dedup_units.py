@@ -257,3 +257,20 @@ def test_simhash_banding_recall_guarantee(spark, sf_dir):
     # bands=10 guarantees recall through hamming 9 > threshold 8: banded
     # output must EQUAL the ground truth, not just be a subset
     assert banded == truth and truth
+
+
+def test_connected_components_star_string_ids(spark):
+    """Both CC algorithms support string node ids (doc hashes, URLs) —
+    comp = lexicographic min of the component."""
+    edges = [("b", "c"), ("c", "a"), ("x", "y")]
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    want = {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+    dsu = {
+        (r["node"], r["comp"])
+        for r in D.connected_components(pairs).collect()
+    }
+    star = {
+        (r["node"], r["comp"])
+        for r in D.connected_components_star(pairs).collect()
+    }
+    assert dsu == want and star == want

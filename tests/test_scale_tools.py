@@ -246,3 +246,52 @@ def test_export_jsonl_roundtrip(spark, sf_dir, tmp_path):
     want = {r["doc_id"]: r["text"] for r in docs.collect()}
     got = {r["doc_id"]: r["text"] for r in rows}
     assert got == want
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling is live: with thresholds scaled to test
+    size, a join with one hot key ends with the skewed partition SPLIT in
+    the final adaptive plan (the runtime answer to skew that salting
+    solves statically — both belong in the 100 TB toolbox)."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 == 0, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pl"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        joined = left.join(right, "k")
+        # execute THIS plan tree (count() would build and finalize a
+        # different one, leaving joined's AdaptiveSparkPlan un-finalized)
+        assert len(joined.collect()) == 20_900
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "SortMergeJoin(skew=true)" in final_plan, final_plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
