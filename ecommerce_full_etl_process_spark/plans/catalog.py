@@ -407,6 +407,11 @@ _REGISTRY: dict[
         lq.unicode_normalize_docs,
         lq.UNICODE_NORMALIZE_DOCS_ORACLE,
     ),
+    # round-5: mergeable quantile sketch (exact at this accuracy)
+    "order_value_quantiles": (
+        oq.order_value_quantiles,
+        oq.ORDER_VALUE_QUANTILES_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

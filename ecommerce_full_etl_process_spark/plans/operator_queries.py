@@ -1381,3 +1381,35 @@ SELECT event_id,
        'OBJECT<k: BIGINT>' AS vschema
 FROM events WHERE event_id % 100 = 0
 """
+
+
+def order_value_quantiles(spark, sf_dir):
+    """Per-priority order-value quantiles via the mergeable
+    percentile_approx sketch (Greenwald-Khanna): the distributed-quantile
+    workhorse — each partition sketches locally, sketches merge at the
+    driver-side of the agg, no global sort. Accuracy 100000 exceeds every
+    per-group row count at bench scale, making the sketch EXACT here and
+    therefore oracle-comparable against DuckDB's quantile_disc; at real
+    scale the same plan runs at lower accuracy with a bounded rank error
+    (that is the point of a sketch)."""
+    o = _t(spark, sf_dir, "orders")
+    acc = F.lit(100_000)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile_approx("o_totalprice", F.lit(0.5), acc).alias("p50"),
+            F.percentile_approx("o_totalprice", F.lit(0.9), acc).alias("p90"),
+            F.percentile_approx("o_totalprice", F.lit(0.99), acc).alias("p99"),
+        )
+    )
+
+
+ORDER_VALUE_QUANTILES_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n,
+       quantile_disc(o_totalprice, 0.5) AS p50,
+       quantile_disc(o_totalprice, 0.9) AS p90,
+       quantile_disc(o_totalprice, 0.99) AS p99
+FROM orders GROUP BY o_orderpriority
+"""
