@@ -412,6 +412,16 @@ _REGISTRY: dict[
         oq.order_value_quantiles,
         oq.ORDER_VALUE_QUANTILES_ORACLE,
     ),
+    # round-5: date-spine gap fill + forward fill
+    "gap_filled_daily_order_counts": (
+        oq.gap_filled_daily_order_counts,
+        oq.GAP_FILLED_DAILY_ORDER_COUNTS_ORACLE,
+    ),
+    # round-5: TPC-H Q5 proper — completes supplier-table coverage
+    "local_supplier_volume": (
+        oq.local_supplier_volume,
+        oq.LOCAL_SUPPLIER_VOLUME_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -1413,3 +1413,112 @@ SELECT o_orderpriority,
        quantile_disc(o_totalprice, 0.99) AS p99
 FROM orders GROUP BY o_orderpriority
 """
+
+
+def gap_filled_daily_order_counts(spark, sf_dir):
+    """Date-spine gap fill + forward fill — the reporting/feature-store
+    shape: build the complete (priority × day) spine over the observed
+    date range, zero-fill days with no orders, and carry the most recent
+    observed avg price forward (``last(..., ignorenulls)`` over an
+    ordered window). Days before a priority's first order stay NULL.
+
+    Scale shape: the spine is dimension-sized (groups × days), built
+    from a broadcast one-row bounds frame — the fact table is touched
+    once for the daily aggregate; the fill is one window over the spine,
+    never over raw facts."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_totalprice",
+    )
+    daily = o.groupBy("o_orderpriority", "d").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+    bounds = o.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine_days = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    prios = o.select("o_orderpriority").distinct()
+    spine = prios.crossJoin(F.broadcast(spine_days))
+    w = Window.partitionBy("o_orderpriority").orderBy("d")
+    return spine.join(daily, ["o_orderpriority", "d"], "left").select(
+        "o_orderpriority",
+        "d",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.last("avg_price", ignorenulls=True).over(w).alias("last_seen_avg"),
+    )
+
+
+GAP_FILLED_DAILY_ORDER_COUNTS_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d, o_totalprice
+  FROM orders
+),
+daily AS (
+  SELECT o_orderpriority, d, CAST(count(*) AS BIGINT) AS n_orders,
+         round(avg(o_totalprice), 6) AS avg_price
+  FROM o GROUP BY o_orderpriority, d
+),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
+days AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM bounds
+),
+spine AS (
+  SELECT p.o_orderpriority, days.d
+  FROM (SELECT DISTINCT o_orderpriority FROM o) p CROSS JOIN days
+)
+SELECT s.o_orderpriority, s.d,
+       COALESCE(dl.n_orders, 0) AS n_orders,
+       last_value(dl.avg_price IGNORE NULLS)
+         OVER (PARTITION BY s.o_orderpriority ORDER BY s.d) AS last_seen_avg
+FROM spine s LEFT JOIN daily dl USING (o_orderpriority, d)
+"""
+
+
+def local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 proper: revenue from lineitems whose CUSTOMER and
+    SUPPLIER sit in the same nation — the co-location predicate joined
+    across six tables. Completes table coverage (supplier was otherwise
+    unused by the catalog).
+
+    Scale shape: only lineitem⋈orders shuffles (orderkey); customer,
+    supplier, and nation broadcast; the same-nation predicate is a
+    post-join filter on two broadcast-sourced columns, so no extra
+    exchange appears for it."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(n.n_name.alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_ORACLE = """
+SELECT n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
