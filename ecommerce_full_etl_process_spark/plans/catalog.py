@@ -422,6 +422,9 @@ _REGISTRY: dict[
         oq.local_supplier_volume,
         oq.LOCAL_SUPPLIER_VOLUME_ORACLE,
     ),
+    # round-5: salient-term extraction (tf-idf) and PMI collocations
+    "tfidf_top_terms": (lq.tfidf_top_terms, lq.TFIDF_TOP_TERMS_ORACLE),
+    "bigram_pmi": (lq.bigram_pmi, lq.BIGRAM_PMI_ORACLE),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

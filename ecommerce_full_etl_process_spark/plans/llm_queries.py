@@ -1711,3 +1711,159 @@ SELECT doc_id, n_words,
        reject_reasons = '' AS keep
 FROM flagged
 """
+
+
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — the classic salient-term
+    extractor (keyword tagging, topic seeding, index summarization).
+    tf = in-doc term count; idf = ln(N/df) with df derived by
+    re-aggregating the tf frame (one corpus scan total); ordering and
+    output use the ROUNDED score so cross-engine float ordering cannot
+    disagree, with the term as the deterministic tie-break.
+
+    Scale shape: one (doc, term) shuffle for tf; df re-aggregates those
+    skinny rows; idf is a vocabulary-sized broadcast join back; the
+    top-3 window runs per doc over its distinct terms only."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    w = F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    toks = d.select("doc_id", w).where(F.col("w") != "")
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    scored = tf.join(F.broadcast(dfreq), "w").select(
+        "doc_id",
+        "w",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("w")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "w", "tf", "tfidf")
+    )
+
+
+TFIDF_TOP_TERMS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE w <> '' GROUP BY doc_id, w
+),
+dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+scored AS (
+  SELECT doc_id, w, tf, round(tf * ln(n_docs / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (w) CROSS JOIN n
+)
+SELECT doc_id, rank, w, tf, tfidf FROM (
+  SELECT doc_id, w, tf, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, w ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def bigram_pmi(spark, sf_dir):
+    """Top-20 collocations by pointwise mutual information — the
+    statistical phrase detector (tokenizer merge candidates, stopword-
+    robust unlike raw counts). PMI = ln(p(ab) / (p(a)p(b))) over raw
+    (non-distinct) unigram/bigram counts, support-filtered at c_ab >= 5;
+    ordering uses the ROUNDED score + bigram tie-break so cross-engine
+    float ordering agrees, and the ratio is written with identical
+    association on both engines (IEEE multiplication is deterministic
+    given the same order).
+
+    Scale shape: two map-side-combined counts (unigrams, bigrams) — the
+    bigram fan-out is row-local; scalar totals broadcast; the unigram
+    table is vocabulary-sized and broadcasts into the score join."""
+    d = _docs(spark, sf_dir).select("text")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    uni = (
+        d.select(F.explode(w).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        d.select(F.explode(bg).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    nu = uni.agg(F.sum("c").cast("double").alias("nu"))
+    nb = big.agg(F.sum("c_ab").cast("double").alias("nb"))
+    parts = F.split(F.col("bigram"), " ")
+    scored = (
+        big.where(F.col("c_ab") >= 5)
+        .withColumn("a", F.element_at(parts, 1))
+        .withColumn("b", F.element_at(parts, 2))
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") * F.col("nu") * F.col("nu"))
+            / (F.col("nb") * F.col("c_a") * F.col("c_b"))
+        ),
+        6,
+    )
+    return (
+        scored.select("bigram", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+BIGRAM_PMI_ORACLE = """
+WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+uni AS (
+  SELECT w2 AS w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(w) AS w2 FROM d) WHERE w2 <> '' GROUP BY w2
+),
+big AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab
+  FROM (
+    SELECT unnest([ w[i] || ' ' || w[i+1] for i in range(1, len(w)) ]) AS bigram
+    FROM d
+  ) GROUP BY bigram
+),
+nu AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uni),
+nb AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS nb FROM big),
+scored AS (
+  SELECT b.bigram, b.c_ab,
+         round(ln((CAST(b.c_ab AS DOUBLE) * nu.nu * nu.nu)
+                  / (nb.nb * ua.c * ub.c)), 6) AS pmi
+  FROM big b
+  JOIN uni ua ON ua.w = string_split(b.bigram, ' ')[1]
+  JOIN uni ub ON ub.w = string_split(b.bigram, ' ')[2]
+  CROSS JOIN nu CROSS JOIN nb
+  WHERE b.c_ab >= 5
+)
+SELECT bigram, c_ab, pmi FROM scored ORDER BY pmi DESC, bigram ASC LIMIT 20
+"""
