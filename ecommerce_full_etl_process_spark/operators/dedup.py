@@ -570,6 +570,14 @@ def connected_components(
         labels = stamped.drop("__changed")
         if changed == 0:
             break
+    else:
+        # Exhausted max_iter without converging: the graph's diameter
+        # exceeds the round budget (a chain-shaped component), and the
+        # partial labels are WRONG, not approximate. Fall back to star
+        # contraction, which needs only O(log diameter) rounds — never
+        # silently return unconverged labels (caught by a 60-chain test
+        # that previously mislabeled 40 of 61 nodes on this path).
+        return connected_components_star(pairs, id_a, id_b, max_iter=50)
     return labels
 
 

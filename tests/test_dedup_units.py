@@ -274,3 +274,19 @@ def test_connected_components_star_string_ids(spark):
         for r in D.connected_components_star(pairs).collect()
     }
     assert dsu == want and star == want
+
+
+def test_min_label_falls_back_on_high_diameter(spark):
+    """A chain longer than max_iter must NOT silently return unconverged
+    labels from the distributed min-label loop — the high-diameter
+    fallback to star contraction produces correct labels (before the
+    fix, 40 of 61 nodes on this graph kept wrong comps)."""
+    edges = [(i, i + 1) for i in range(60)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long").localCheckpoint(
+        eager=True
+    )
+    out = {
+        (r["node"], r["comp"])
+        for r in D.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert out == {(i, 0) for i in range(61)}
