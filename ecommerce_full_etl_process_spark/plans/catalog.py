@@ -425,6 +425,11 @@ _REGISTRY: dict[
     # round-5: salient-term extraction (tf-idf) and PMI collocations
     "tfidf_top_terms": (lq.tfidf_top_terms, lq.TFIDF_TOP_TERMS_ORACLE),
     "bigram_pmi": (lq.bigram_pmi, lq.BIGRAM_PMI_ORACLE),
+    # round-5: per-dim centering + L2 norms (ANN/k-means preprocessing)
+    "embedding_preprocess": (
+        lq.embedding_preprocess,
+        lq.EMBEDDING_PREPROCESS_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -1867,3 +1867,61 @@ scored AS (
 )
 SELECT bigram, c_ab, pmi FROM scored ORDER BY pmi DESC, bigram ASC LIMIT 20
 """
+
+
+def embedding_preprocess(spark, sf_dir):
+    """Embedding preprocessing stats — per-dimension mean centering and
+    L2 norms (the standard prep before cosine ANN / k-means: centering
+    removes the corpus offset that inflates all pairwise similarities).
+    Returns (vec_id, dim, norm_raw, norm_centered), rounded.
+
+    Scale shape: the per-dim mean is ONE posexplode + map-side-combined
+    aggregate collapsed to a single broadcast array row (dim-sized, no
+    driver round-trip); centering + norms are then row-local folds —
+    nothing but the mean aggregate touches the corpus twice."""
+    e = _embs(spark, sf_dir).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    means = (
+        e.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    mu = means.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("mu")
+    )
+    sq_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    centered = F.zip_with(F.col("v"), F.col("mu"), lambda a, b: a - b)
+    return e.crossJoin(F.broadcast(mu)).select(
+        "vec_id",
+        F.size("v").alias("dim"),
+        F.round(F.sqrt(sq_sum(F.col("v"))), 6).alias("norm_raw"),
+        F.round(F.sqrt(sq_sum(centered)), 6).alias("norm_centered"),
+    )
+
+
+EMBEDDING_PREPROCESS_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT i, avg(x) AS m FROM (
+    SELECT unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM v
+  ) GROUP BY i
+),
+mu AS (SELECT list(m ORDER BY i) AS mu FROM dims)
+SELECT vec_id,
+       CAST(len(v) AS INT) AS dim,
+       round(sqrt(list_sum([x * x for x in v])), 6) AS norm_raw,
+       round(sqrt(list_sum([ (v[i] - mu[i]) * (v[i] - mu[i])
+                             for i in range(1, len(v) + 1) ])), 6)
+         AS norm_centered
+FROM v CROSS JOIN mu
+"""
