@@ -79,3 +79,63 @@ def test_streaming_dedup_ingest_end_to_end(spark, tmp_path):
     store = _run(spark, src, str(tmp_path / "ckpt2"), wh)
     assert store.read("dedup_log").count() == 5
     assert store.read("corpus").count() == 5
+
+
+def test_streaming_dedup_soak_matches_offline(spark, tmp_path):
+    """8-batch soak: 60 fresh + 15 near-copies of earlier docs per batch
+    (star-shaped components only, so the online greedy and the offline
+    full-corpus keep list must agree exactly). Asserts log completeness,
+    dup_of validity, index growth, and keep-set equality with
+    corpus_dedup_keep_list over the full corpus."""
+    import random
+
+    from ecommerce_full_etl_process_spark.operators import dedup as D
+
+    rng = random.Random(13)
+    words = [f"w{i}" for i in range(500)]
+    src = str(tmp_path / "incoming")
+    wh = str(tmp_path / "wh")
+    os.makedirs(src, exist_ok=True)
+
+    all_rows = []
+    fresh_texts = {}
+    next_id = 0
+    n_batches, fresh_per, dups_per = 8, 60, 15
+    for b in range(n_batches):
+        rows = []
+        for _ in range(fresh_per):
+            text = " ".join(rng.choice(words) for _ in range(40)) + f" uniq{next_id}"
+            fresh_texts[next_id] = text
+            rows.append((next_id, text))
+            next_id += 1
+        if b > 0:
+            # copies of docs FRESH in earlier batches (truncate 3 words)
+            prev_ids = [i for i in fresh_texts if i < next_id - fresh_per]
+            for _ in range(dups_per):
+                src_id = rng.choice(prev_ids)
+                rows.append(
+                    (next_id, " ".join(fresh_texts[src_id].split()[:-3]))
+                )
+                next_id += 1
+        all_rows.extend(rows)
+        _write_batch(spark, src, f"b{b}", rows)
+        _run(spark, src, str(tmp_path / "ckpt"), wh)
+
+    store = TableStore(spark, wh)
+    log = {r["doc_id"]: r for r in store.read("dedup_log").collect()}
+    assert len(log) == len(all_rows)
+    assert store.read("corpus").count() == len(all_rows)
+    assert store.read("lsh_bands").count() == len(all_rows)
+    for did, r in log.items():
+        if not r["keep"]:
+            assert r["dup_of"] is not None and r["dup_of"] < did
+
+    # offline ground truth over the final corpus
+    full = spark.createDataFrame(all_rows, "doc_id long, text string")
+    offline = {
+        r["doc_id"]: (r["keep"], r["comp"])
+        for r in D.corpus_dedup_keep_list(full, "doc_id", "text").collect()
+    }
+    stream_nonkeep = {d: r["dup_of"] for d, r in log.items() if not r["keep"]}
+    off_nonkeep = {d: c for d, (k, c) in offline.items() if not k}
+    assert stream_nonkeep == off_nonkeep
