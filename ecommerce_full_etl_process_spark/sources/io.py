@@ -21,6 +21,8 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
+from contextlib import contextmanager
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +32,11 @@ from pyspark.sql import types as T
 from ..schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted a locked table mutation (single-writer
+    contract, SURVEY §7.5)."""
 
 
 def _json_safe(v):
@@ -170,10 +177,72 @@ class TableStore:
             )
         return self.spark.read.parquet(path)
 
+    # -- writer lock --------------------------------------------------------
+
+    def _lock_path(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "_writer.lock")
+
+    @contextmanager
+    def _writer_lock(self, table: str):
+        """Per-table advisory writer lock — the single-writer contract the
+        vacuum docstring documents, now enforced instead of assumed.
+
+        O_CREAT|O_EXCL is atomic on POSIX; the lock file records pid +
+        timestamp. A lock whose pid is dead (writer crashed between
+        acquire and release) is reclaimed — the versioned-dir protocol
+        already tolerates that writer's torn output (vacuum removes it).
+        Same-host scope only, like the store itself: a multi-node
+        deployment needs a lock service or a table format with a commit
+        protocol (Delta/Iceberg) — documented, not simulated."""
+        d = self._table_dir(table)
+        os.makedirs(d, exist_ok=True)
+        path = self._lock_path(table)
+        for attempt in (1, 2):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+                break
+            except FileExistsError:
+                try:
+                    with open(path) as f:
+                        holder = json.load(f)
+                    os.kill(int(holder["pid"]), 0)  # raises if dead
+                    alive = True
+                except (OSError, ValueError, KeyError):
+                    alive = False
+                if alive:
+                    raise ConcurrentWriteError(
+                        f"table {table!r} is locked by live writer "
+                        f"pid={holder.get('pid')} since {holder.get('ts')}"
+                    )
+                # stale lock from a dead writer: reclaim and retry once
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+                if attempt == 2:
+                    raise ConcurrentWriteError(
+                        f"table {table!r}: lock contention while reclaiming"
+                    )
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+
     def overwrite(
         self, table: str, df: DataFrame, partition_by: list[str] | None = None
     ) -> None:
         """Write a full new version then atomically flip the manifest."""
+        with self._writer_lock(table):
+            self._overwrite_unlocked(table, df, partition_by)
+
+    def _overwrite_unlocked(
+        self, table: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> None:
         current = self._current_version(table)
         new_version = (current or 0) + 1
         writer = df.write.mode("overwrite")
@@ -186,14 +255,15 @@ class TableStore:
         self, table: str, df: DataFrame, partition_by: list[str] | None = None
     ) -> None:
         """Append into the current version directory (facts / audit logs)."""
-        version = self._current_version(table)
-        if version is None:
-            self.overwrite(table, df, partition_by=partition_by)
-            return
-        writer = df.write.mode("append")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(self._data_dir(table, version))
+        with self._writer_lock(table):
+            version = self._current_version(table)
+            if version is None:
+                self._overwrite_unlocked(table, df, partition_by=partition_by)
+                return
+            writer = df.write.mode("append")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(self._data_dir(table, version))
 
     # -- file-skipping stats (Delta-style data skipping on plain parquet) ---
 
@@ -366,27 +436,29 @@ class TableStore:
         so it is safe to run concurrently with readers of the current
         manifest (the same contract as Delta's VACUUM, SURVEY §7.5) — but
         NOT concurrently with a writer: an in-flight overwrite's v=n+1 dir
-        looks exactly like torn debris until its manifest flip. Run vacuum
-        from the same scheduler slot as writes (the reference's pipeline is
-        single-writer-per-table by construction).
+        looks exactly like torn debris until its manifest flip. That
+        writer exclusion is ENFORCED: vacuum takes the same per-table
+        writer lock as overwrite/append, so racing a live writer raises
+        ConcurrentWriteError instead of deleting its in-flight version.
         """
         import re
         import shutil
 
-        current = self._current_version(table)
-        if current is None:
-            return []
-        d = self._table_dir(table)
-        versions = sorted(
-            int(m.group(1))
-            for name in os.listdir(d)
-            if (m := re.fullmatch(r"v=(\d+)", name))
-        )
-        keep_floor = current - max(keep_versions, 1) + 1
-        doomed = [v for v in versions if v > current or v < keep_floor]
-        removed = []
-        for v in doomed:
-            path = self._data_dir(table, v)
-            shutil.rmtree(path)
-            removed.append(path)
-        return removed
+        with self._writer_lock(table):
+            current = self._current_version(table)
+            if current is None:
+                return []
+            d = self._table_dir(table)
+            versions = sorted(
+                int(m.group(1))
+                for name in os.listdir(d)
+                if (m := re.fullmatch(r"v=(\d+)", name))
+            )
+            keep_floor = current - max(keep_versions, 1) + 1
+            doomed = [v for v in versions if v > current or v < keep_floor]
+            removed = []
+            for v in doomed:
+                path = self._data_dir(table, v)
+                shutil.rmtree(path)
+                removed.append(path)
+            return removed

@@ -165,3 +165,64 @@ def test_randomized_crash_sequence_always_serves_committed_data(
     live = store._current_version("t")
     dirs = [n for n in os.listdir(store._table_dir("t")) if n.startswith("v=")]
     assert dirs == [f"v={live}"]  # no debris versions survive vacuum
+
+
+# ---------------------------------------------------------------------------
+# Writer lock (single-writer contract, now enforced)
+# ---------------------------------------------------------------------------
+
+def test_writer_lock_excludes_live_writer(spark, tmp_path):
+    import json
+    import os
+
+    import pytest
+
+    from ecommerce_full_etl_process_spark.sources.io import (
+        ConcurrentWriteError,
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    df = spark.range(5).selectExpr("id AS k")
+    store.overwrite("t", df)
+    # simulate another LIVE writer holding the lock (this test's own pid)
+    with open(store._lock_path("t"), "w") as f:
+        json.dump({"pid": os.getpid(), "ts": 0}, f)
+    with pytest.raises(ConcurrentWriteError):
+        store.overwrite("t", df)
+    with pytest.raises(ConcurrentWriteError):
+        store.append("t", df)
+    with pytest.raises(ConcurrentWriteError):
+        store.vacuum("t")
+    os.unlink(store._lock_path("t"))
+    store.overwrite("t", df)  # lock gone -> writes proceed again
+
+
+def test_writer_lock_reclaims_dead_pid(spark, tmp_path):
+    import json
+
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    df = spark.range(5).selectExpr("id AS k")
+    store.overwrite("t", df)
+    # a crashed writer left its lock behind: pid that cannot exist
+    with open(store._lock_path("t"), "w") as f:
+        json.dump({"pid": 2 ** 22 + 1, "ts": 0}, f)
+    store.overwrite("t", df)  # stale lock reclaimed, write succeeds
+    assert store._current_version("t") == 2
+    assert not os.path.exists(store._lock_path("t"))
+
+
+def test_writer_lock_released_after_failed_write(spark, tmp_path):
+    import pytest
+
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    bad = spark.range(5).selectExpr("CAST(raise_error('boom') AS STRING) AS k")
+    with pytest.raises(Exception):
+        store.overwrite("t", bad)
+    assert not os.path.exists(store._lock_path("t"))
+    store.overwrite("t", spark.range(3).selectExpr("id AS k"))
+    assert store.read("t").count() == 3
