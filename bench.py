@@ -66,6 +66,7 @@ HEADLINE = [
     "trigram_lm_scores",
     "fuzzy_name_match",
     "semantic_dedup_components",
+    "simhash_banded_neardups",
 ]
 
 
