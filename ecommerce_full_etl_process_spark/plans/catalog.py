@@ -430,6 +430,11 @@ _REGISTRY: dict[
         lq.embedding_preprocess,
         lq.EMBEDDING_PREPROCESS_ORACLE,
     ),
+    # round-5: TPC-H Q10 shape (returned-item revenue, top 20)
+    "returned_item_revenue": (
+        oq.returned_item_revenue,
+        oq.RETURNED_ITEM_REVENUE_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -1522,3 +1522,44 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE c_nationkey = s_nationkey
 GROUP BY n_name
 """
+
+
+def returned_item_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned lineitems per customer,
+    top 20 — the churn-analysis join-agg (fact filter → two joins → agg
+    → top-k). Only lineitem⋈orders shuffles; customer and nation
+    broadcast; the returnflag filter is pushed to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_returned_lines"),
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_REVENUE_ORACLE = """
+SELECT c_custkey, c_name, n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue,
+       count(*) AS n_returned_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20
+"""
