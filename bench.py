@@ -12,6 +12,7 @@ results to the driver).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -75,11 +76,42 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def summary_line(full: dict) -> str:
+    """Compact (<500 char) last-line summary.
+
+    The driver records only the LAST ~2000 chars of stdout; round 5's
+    single full JSON line outgrew that window and the round's official
+    total was lost (``BENCH_r05.json parsed: null``). The contract now:
+    the full detail JSON goes to ``bench_out.json`` (committed) and to an
+    early stdout line for humans, while the FINAL stdout line is this
+    compact summary that always fits the tail capture.
+    ``tests/test_bench_contract.py`` pins the <500-char bound.
+    """
+    return json.dumps(
+        {
+            "metric": full["metric"],
+            "value": full["value"],
+            "unit": full["unit"],
+            "partial": full["partial"],
+            "n_queries": len(full["queries"]),
+            "n_errors": len(full["errors"]),
+            "repeats_min": full["repeats_min"],
+            "sf": full["sf"],
+            "detail": "bench_out.json",
+        }
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = catalog.spark_queries()
-    names = [n for n in HEADLINE if n in queries]
+    # SPARK_GRAFT_BENCH_SUBSET: comma-separated query names — used to
+    # bisect session effects (e.g. replay only round-4's 23-query set in
+    # an otherwise identical session). Unset = full headline list.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_SUBSET", "")
+    wanted = [s.strip() for s in subset.split(",") if s.strip()] or HEADLINE
+    names = [n for n in wanted if n in queries]
 
     # warm the JVM + parquet footers once so we measure query execution
     for name in names[:1]:
@@ -113,26 +145,38 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        finally:
+            # Session hygiene between queries: round 5 showed a uniform
+            # 1.1–1.8x drift across untouched queries as the headline set
+            # grew 23→36 in one long session — drop cached frames and
+            # collect py-side garbage so query N+1 isn't paying for the
+            # residue of queries 1..N.
+            spark.catalog.clearCache()
+            gc.collect()
 
     # with any failed query, a summed total would silently cover fewer
     # queries and read as a round-over-round speedup — null it out and
     # flag the run partial so cross-round comparisons can't be fooled
     total = round(sum(timings.values()), 3) if not errors else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "partial": bool(errors),
-                "queries": timings,
-                "queries_median": medians,
-                "errors": errors,
-                "repeats_min": repeats,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "partial": bool(errors),
+        "queries": timings,
+        "queries_median": medians,
+        "errors": errors,
+        "repeats_min": repeats,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    # full detail: committed file + an early stdout line (humans/debug)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(full))
+    # LAST line = compact summary — must survive the driver's tail capture
+    print(summary_line(full))
 
 
 if __name__ == "__main__":

@@ -647,8 +647,15 @@ def connected_components_star(
     like the min-label loop.
     """
     spark = pairs.sparkSession
-    # symmetric edge list, self-loops dropped
+    # symmetric edge list, self-loops dropped for contraction — but the
+    # full node set is kept so a node whose ONLY edge is a self-loop still
+    # gets its (x, x) label, matching connected_components exactly
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    all_nodes = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     edges = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .where(F.col("u") != F.col("v"))
@@ -711,14 +718,15 @@ def connected_components_star(
             edges = new_edges
             break
         edges = new_edges
-    # star forest → labels: every down-edge (u→v) says comp(u)=v; roots
-    # (min nodes) label themselves.
+    # star forest → labels: every down-edge (u→v) says comp(u)=v; every
+    # other input node (roots AND self-loop-only singletons, which the
+    # contracted edge set no longer contains) labels itself.
     down = edges.where(F.col("v") < F.col("u"))
     labels = down.select(F.col("u").alias("node"), F.col("v").alias("comp"))
     roots = (
-        edges.select(F.col("u").alias("node"))
-        .exceptAll(down.select(F.col("u").alias("node")))
-        .distinct()
+        all_nodes.join(
+            down.select(F.col("u").alias("node")), "node", "left_anti"
+        )
         .withColumn("comp", F.col("node"))
     )
     return labels.unionByName(roots)

@@ -191,13 +191,25 @@ class TableStore:
         timestamp. A lock whose pid is dead (writer crashed between
         acquire and release) is reclaimed — the versioned-dir protocol
         already tolerates that writer's torn output (vacuum removes it).
+
+        Liveness: only ``ProcessLookupError`` means dead. ``PermissionError``
+        from ``os.kill(pid, 0)`` means the pid is ALIVE but owned by another
+        user — treating it as dead would steal a live writer's lock.
+
+        Reclaim is race-free: the stale lock is claimed via an atomic
+        ``os.rename`` to a contender-unique name — exactly one renamer
+        wins; the loser sees FileNotFoundError and retries the normal
+        acquire path. Plain unlink+create would let two contenders both
+        observe the dead pid, with the slower one unlinking the faster
+        one's FRESH lock — two live writers despite the contract.
+
         Same-host scope only, like the store itself: a multi-node
         deployment needs a lock service or a table format with a commit
         protocol (Delta/Iceberg) — documented, not simulated."""
         d = self._table_dir(table)
         os.makedirs(d, exist_ok=True)
         path = self._lock_path(table)
-        for attempt in (1, 2):
+        for attempt in (1, 2, 3):
             try:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 with os.fdopen(fd, "w") as f:
@@ -207,21 +219,37 @@ class TableStore:
                 try:
                     with open(path) as f:
                         holder = json.load(f)
-                    os.kill(int(holder["pid"]), 0)  # raises if dead
-                    alive = True
-                except (OSError, ValueError, KeyError):
-                    alive = False
+                    holder_pid = int(holder["pid"])
+                except (OSError, ValueError, KeyError, TypeError):
+                    # unreadable/torn lock file: treat as stale, race below
+                    holder, holder_pid = {}, None
+                alive = False
+                if holder_pid is not None:
+                    try:
+                        os.kill(holder_pid, 0)
+                        alive = True
+                    except ProcessLookupError:
+                        alive = False  # definitely dead
+                    except PermissionError:
+                        alive = True  # live process, other user
+                    except OSError:
+                        alive = True  # unknown — never steal on doubt
                 if alive:
                     raise ConcurrentWriteError(
                         f"table {table!r} is locked by live writer "
                         f"pid={holder.get('pid')} since {holder.get('ts')}"
                     )
-                # stale lock from a dead writer: reclaim and retry once
+                # Stale lock: claim it atomically — exactly one contender's
+                # rename succeeds; everyone else loops back to acquire.
+                claimed = os.path.join(
+                    d, f"_writer.lock.reclaim.{os.getpid()}.{time.time_ns()}"
+                )
                 try:
-                    os.unlink(path)
+                    os.rename(path, claimed)
+                    os.unlink(claimed)
                 except FileNotFoundError:
-                    pass
-                if attempt == 2:
+                    pass  # another contender claimed it first — just retry
+                if attempt == 3:
                     raise ConcurrentWriteError(
                         f"table {table!r}: lock contention while reclaiming"
                     )
@@ -373,12 +401,25 @@ class TableStore:
         """Range read with file skipping: prune whole files via the stats
         manifest, then still apply the predicate (stats prune at file
         granularity; the filter handles row granularity and also pushes
-        down to row-group skipping inside the kept files)."""
+        down to row-group skipping inside the kept files).
+
+        ``basePath`` is pinned to the version directory so that on a
+        ``partition_by`` table the hive-style partition columns survive a
+        leaf-file read — without it the pruned-file read would drop them,
+        diverging from :meth:`read`'s schema and breaking
+        partition-column predicates. Note the stats manifest only covers
+        footer columns; a predicate on a PARTITION column falls back to
+        keep-everything pruning (no footer stats) and the directory
+        value still filters correctly via the basePath-derived column."""
+        if version is None:
+            version = self._current_version(table)
         kept, _skipped = self.prune_files(table, col, lo, hi, version)
         if not kept:
             base = self.read(table, version)
             return base.where(F.lit(False))
-        df = self.spark.read.parquet(*kept)
+        df = self.spark.read.option(
+            "basePath", self._data_dir(table, version)
+        ).parquet(*kept)
         return df.where(F.col(col).between(lo, hi))
 
     def compact(self, table: str, target_files: int) -> int:

@@ -610,11 +610,25 @@ def run_streaming_dedup_ingest(
        NEXT batch probes the updated index.
 
     Replay semantics: checkpointed ``foreachBatch`` is at-least-once, so
-    a batch_id already present in ``dedup_log`` is skipped entirely —
-    the three appends commit effectively-once per batch (the guard is
-    checked before any write; a crash BETWEEN appends of one batch is
-    the same torn state the TableStore vacuum/crash-recovery contract
-    already covers).
+    the writes follow a marker protocol that commits effectively-once
+    even across a crash BETWEEN appends (the TableStore crash contract
+    only covers torn versioned overwrites, not multi-table appends):
+
+    - ``batch_attempts`` (intent marker) is appended FIRST, the three
+      data appends (``dedup_log``, ``corpus``, ``lsh_bands``) follow,
+      and ``batch_commits`` (commit marker) is appended LAST;
+    - a batch_id already in ``batch_commits`` is skipped entirely;
+    - a batch_id in ``batch_attempts`` but NOT in ``batch_commits`` is a
+      torn previous attempt: the batch is re-processed with this batch's
+      doc_ids anti-joined out of the archive views (restoring the
+      disjoint-id contract of the incremental prober) and each append
+      filtered to only the rows the torn attempt did not land. The probe
+      cost is an ``isin`` over the micro-batch's doc_ids — pruned by
+      parquet stats — and is paid ONLY on the rare post-crash replay.
+
+    A crash at any point therefore loses nothing and duplicates
+    nothing: before the commit marker lands the batch will be replayed
+    and healed; after it lands the batch is skipped.
 
     Scale shape: per batch, signature work is O(batch); the index probe
     touches archive text only for colliding docs; appends are
@@ -627,23 +641,41 @@ def run_streaming_dedup_ingest(
 
     store = TableStore(spark, warehouse_root)
 
+    def _marker_has(table: str, batch_id: int) -> bool:
+        return store.exists(table) and bool(
+            store.read(table).where(F.col("batch_id") == batch_id).take(1)
+        )
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
         if not batch.take(1):
             return
-        if store.exists("dedup_log"):
-            seen = (
-                store.read("dedup_log")
-                .where(F.col("batch_id") == batch_id)
-                .take(1)
+        if _marker_has("batch_commits", batch_id):
+            return  # at-least-once replay of an already-committed batch
+        # torn = a previous attempt started but never committed; its data
+        # appends may be partially present and must not be doubled
+        torn = _marker_has("batch_attempts", batch_id)
+        if not torn:
+            store.append(
+                "batch_attempts",
+                spark.createDataFrame([(batch_id,)], "batch_id long"),
             )
-            if seen:  # at-least-once replay of an already-committed batch
-                return
-        if store.exists("lsh_bands"):
+        batch_ids = batch.select("doc_id")
+
+        def _archive(table: str) -> DataFrame:
+            df = store.read(table)
+            if torn:  # strip this batch's partial rows from the archive view
+                df = df.join(F.broadcast(batch_ids), "doc_id", "left_anti")
+            return df
+
+        have_index = store.exists("lsh_bands") and (
+            not torn or bool(_archive("lsh_bands").take(1))
+        )
+        if have_index:
             pairs = D.minhash_lsh_pairs_incremental(
                 batch,
-                store.read("corpus"),
-                store.read("lsh_bands"),
+                _archive("corpus"),
+                _archive("lsh_bands"),
                 "doc_id",
                 "text",
                 n=n,
@@ -670,9 +702,26 @@ def run_streaming_dedup_ingest(
                 F.lit(batch_id).alias("batch_id"),
             )
         )
-        store.append("dedup_log", decisions)
-        store.append("corpus", batch)
-        store.append("lsh_bands", D.minhash_band_index(batch, "doc_id", "text", n=n))
+        bands = D.minhash_band_index(batch, "doc_id", "text", n=n)
+
+        def _fresh_only(table: str, df: DataFrame) -> DataFrame:
+            # on a torn replay, append only rows the dead attempt missed
+            if not (torn and store.exists(table)):
+                return df
+            present = (
+                store.read(table)
+                .join(F.broadcast(batch_ids), "doc_id", "left_semi")
+                .select("doc_id")
+            )
+            return df.join(F.broadcast(present), "doc_id", "left_anti")
+
+        store.append("dedup_log", _fresh_only("dedup_log", decisions))
+        store.append("corpus", _fresh_only("corpus", batch))
+        store.append("lsh_bands", _fresh_only("lsh_bands", bands))
+        # commit marker LAST: until this lands, a replay heals the batch
+        store.append(
+            "batch_commits", spark.createDataFrame([(batch_id,)], "batch_id long")
+        )
 
     stream = (
         spark.readStream.schema("doc_id long, text string")

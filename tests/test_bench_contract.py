@@ -1,0 +1,90 @@
+"""Pins the bench-output contract that protects per-round perf evidence.
+
+Round 5's official total was lost because the single full JSON line
+outgrew the driver's ~2000-char stdout tail capture (BENCH_r05.json
+``parsed: null``). The contract now: ``bench.py`` prints the full detail
+JSON early, writes it to ``bench_out.json``, and prints a compact summary
+as the FINAL stdout line. These tests pin (a) the summary stays well
+under the capture window even with an absurdly large catalog, and (b) the
+summary is the last thing ``main`` emits.
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def _fake_full(n_queries: int) -> dict:
+    qs = {f"query_with_a_rather_long_name_{i:04d}": 123.456 for i in range(n_queries)}
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": 99999.999,
+        "unit": "sec",
+        "partial": False,
+        "queries": qs,
+        "queries_median": qs,
+        "errors": {},
+        "repeats_min": 3,
+        "sf": 100.0,
+    }
+
+
+def test_summary_line_under_500_chars_even_at_500_queries():
+    line = bench.summary_line(_fake_full(500))
+    assert len(line) < 500
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert parsed["value"] == 99999.999
+    assert parsed["n_queries"] == 500
+
+
+def test_summary_line_is_parseable_with_errors_and_null_total():
+    full = _fake_full(36)
+    full["value"] = None
+    full["partial"] = True
+    full["errors"] = {"some_query": "RuntimeError: boom"}
+    parsed = json.loads(bench.summary_line(full))
+    assert parsed["value"] is None
+    assert parsed["partial"] is True
+    assert parsed["n_errors"] == 1
+
+
+def test_main_prints_summary_last():
+    """Static check: the final print() in bench.main is the summary line.
+
+    Cheaper than a subprocess JVM spin-up, and pins exactly the property
+    the driver depends on — whatever lands last on stdout must be the
+    compact line.
+    """
+    src = open(os.path.join(os.path.dirname(bench.__file__) or ".", "bench.py")).read()
+    tree = ast.parse(src)
+    main_fn = next(
+        n for n in tree.body if isinstance(n, ast.FunctionDef) and n.name == "main"
+    )
+    prints = [
+        n
+        for n in ast.walk(main_fn)
+        if isinstance(n, ast.Call)
+        and isinstance(n.func, ast.Name)
+        and n.func.id == "print"
+        # ignore stderr prints (per-query failure logs)
+        and not any(k.arg == "file" for k in n.keywords)
+    ]
+    last = max(prints, key=lambda n: n.lineno)
+    # last stdout print must be print(summary_line(...))
+    arg = last.args[0]
+    assert isinstance(arg, ast.Call)
+    assert isinstance(arg.func, ast.Name) and arg.func.id == "summary_line"
+
+
+def test_bench_writes_detail_file_contract():
+    """bench.main writes bench_out.json next to bench.py (source-pinned)."""
+    src = open(os.path.join(os.path.dirname(bench.__file__) or ".", "bench.py")).read()
+    assert "bench_out.json" in src

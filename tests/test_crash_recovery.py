@@ -226,3 +226,63 @@ def test_writer_lock_released_after_failed_write(spark, tmp_path):
     assert not os.path.exists(store._lock_path("t"))
     store.overwrite("t", spark.range(3).selectExpr("id AS k"))
     assert store.read("t").count() == 3
+
+
+def test_writer_lock_permission_error_means_alive(spark, tmp_path, monkeypatch):
+    """os.kill(pid,0) -> PermissionError = live process owned by another
+    user; the lock must NOT be stolen (round-6 ADVICE fix)."""
+    import json
+
+    import pytest
+
+    from ecommerce_full_etl_process_spark.sources.io import (
+        ConcurrentWriteError,
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    df = spark.range(5).selectExpr("id AS k")
+    store.overwrite("t", df)
+    with open(store._lock_path("t"), "w") as f:
+        json.dump({"pid": 12345, "ts": 0}, f)
+
+    def _kill(pid, sig):
+        raise PermissionError("operation not permitted")
+
+    monkeypatch.setattr(os, "kill", _kill)
+    with pytest.raises(ConcurrentWriteError):
+        store.overwrite("t", df)
+    # the live writer's lock survived the failed steal attempt
+    assert os.path.exists(store._lock_path("t"))
+
+
+def test_writer_lock_reclaim_loser_retries(spark, tmp_path, monkeypatch):
+    """Two contenders observe the same dead pid; the rename-loser must
+    retry the normal acquire instead of unlinking the winner's fresh
+    lock. Simulated by making the first rename vanish underneath us."""
+    import json
+
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    df = spark.range(5).selectExpr("id AS k")
+    store.overwrite("t", df)
+    with open(store._lock_path("t"), "w") as f:
+        json.dump({"pid": 2 ** 22 + 1, "ts": 0}, f)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def _rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # the other contender's rename already claimed the stale lock
+            real_rename(src, dst)
+            os.unlink(dst)
+            raise FileNotFoundError(src)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", _rename)
+    store.overwrite("t", df)  # loser retries and acquires cleanly
+    assert store._current_version("t") == 2
+    assert not os.path.exists(store._lock_path("t"))

@@ -290,3 +290,15 @@ def test_min_label_falls_back_on_high_diameter(spark):
         for r in D.connected_components(pairs, driver_threshold=0).collect()
     }
     assert out == {(i, 0) for i in range(61)}
+
+
+def test_connected_components_star_self_loop_singletons(spark):
+    """A node whose ONLY edge is a self-loop must be labeled (x, x) by
+    both CC variants — round-6 ADVICE fix: the star variant used to drop
+    such nodes entirely when the u != v filter removed their edges."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7), (9, 9), (2, 1)], "id_a long, id_b long"
+    )
+    for fn in (D.connected_components, D.connected_components_star):
+        got = {(r["node"], r["comp"]) for r in fn(pairs).collect()}
+        assert got == {(1, 1), (2, 1), (7, 7), (9, 9)}, fn.__name__

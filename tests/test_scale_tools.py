@@ -295,3 +295,32 @@ def test_aqe_splits_skewed_join_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_read_where_partitioned_table_schema_parity(spark, tmp_path):
+    """read_where on a partition_by table must keep the hive partition
+    columns (basePath pinned to the version dir) so its schema matches
+    read() and partition-column predicates still work (round-6 ADVICE
+    fix — without basePath the leaf-file read drops them)."""
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("p"),
+        F.concat(F.lit("row-"), F.col("id")).alias("s"),
+    )
+    store.overwrite("t", df, partition_by=["p"])
+    store.collect_stats("t")
+
+    out = store.read_where("t", "k", 100, 199)
+    assert sorted(out.columns) == sorted(store.read("t").columns)
+    assert "p" in out.columns
+    assert out.count() == 100
+    # partition-column predicate on the pruned read works
+    assert out.where(F.col("p") == 1).count() == 25
+    # and values agree with the full-scan filter, partition col included
+    full = store.read("t").where(F.col("k").between(100, 199))
+    assert sorted((r["k"], r["p"]) for r in out.collect()) == sorted(
+        (r["k"], r["p"]) for r in full.collect()
+    )
