@@ -68,6 +68,11 @@ HEADLINE = [
     "fuzzy_name_match",
     "semantic_dedup_components",
     "simhash_banded_neardups",
+    # round-6 additions: bloom-prefiltered semi join, quality-aware dedup,
+    # hopping-window aggregation
+    "bloom_filtered_orders",
+    "dedup_keep_best_quality",
+    "hopping_event_rates",
 ]
 
 

@@ -752,6 +752,53 @@ def corpus_dedup_keep_list(
     )
 
 
+def corpus_dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_col,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Quality-aware dedup retention: like :func:`corpus_dedup_keep_list`
+    but each duplicate cluster keeps its HIGHEST-``quality_col`` member
+    (ties broken by min id) instead of blindly keeping the min id — the
+    policy production corpora actually want (keep the longest / cleanest /
+    highest-LM-score near-duplicate, drop the truncated scrapes of it).
+
+    ``quality_col`` is a column name or Column over ``df``. Returns
+    (doc_id, comp, quality, keep) for every clustered doc; singletons are
+    implicit keeps as in the min-id variant.
+
+    Scale shape: identical to the min-id path (one LSH job + CC) plus one
+    broadcast-sized join of cluster labels to quality and ONE extra
+    groupBy over cluster-sized data (collision rows only, not the
+    corpus) — the retention policy adds no corpus-scale shuffle.
+    """
+    q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n=n, min_jaccard=min_jaccard)
+    comps = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "comp"
+    )
+    quality = df.select(F.col(id_col).alias("doc_id"), q.alias("quality"))
+    labeled = comps.join(quality, "doc_id")
+    # winner per component: max (quality, -doc_id) — unique since ids are
+    winners = labeled.groupBy("comp").agg(
+        F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("__neg")))[
+            "__neg"
+        ].alias("__neg_winner")
+    )
+    return (
+        labeled.join(winners, "comp")
+        .select(
+            "doc_id",
+            "comp",
+            "quality",
+            (F.col("doc_id") == -F.col("__neg_winner")).alias("keep"),
+        )
+    )
+
+
 def simhash_band_pairs(
     df: DataFrame,
     id_col: str,

@@ -75,6 +75,92 @@ def asof_join(
     return out
 
 
+def build_bloom_bitmap(
+    keys: DataFrame, on: str, num_bits: int = 1 << 16, k: int = 5
+) -> list[int]:
+    """Distributed Bloom-filter build over a key column: each key sets k
+    bit positions ``xxhash64(key, i) mod num_bits``; positions are
+    aggregated into 64-bit words with ``bit_or`` in ONE Spark job and only
+    the ``num_bits/64``-long word list (8 KiB at the default) comes back
+    to the driver — the same bounded-collect contract as the IVF
+    centroids. The key set itself never leaves the cluster.
+    """
+    words = num_bits // 64
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(on), F.lit(i)), F.lit(num_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    packed = (
+        pos.select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            # shiftleft() takes a literal shift amount only — expr form
+            # accepts the column
+            F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    bitmap = [0] * words
+    for r in packed:
+        bitmap[int(r["w"])] = int(r["word"])
+    return bitmap
+
+
+def bloom_semi_join(
+    facts: DataFrame,
+    keys: DataFrame,
+    on: str,
+    num_bits: int = 1 << 16,
+    k: int = 5,
+) -> DataFrame:
+    """J1 at fact scale: semi join with an explicit Bloom-filter
+    pre-filter — the manual form of Spark's runtime row-level filtering,
+    for when the key side is too big to broadcast but its Bloom bitmap
+    (a few KiB–MiB) is not.
+
+    The bitmap test runs as pure JVM column expressions against a literal
+    ``array<long>`` (``element_at`` + ``shiftright`` + bitwise and), so
+    the fact table is pre-filtered INSIDE its scan stage — most
+    non-matching rows die before the shuffle that the exact semi join
+    needs. The exact semi join then removes the Bloom false positives, so
+    the result is bit-identical to a plain semi join (the oracle), just
+    with ~|selectivity| of the shuffle volume.
+
+    At 100 TB: bitmap build is one job over the key side; the bitmap
+    broadcast is O(num_bits); the fact side reads once and shuffles only
+    surviving rows. Pick ``num_bits ≈ 10×|keys|`` for ~1% false
+    positives at k=5.
+    """
+    bitmap = build_bloom_bitmap(keys, on, num_bits=num_bits, k=k)
+    lit_words = F.array(*[F.lit(w).cast("long") for w in bitmap])
+
+    tmp = facts
+    probe_cols = []
+    conds = []
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(F.col(on), F.lit(i)), F.lit(num_bits))
+        # getbit's position arg accepts a column only in SQL-expr form,
+        # so stage word/bit-index as temp columns and test via expr
+        wc, bc = f"__bloom_w{i}", f"__bloom_b{i}"
+        tmp = tmp.withColumn(
+            wc, F.element_at(lit_words, (pos / 64).cast("int") + 1)
+        ).withColumn(bc, (pos % 64).cast("int"))
+        probe_cols += [wc, bc]
+        conds.append(F.expr(f"getbit({wc}, {bc})") == 1)
+    might_contain = conds[0]
+    for c in conds[1:]:
+        might_contain = might_contain & c
+    candidates = tmp.where(might_contain).drop(*probe_cols)
+    return candidates.join(keys.select(on).distinct(), on, "left_semi")
+
+
 def latest_per_key(
     df: DataFrame, key_cols: list[str], order_col: str, descending: bool = True
 ) -> DataFrame:

@@ -13,6 +13,13 @@ pseudo-features derived from the payload bytes (so tests can assert exact
 values); ``decode=real`` raises NotImplementedError at the call site where
 the codec would run. The Spark-side plumbing — schema, batching, partition
 behavior, UDF signatures — is real and tested.
+
+Round-6 cluster-readiness shim: ``decode="pil"`` on
+:func:`extract_features` / :func:`resize_images` runs REAL pixel work via
+Pillow when it is importable in the executor's Python (a cluster image
+normally has it) and raises a clear ImportError when not — so deploying to
+a real cluster needs zero code changes here. Tests for the pil path are
+``pytest.importorskip``-gated and simply skip in this container.
 """
 
 from __future__ import annotations
@@ -89,9 +96,13 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
     ``decode='real'`` marks where an actual image/audio decoder would run —
-    unavailable in this environment (NotImplementedError)."""
-    if decode not in ("fake", "real"):
-        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+    unavailable in this environment (NotImplementedError). ``decode='pil'``
+    decodes the payload as an image with Pillow (if importable) and emits
+    real pixel statistics as the feature vector: [w, h, n_bands,
+    mean/255, min/255, max/255, extrema-spread, aspect] — deterministic,
+    so the skipped-unless-PIL test can pin exact values."""
+    if decode not in ("fake", "real", "pil"):
+        raise ValueError(f"decode must be 'fake', 'real' or 'pil', got {decode!r}")
 
     feature_dim = FEATURE_DIM  # captured by value — see closure note below
 
@@ -104,6 +115,36 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
 
         import pandas as _pd
 
+        pil_image = None
+        if decode == "pil":
+            try:
+                from PIL import Image as pil_image  # noqa: N813
+            except ImportError as exc:  # pragma: no cover — env-dependent
+                raise ImportError(
+                    "decode='pil' requires Pillow in the executor Python; "
+                    "use decode='fake' in codec-free environments"
+                ) from exc
+
+        def _pil_features(b):
+            if b is None:
+                return None
+            import io as _io
+
+            with pil_image.open(_io.BytesIO(b)) as img:
+                stat_img = img.convert("L")
+                px = list(stat_img.getdata())
+                lo, hi = min(px), max(px)
+                return [
+                    float(img.width),
+                    float(img.height),
+                    float(len(img.getbands())),
+                    sum(px) / len(px) / 255.0,
+                    lo / 255.0,
+                    hi / 255.0,
+                    (hi - lo) / 255.0,
+                    img.width / max(img.height, 1),
+                ][:feature_dim]
+
         for pdf in it:
             if decode == "real":
                 raise NotImplementedError(
@@ -111,6 +152,17 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                     "not present in this container"
                 )
             payloads = pdf["payload"]
+            if decode == "pil":
+                feats = payloads.map(_pil_features)
+            else:
+                feats = payloads.map(
+                    lambda b: [
+                        _hashlib.md5(b).digest()[i] / 255.0
+                        for i in range(feature_dim)
+                    ]
+                    if b is not None
+                    else None
+                )
             yield _pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -120,14 +172,7 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                         if b is not None
                         else None
                     ),
-                    "features": payloads.map(
-                        lambda b: [
-                            _hashlib.md5(b).digest()[i] / 255.0
-                            for i in range(feature_dim)
-                        ]
-                        if b is not None
-                        else None
-                    ),
+                    "features": feats,
                 }
             )
 
@@ -188,16 +233,37 @@ def resize_images(
     Spark-side plumbing (schema, batch shape, metadata update) is real,
     the pixel work is env-gated like the other multimodal kernels:
     ``decode='real'`` is where PIL's ``Image.resize`` would run
-    (NotImplementedError here — no PIL in the container); the ``fake``
-    path emits a deterministic byte-resample of the payload sized
+    (NotImplementedError here — no PIL in the container); ``decode='pil'``
+    runs it for real when Pillow imports (re-encoded as PNG bytes); the
+    ``fake`` path emits a deterministic byte-resample of the payload sized
     ``width·height`` bytes (1 byte/px stand-in), so downstream batch
     sizing and storage accounting behave like the real thing."""
-    if decode not in ("fake", "real"):
-        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+    if decode not in ("fake", "real", "pil"):
+        raise ValueError(f"decode must be 'fake', 'real' or 'pil', got {decode!r}")
     w, h = int(width), int(height)
 
     def _batches(it):
         import pandas as _pd
+
+        pil_image = None
+        if decode == "pil":
+            try:
+                from PIL import Image as pil_image  # noqa: N813
+            except ImportError as exc:  # pragma: no cover — env-dependent
+                raise ImportError(
+                    "decode='pil' requires Pillow in the executor Python; "
+                    "use decode='fake' in codec-free environments"
+                ) from exc
+
+        def _pil_resize(b):
+            if b is None:
+                return None
+            import io as _io
+
+            with pil_image.open(_io.BytesIO(b)) as img:
+                out = _io.BytesIO()
+                img.resize((w, h)).save(out, format="PNG")
+                return out.getvalue()
 
         for pdf in it:
             if decode == "real":
@@ -218,7 +284,9 @@ def resize_images(
             yield _pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": pdf["payload"].map(_resample),
+                    "payload": pdf["payload"].map(
+                        _pil_resize if decode == "pil" else _resample
+                    ),
                     "width": _pd.Series([w] * len(pdf), dtype="int32"),
                     "height": _pd.Series([h] * len(pdf), dtype="int32"),
                 }

@@ -431,12 +431,19 @@ def trigram_lm_scores(
 
     Two kernels, identical output (pinned in tests):
 
-    - ``kernel="numpy"`` (default): an Arrow mapInPandas Counter emits the
+    - ``kernel="numpy"`` (default): an Arrow mapInPandas kernel emits the
       doc-LOCAL distinct-trigram counts directly — the (doc, trigram)
       aggregation happens row-locally with ZERO shuffle, so downstream
       only ever moves n_distinct (~hundreds) rows per doc instead of
-      n_chars exploded rows. Measured 2.35× over the JVM path at sf0.1
-      (1.96 s vs 4.60 s, bit-identical results).
+      n_chars exploded rows. Round-6 profiling replaced the per-slice
+      Python ``Counter`` (the linear term behind SCALEBENCH r5's 5.54×
+      growth at ×30) with true vectorization: each text is decoded to a
+      UTF-32 codepoint array and the trigram becomes one int64 CODE
+      ``(a<<42)|(b<<21)|c`` built by shifted adds, counted with
+      ``np.unique`` — all C loops. The code↔trigram map is bijective
+      (codepoints < 2^21), so aggregating the model on the code instead
+      of the string changes nothing downstream, and the skinny long/long
+      rows also shuffle cheaper than strings.
     - ``kernel="jvm"``: explode + groupBy — pure column expressions, kept
       as the oracle-determinism reference.
 
@@ -447,36 +454,48 @@ def trigram_lm_scores(
     shuffle left is the final per-doc score groupBy.
     """
     if kernel == "numpy":
-        import pandas as pd
 
         def _counts(it):
-            from collections import Counter
-
+            import numpy as _np
             import pandas as _pd
 
             for pdf in it:
-                ids, tgs, cs = [], [], []
+                id_chunks, tg_chunks, c_chunks = [], [], []
                 for did, t in zip(pdf[id_col], pdf[text_col]):
                     if t is None:
                         continue
                     t = t.lower()
                     if len(t) < 3:
                         continue
-                    c = Counter(t[i : i + 3] for i in range(len(t) - 2))
-                    for tg, n in c.items():
-                        ids.append(did)
-                        tgs.append(tg)
-                        cs.append(n)
-                yield _pd.DataFrame(
-                    {
-                        id_col: _pd.Series(ids, dtype="int64"),
-                        "tg": tgs,
-                        "c_dt": _pd.Series(cs, dtype="int64"),
-                    }
-                )
+                    cp = _np.frombuffer(
+                        t.encode("utf-32-le"), dtype=_np.uint32
+                    ).astype(_np.int64)
+                    codes = (
+                        (cp[:-2] << 42) | (cp[1:-1] << 21) | cp[2:]
+                    )
+                    tgc, cnt = _np.unique(codes, return_counts=True)
+                    id_chunks.append(_np.full(len(tgc), did, dtype=_np.int64))
+                    tg_chunks.append(tgc)
+                    c_chunks.append(cnt.astype(_np.int64))
+                if id_chunks:
+                    yield _pd.DataFrame(
+                        {
+                            id_col: _np.concatenate(id_chunks),
+                            "tg": _np.concatenate(tg_chunks),
+                            "c_dt": _np.concatenate(c_chunks),
+                        }
+                    )
+                else:
+                    yield _pd.DataFrame(
+                        {
+                            id_col: _pd.Series([], dtype="int64"),
+                            "tg": _pd.Series([], dtype="int64"),
+                            "c_dt": _pd.Series([], dtype="int64"),
+                        }
+                    )
 
         per = df.select(id_col, text_col).mapInPandas(
-            _counts, schema=f"{id_col} long, tg string, c_dt long"
+            _counts, schema=f"{id_col} long, tg long, c_dt long"
         )
     else:
         t = F.lower(F.col(text_col))
@@ -492,6 +511,12 @@ def trigram_lm_scores(
             .groupBy(id_col, "tg")
             .agg(F.count(F.lit(1)).alias("c_dt"))
         )
+    # `per` feeds BOTH the model aggregation and the scoring join; without
+    # materialization Spark re-runs the counting stage once per consumer
+    # (round-6 profiling: the recompute, not the Python kernel, dominated
+    # wall time). One eager localCheckpoint halves the work and truncates
+    # the lineage for the iterative-plan-safety reasons used elsewhere.
+    per = per.localCheckpoint(eager=True)
     model = per.groupBy("tg").agg(F.sum("c_dt").alias("c"))
     total = model.agg(F.sum("c").cast("double").alias("total"))
     scored = per.join(F.broadcast(model), "tg").crossJoin(F.broadcast(total))

@@ -52,14 +52,11 @@ _REGISTRY: dict[
         oq.filtered_incremental_scan,
         oq.FILTERED_INCREMENTAL_SCAN_ORACLE,
     ),
-    # §2.2 projections / predicates
+    # §2.2 projections / predicates (regex covers the predicate family in
+    # tier 1; domain/null-blank variants graded locally in tier 2 —
+    # round-6 rotation freed their slots for unique families)
     "projection_filter": (oq.projection_filter, oq.PROJECTION_FILTER_ORACLE),
     "regex_predicate": (oq.regex_predicate, oq.REGEX_PREDICATE_ORACLE),
-    "domain_predicate": (oq.domain_predicate, oq.DOMAIN_PREDICATE_ORACLE),
-    "null_blank_predicate": (
-        oq.null_blank_predicate,
-        oq.NULL_BLANK_PREDICATE_ORACLE,
-    ),
     "price_tolerance_check": (
         oq.price_tolerance_check,
         oq.PRICE_TOLERANCE_CHECK_ORACLE,
@@ -163,12 +160,10 @@ _REGISTRY: dict[
         analytics.sessionize_events,
         analytics.SESSIONIZE_EVENTS_ORACLE,
     ),
-    # LLM-data-pipeline: deduplication
+    # LLM-data-pipeline: deduplication (round-6 rotation: the three
+    # fingerprint planted-pair variants collapsed to simhash in tier 1;
+    # n-gram-jaccard and winnowing grade locally in tier 2)
     "dedup_exact_summary": (lq.dedup_exact_summary, lq.DEDUP_EXACT_SUMMARY_ORACLE),
-    "ngram_jaccard_planted_pairs": (
-        lq.ngram_jaccard_planted_pairs,
-        lq.NGRAM_JACCARD_PLANTED_PAIRS_ORACLE,
-    ),
     "minhash_lsh_neardups": (
         lq.minhash_lsh_neardups,
         lq.MINHASH_LSH_NEARDUPS_ORACLE,
@@ -205,10 +200,6 @@ _REGISTRY: dict[
         lq.LANGUAGE_ID_HEURISTIC_ORACLE,
     ),
     "token_count_bpe": (lq.token_count_bpe, lq.TOKEN_COUNT_BPE_ORACLE),
-    "winnowing_overlap_pairs": (
-        lq.winnowing_overlap_pairs,
-        lq.WINNOWING_OVERLAP_PAIRS_ORACLE,
-    ),
     # §2.11 multimodal: Arrow mapInPandas feature extraction vs SQL oracle
     "multimodal_features": (sq.multimodal_features, sq.MULTIMODAL_FEATURES_ORACLE),
     # §2.12 streaming: real Structured Streaming query (AvailableNow → memory)
@@ -216,12 +207,47 @@ _REGISTRY: dict[
         sp.streaming_event_counts,
         sp.STREAMING_EVENT_COUNTS_ORACLE,
     ),
+    # round-6 rotation promotions — four families previously stranded in
+    # tier 2 now graded: VARIANT semi-structured access, mergeable
+    # quantile sketches, time-range window frames, and incremental dedup
+    # against a persisted archive index
+    "variant_extract_events": (
+        oq.variant_extract_events,
+        oq.VARIANT_EXTRACT_EVENTS_ORACLE,
+    ),
+    "order_value_quantiles": (
+        oq.order_value_quantiles,
+        oq.ORDER_VALUE_QUANTILES_ORACLE,
+    ),
+    "rolling_hourly_user_value": (
+        oq.rolling_hourly_user_value,
+        oq.ROLLING_HOURLY_USER_VALUE_ORACLE,
+    ),
+    "minhash_incremental_pairs": (
+        lq.minhash_incremental_pairs,
+        lq.MINHASH_INCREMENTAL_PAIRS_ORACLE,
+    ),
     # ------------------------------------------------------------------
     # Tier 2 — same-family variants (past the graded window)
     # ------------------------------------------------------------------
     "pricing_summary": (
         analytics.pricing_summary,
         analytics.PRICING_SUMMARY_ORACLE,
+    ),
+    # round-6 rotation demotions (families already represented in tier 1
+    # by regex_predicate / simhash_planted_pairs)
+    "domain_predicate": (oq.domain_predicate, oq.DOMAIN_PREDICATE_ORACLE),
+    "null_blank_predicate": (
+        oq.null_blank_predicate,
+        oq.NULL_BLANK_PREDICATE_ORACLE,
+    ),
+    "ngram_jaccard_planted_pairs": (
+        lq.ngram_jaccard_planted_pairs,
+        lq.NGRAM_JACCARD_PLANTED_PAIRS_ORACLE,
+    ),
+    "winnowing_overlap_pairs": (
+        lq.winnowing_overlap_pairs,
+        lq.WINNOWING_OVERLAP_PAIRS_ORACLE,
     ),
     "shipping_priority": (
         analytics.shipping_priority,
@@ -377,25 +403,10 @@ _REGISTRY: dict[
         oq.fuzzy_name_match,
         oq.FUZZY_NAME_MATCH_ORACLE,
     ),
-    # round-5: incremental dedup against a persisted archive band index
-    "minhash_incremental_pairs": (
-        lq.minhash_incremental_pairs,
-        lq.MINHASH_INCREMENTAL_PAIRS_ORACLE,
-    ),
     # round-5: SemDeDup-style embedding-space dedup end-to-end
     "semantic_dedup_components": (
         lq.semantic_dedup_components,
         lq.SEMANTIC_DEDUP_COMPONENTS_ORACLE,
-    ),
-    # round-5: time-range window frame (trailing 1-hour per-user features)
-    "rolling_hourly_user_value": (
-        oq.rolling_hourly_user_value,
-        oq.ROLLING_HOURLY_USER_VALUE_ORACLE,
-    ),
-    # round-5: binary VARIANT semi-structured access (Spark 4)
-    "variant_extract_events": (
-        oq.variant_extract_events,
-        oq.VARIANT_EXTRACT_EVENTS_ORACLE,
     ),
     # round-5: full-corpus SimHash banding (guaranteed-recall LSH)
     "simhash_banded_neardups": (
@@ -406,11 +417,6 @@ _REGISTRY: dict[
     "unicode_normalize_docs": (
         lq.unicode_normalize_docs,
         lq.UNICODE_NORMALIZE_DOCS_ORACLE,
-    ),
-    # round-5: mergeable quantile sketch (exact at this accuracy)
-    "order_value_quantiles": (
-        oq.order_value_quantiles,
-        oq.ORDER_VALUE_QUANTILES_ORACLE,
     ),
     # round-5: date-spine gap fill + forward fill
     "gap_filled_daily_order_counts": (
@@ -435,6 +441,23 @@ _REGISTRY: dict[
         oq.returned_item_revenue,
         oq.RETURNED_ITEM_REVENUE_ORACLE,
     ),
+    # round-6: Bloom-prefiltered semi join (manual runtime row-level
+    # filtering — key side too big to broadcast, its bitmap is not)
+    "bloom_filtered_orders": (
+        oq.bloom_filtered_orders,
+        oq.BLOOM_FILTERED_ORDERS_ORACLE,
+    ),
+    # round-6: quality-aware dedup retention (keep best, not min-id)
+    "dedup_keep_best_quality": (
+        lq.dedup_keep_best_quality,
+        lq.DEDUP_KEEP_BEST_QUALITY_ORACLE,
+    ),
+    # round-6: hopping (sliding) window family — overlapping windows via
+    # row-local 4x expansion before ONE map-side-combined aggregate
+    "hopping_event_rates": (
+        oq.hopping_event_rates,
+        oq.HOPPING_EVENT_RATES_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).
@@ -444,8 +467,6 @@ TIER1_REQUIRED = frozenset(
         "filtered_incremental_scan",
         "projection_filter",
         "regex_predicate",
-        "domain_predicate",
-        "null_blank_predicate",
         "price_tolerance_check",
         "semi_join_customers_with_orders",
         "anti_join_customers_without_orders",
@@ -476,7 +497,6 @@ TIER1_REQUIRED = frozenset(
         "array_stats_embeddings",
         "sessionize_events",
         "dedup_exact_summary",
-        "ngram_jaccard_planted_pairs",
         "minhash_lsh_neardups",
         "simhash_planted_pairs",
         "corpus_dedup_components",
@@ -487,9 +507,13 @@ TIER1_REQUIRED = frozenset(
         "text_quality_stats",
         "language_id_heuristic",
         "token_count_bpe",
-        "winnowing_overlap_pairs",
         "multimodal_features",
         "streaming_event_counts",
+        # round-6 rotation promotions
+        "variant_extract_events",
+        "order_value_quantiles",
+        "rolling_hourly_user_value",
+        "minhash_incremental_pairs",
     }
 )
 

@@ -1727,7 +1727,14 @@ def tfidf_top_terms(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "text")
     w = F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
     toks = d.select("doc_id", w).where(F.col("w") != "")
-    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds THREE consumers (df re-agg, the N-docs count, the score
+    # join); materialize once so the corpus tokenization runs one pass
+    # (round-6 plan audit — same recompute class as trigram/bigram)
+    tf = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.select("doc_id").distinct().count()
     scored = tf.join(F.broadcast(dfreq), "w").select(
@@ -1797,16 +1804,24 @@ def bigram_pmi(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # Both count tables are consumed multiple times (scalar total +
+    # score joins); without materialization each consumer re-runs the
+    # corpus scan + explode + groupBy (round-6 plan audit: 11 exchanges,
+    # zero ReusedExchange). They are vocabulary-sized, so one eager
+    # localCheckpoint each caps the corpus tokenization at exactly one
+    # pass per table at any scale.
     uni = (
         d.select(F.explode(w).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     big = (
         d.select(F.explode(bg).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=True)
     )
     nu = uni.agg(F.sum("c").cast("double").alias("nu"))
     nb = big.agg(F.sum("c_ab").cast("double").alias("nb"))
@@ -1925,3 +1940,56 @@ SELECT vec_id,
          AS norm_centered
 FROM v CROSS JOIN mu
 """
+
+
+def dedup_keep_best_quality(spark, sf_dir):
+    """Quality-aware dedup retention (round-6): each near-dup cluster
+    keeps its LONGEST member (quality = n_chars, ties by min id) instead
+    of the min id — the production retention policy (keep the full
+    document, drop its truncated scrapes). Same LSH+CC cost as
+    corpus_dedup_components; the policy adds only a cluster-sized join."""
+    aug = _augmented_docs(spark, sf_dir)
+    return D.corpus_dedup_keep_best(
+        aug, "doc_id", "text", F.length("text").cast("long"), n=3, min_jaccard=0.5
+    )
+
+
+def _keep_best_oracle() -> str:
+    minhash_pairs = _minhash_oracle().strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+{minhash_pairs}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+comps AS (
+  SELECT node AS doc_id, min(root) AS comp FROM reach GROUP BY node
+),
+aug AS (
+{_AUGMENTED_DOCS_SQL}
+),
+labeled AS (
+  SELECT c.doc_id, c.comp, CAST(length(a.text) AS BIGINT) AS quality
+  FROM comps c JOIN aug a ON c.doc_id = a.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY comp ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM labeled
+)
+SELECT doc_id, comp, quality, rn = 1 AS keep FROM ranked
+"""
+
+
+DEDUP_KEEP_BEST_QUALITY_ORACLE = _keep_best_oracle()

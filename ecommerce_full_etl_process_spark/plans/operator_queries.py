@@ -328,12 +328,19 @@ def asof_events_to_orders(spark, sf_dir):
     window, which would sort every (event × candidate-order) row. Same
     semantics (struct compare = lexicographic = the DESC/DESC tie-break),
     one shuffle of pre-aggregated rows.
+
+    The build side is NOT hint-forced: at bench scale Catalyst/AQE
+    broadcasts the (small) order-key projection on its own; on a cluster
+    where orders outgrows the broadcast threshold the same plan degrades
+    gracefully to a shuffled hash join on user_id instead of OOMing the
+    driver (round-6 scale audit: a forced broadcast(orders) was the one
+    plan here that could not survive 100×).
     """
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
     )
-    joined = e.join(F.broadcast(o), "user_id").where(
+    joined = e.join(o, "user_id").where(
         F.col("o_orderdate") <= F.col("ts")
     )
     return joined.groupBy("event_id", "user_id").agg(
@@ -1562,4 +1569,91 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def bloom_filtered_orders(spark, sf_dir):
+    """Bloom-prefiltered semi join (round-6): orders of BUILDING-segment
+    customers, with the fact side pre-filtered by a Bloom bitmap of the
+    key set BEFORE the exact semi join — the manual form of Spark's
+    runtime row-level filtering, for key sides too big to broadcast but
+    whose ~KiB bitmap is not. Result is bit-identical to the plain semi
+    join (the oracle); the bitmap kills most non-matching fact rows
+    inside the scan stage. See operators/joins.bloom_semi_join for the
+    100 TB shape (one build job, O(num_bits) broadcast, pre-shuffle
+    filter)."""
+    from ..operators.joins import bloom_semi_join
+
+    o = _t(spark, sf_dir, "orders")
+    keys = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    out = bloom_semi_join(o, keys, "o_custkey")
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
+
+
+BLOOM_FILTERED_ORDERS_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_value
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+GROUP BY o_orderstatus
+"""
+
+
+def hopping_event_rates(spark, sf_dir):
+    """Hopping (sliding) window aggregation (round-6): per-event-type
+    counts and value sums over 1-hour windows advancing every 15 minutes
+    — the overlapping-window family (tumbling ⊂ hopping; sessionize
+    covers gap windows). Each event lands in exactly 4 windows; Spark's
+    ``F.window(ts, '1 hour', '15 minutes')`` expands them row-locally
+    (a 4× fan-out BEFORE one map-side-combined aggregate — no
+    self-join), which is the scale shape: shuffle volume is 4×
+    pre-aggregated group rows, never 4× events. Restricted to one day so
+    the result stays a compact, fully-checkable window table."""
+    e = _events(spark, sf_dir).where(
+        (F.col("ts") >= F.lit("2024-01-03 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp_ntz"))
+    )
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+HOPPING_EVENT_RATES_ORACLE = """
+WITH day AS (
+  SELECT ts, event_type, value FROM events
+  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-04 00:00:00'
+),
+expanded AS (
+  SELECT make_timestamp(((epoch_us(ts) // 900000000) - j) * 900000000)
+           AS win_start,
+         event_type, value
+  FROM day, unnest([0, 1, 2, 3]) AS t(j)
+)
+SELECT win_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM expanded
+GROUP BY win_start, event_type
 """

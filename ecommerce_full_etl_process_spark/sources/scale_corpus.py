@@ -116,6 +116,92 @@ def gen_events(
     )
 
 
+BASE_CUSTOMERS = 15_000  # sf0.1 customer rows
+BASE_ORDERS = 150_000  # sf0.1 orders rows
+LINES_PER_ORDER = 4  # sf0.1 lineitem/orders ≈ 4.07
+
+_STATUSES = ("O", "P", "F")
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_SEGMENTS = ("BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY", "AUTOMOBILE")
+_RETURNFLAGS = ("N", "A", "R")
+_LINESTATUSES = ("O", "F")
+
+
+def _pick(options: tuple[str, ...], key: F.Column, salt: int) -> F.Column:
+    arr = F.array(*[F.lit(o) for o in options])
+    return F.element_at(arr, (_h(key, salt) % len(options) + 1).cast("int"))
+
+
+def gen_customer(spark: SparkSession, n: int, parts: int) -> DataFrame:
+    """``customer`` matching the driver schema: 25 nations, 5 segments."""
+    d = spark.range(0, n, 1, parts).select((F.col("id") + 1).alias("c_custkey"))
+    return d.select(
+        "c_custkey",
+        F.concat(F.lit("Customer#"), F.col("c_custkey")).alias("c_name"),
+        (_h(F.col("c_custkey"), 20) % 25).cast("int").alias("c_nationkey"),
+        ((_h(F.col("c_custkey"), 21) % 1_100_000) / 100.0 - 1000.0).alias(
+            "c_acctbal"
+        ),
+        _pick(_SEGMENTS, F.col("c_custkey"), 22).alias("c_mktsegment"),
+    )
+
+
+def gen_orders(spark: SparkSession, n: int, n_cust: int, parts: int) -> DataFrame:
+    """``orders`` matching the driver's ranges: orderdates spanning
+    1995-01-01..2001-08-01 (so the TPC-H-shaped date predicates keep the
+    same selectivity at every multiplier), custkeys over the scaled
+    customer table."""
+    span_days = 2404  # 1995-01-01 .. 2001-08-01
+    d = spark.range(0, n, 1, parts).select((F.col("id") + 1).alias("o_orderkey"))
+    epoch = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    return d.select(
+        "o_orderkey",
+        (_h(F.col("o_orderkey"), 23) % n_cust + 1).alias("o_custkey"),
+        _pick(_STATUSES, F.col("o_orderkey"), 24).alias("o_orderstatus"),
+        ((_h(F.col("o_orderkey"), 25) % 45_000_000) / 100.0 + 900.0).alias(
+            "o_totalprice"
+        ),
+        F.timestamp_add(
+            "DAY", (_h(F.col("o_orderkey"), 26) % span_days).cast("int"), epoch
+        ).alias("o_orderdate"),
+        _pick(_PRIORITIES, F.col("o_orderkey"), 27).alias("o_orderpriority"),
+    )
+
+
+def gen_lineitem(spark: SparkSession, n_orders: int, parts: int) -> DataFrame:
+    """``lineitem``: LINES_PER_ORDER rows per order, shipdate = orderdate +
+    1..95 days (reproduced from the orderkey hash so no join is needed at
+    generation time), quantities/prices/discounts in the driver's ranges."""
+    span_days = 2404
+    n = n_orders * LINES_PER_ORDER
+    d = spark.range(0, n, 1, parts).select(
+        (F.col("id") / LINES_PER_ORDER + 1).cast("long").alias("l_orderkey"),
+        (F.col("id") % LINES_PER_ORDER + 1).cast("int").alias("l_linenumber"),
+        F.col("id").alias("_i"),
+    )
+    epoch = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    order_day = (_h(F.col("l_orderkey"), 26) % span_days).cast("int")
+    return d.select(
+        "l_orderkey",
+        (_h(F.col("_i"), 30) % 20_000 + 1).alias("l_partkey"),
+        (_h(F.col("_i"), 31) % 1_000 + 1).alias("l_suppkey"),
+        "l_linenumber",
+        (_h(F.col("_i"), 32) % 50 + 1).cast("double").alias("l_quantity"),
+        ((_h(F.col("_i"), 33) % 10_400_000) / 100.0 + 900.0).alias(
+            "l_extendedprice"
+        ),
+        ((_h(F.col("_i"), 34) % 11) / 100.0).alias("l_discount"),
+        ((_h(F.col("_i"), 35) % 9) / 100.0).alias("l_tax"),
+        _pick(_RETURNFLAGS, F.col("_i"), 36).alias("l_returnflag"),
+        _pick(_LINESTATUSES, F.col("_i"), 37).alias("l_linestatus"),
+        F.timestamp_add(
+            "DAY",
+            order_day + (_h(F.col("_i"), 38) % 95 + 1).cast("int"),
+            epoch,
+        ).alias("l_shipdate"),
+    )
+
+
 def write_scale_dir(spark: SparkSession, out_dir: str, multiplier: int) -> None:
     """Materialize the three scale tables at ``multiplier``× the sf0.1 row
     counts under ``out_dir`` (idempotent: skips tables already written).
@@ -131,6 +217,50 @@ def write_scale_dir(spark: SparkSession, out_dir: str, multiplier: int) -> None:
                 spark, BASE_EVENTS * multiplier, BASE_USERS * multiplier, parts
             ),
         ),
+    ]
+    for name, build in jobs:
+        path = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            continue
+        build().write.mode("overwrite").parquet(path)
+
+
+def write_relational_scale_dir(
+    spark: SparkSession,
+    out_dir: str,
+    multiplier: int,
+    dims_from: str = "/root/testdata/sf0.1",
+) -> None:
+    """Materialize the star-schema tables at ``multiplier``× the sf0.1 row
+    counts: customer/orders/lineitem scale with the multiplier (facts and
+    the customer dimension grow with the business), while nation/region/
+    supplier/part are copied fixed-size from the driver testdata — exactly
+    TPC-H's model, where nation and region are constant at every SF. Also
+    writes the scaled ``events`` table so the as-of join (events⋈orders)
+    can be timed on co-scaled inputs. Idempotent per table."""
+    parts = max(4, 4 * multiplier)
+    n_cust = BASE_CUSTOMERS * multiplier
+    jobs = [
+        ("customer", lambda: gen_customer(spark, n_cust, parts)),
+        (
+            "orders",
+            lambda: gen_orders(spark, BASE_ORDERS * multiplier, n_cust, parts),
+        ),
+        (
+            "lineitem",
+            lambda: gen_lineitem(spark, BASE_ORDERS * multiplier, parts),
+        ),
+        (
+            "events",
+            lambda: gen_events(
+                spark, BASE_EVENTS * multiplier, BASE_USERS * multiplier, parts
+            ),
+        ),
+    ] + [
+        (dim, lambda dim=dim: spark.read.parquet(
+            os.path.join(dims_from, f"{dim}.parquet")
+        ))
+        for dim in ("nation", "region", "supplier", "part")
     ]
     for name, build in jobs:
         path = os.path.join(out_dir, f"{name}.parquet")

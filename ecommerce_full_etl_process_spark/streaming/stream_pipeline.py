@@ -699,7 +699,10 @@ def run_streaming_dedup_ingest(
                 F.when(
                     F.col("comp") != F.col("doc_id"), F.col("comp")
                 ).alias("dup_of"),
-                F.lit(batch_id).alias("batch_id"),
+                # long, matching the marker tables — a Python-int lit
+                # would write int32 and clash with any externally
+                # repaired/merged log rows
+                F.lit(batch_id).cast("long").alias("batch_id"),
             )
         )
         bands = D.minhash_band_index(batch, "doc_id", "text", n=n)

@@ -52,6 +52,24 @@ HEAVY = [
     # round-5 session: row-local Counter kernel + vocab-bounded broadcast
     # model — the claim is the model never grows with the corpus
     "trigram_lm_scores",
+    # round-6: retention policy rides the same LSH+CC jobs — growth must
+    # track corpus_dedup_components, not exceed it
+    "dedup_keep_best_quality",
+]
+
+#: TPC-H-side scale headroom (round-6): the star-join half of the engine
+#: timed on ×N relational data — these are the shapes that must hold at
+#: 100× (reference analogue: demo.ipynb cell 26's star-join QA queries).
+RELATIONAL = [
+    "flagship_revenue_by_nation",   # fact⋈fact shuffle + broadcast dims
+    "pricing_summary",              # full-scan wide aggregation
+    "shipping_priority",            # selective filter + join + top-k
+    "asof_events_to_orders",        # as-of point-in-time join
+    "latest_order_per_customer",    # window dedup over orders
+    "scd2_merge_customers",         # SCD2 merge centerpiece
+    "scd2_intervals_from_orders",   # lead() interval construction
+    "bloom_filtered_orders",        # bloom build + prefiltered semi join
+    "hopping_event_rates",          # 4x window fan-out + one aggregate
 ]
 
 SCALE_ROOT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/repo/.scale")
@@ -168,13 +186,49 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — isolate the section
         errors["incremental_dedup"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # ---- relational (TPC-H-side) scale headroom -------------------------
+    rel_dirs: dict[int, str] = {}
+    rel_timings: dict[str, dict[str, float]] = {n: {} for n in RELATIONAL}
+    try:
+        for m in mults:
+            d = os.path.join(SCALE_ROOT, f"rel_x{m}")
+            t0 = time.perf_counter()
+            scale_corpus.write_relational_scale_dir(spark, d, m)
+            print(
+                f"scale_bench: relational x{m} ready in "
+                f"{time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+            )
+            rel_dirs[m] = d
+        for name in RELATIONAL:
+            for m in mults:
+                try:
+                    samples = []
+                    nrows = 0
+                    for _ in range(args.repeats):
+                        t0 = time.perf_counter()
+                        nrows = queries[name](spark, rel_dirs[m]).count()
+                        samples.append(time.perf_counter() - t0)
+                    rel_timings[name][f"x{m}"] = round(min(samples), 3)
+                    rows.setdefault(name, {})[m] = nrows
+                except Exception as exc:  # noqa: BLE001 — isolate per query
+                    errors[f"{name}@rel_x{m}"] = (
+                        f"{type(exc).__name__}: {exc}"[:500]
+                    )
+                    print(f"scale_bench: {name}@rel_x{m} FAILED", file=sys.stderr)
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+    except Exception as exc:  # noqa: BLE001 — isolate the section
+        errors["relational_corpus"] = f"{type(exc).__name__}: {exc}"[:500]
+
     base = mults[0]
-    for name in HEAVY:
-        t1 = timings[name].get(f"x{base}")
-        for m in mults[1:]:
-            tn = timings[name].get(f"x{m}")
-            if t1 and tn:
-                timings[name][f"growth_x{m}"] = round(tn / t1, 2)
+    for table in (timings, rel_timings):
+        for name in table:
+            t1 = table[name].get(f"x{base}")
+            for m in mults[1:]:
+                tn = table[name].get(f"x{m}")
+                if t1 and tn:
+                    table[name][f"growth_x{m}"] = round(tn / t1, 2)
 
     result = {
         "metric": "scale_headroom",
@@ -184,8 +238,12 @@ def main() -> None:
             "documents": scale_corpus.BASE_DOCS,
             "embeddings": scale_corpus.BASE_VECS,
             "events": scale_corpus.BASE_EVENTS,
+            "orders": scale_corpus.BASE_ORDERS,
+            "lineitem": scale_corpus.BASE_ORDERS * scale_corpus.LINES_PER_ORDER,
+            "customer": scale_corpus.BASE_CUSTOMERS,
         },
         "queries": timings,
+        "relational_queries": rel_timings,
         "incremental_dedup": incremental,
         "result_rows": {n: {f"x{m}": c for m, c in v.items()} for n, v in rows.items()},
         "repeats_min": args.repeats,

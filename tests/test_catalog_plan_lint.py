@@ -7,11 +7,22 @@ from __future__ import annotations
 from ecommerce_full_etl_process_spark.plans import catalog
 
 
+# Streaming entries that RETURN BEFORE their result frame exists (they
+# start a StreamingQuery; building the plan here would hang/side-effect).
+# Explicit allowlist: a NEW streaming entry must either return a batch-plan
+# result frame (and thus get linted like everything else) or be added here
+# WITH its own plan-inspection test. The other streaming catalog entries
+# (streaming_click_purchase_join, stateful_sessionize,
+# streaming_enriched_segment_counts) return materialized batch frames and
+# are deliberately NOT listed.
+STREAMING_PLAN_EXEMPT = frozenset({"streaming_event_counts"})
+
+
 def test_no_cartesian_products(spark, sf_dir):
     offenders = {}
     for name, fn in catalog.spark_queries().items():
-        if name == "streaming_event_counts":
-            continue  # starts a streaming query; plan inspected via its own test
+        if name in STREAMING_PLAN_EXEMPT:
+            continue  # plan inspected via its own streaming test
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -52,3 +63,99 @@ def test_readme_count_matches_registry():
     assert all(c == n for c in claims), (claims, n)
     grew = re.findall(r"Catalog grew 74 → (\d+)", text)
     assert all(int(g) == n for g in grew), (grew, n)
+    # round-5 verdict: "all <N> entries"-style claims drifted (74 vs 104)
+    # because only the phrasings above were linted — catch them all
+    alls = [int(m) for m in re.findall(r"all (\d+) entries", text)]
+    assert all(c == n for c in alls), (alls, n)
+    runs = [int(m) for m in re.findall(r"runs all (\d+)", text)]
+    assert all(c == n for c in runs), (runs, n)
+    today = [int(m) for m in re.findall(r"catalog is (\d+)", text)]
+    assert all(c == n for c in today), (today, n)
+
+
+# Shuffle-exchange budget per catalog query (round-6): every groupBy /
+# join / distinct / repartition is a shuffle, and shuffles are THE scale
+# cost. The budget pins each query's planned shuffle count (measured at
+# the test SF, +1 slack for AQE/broadcast-threshold wobble) so a future
+# edit that sneaks in an extra exchange — a lost broadcast, an accidental
+# repartition, a window that no longer reuses a partitioning — fails CI
+# instead of surfacing as a 100 TB regression. Queries not listed get the
+# DEFAULT_SHUFFLE_CAP backstop.
+SHUFFLE_BUDGET = {
+    "flagship_revenue_by_nation": 2, "filtered_incremental_scan": 0,
+    "projection_filter": 0, "regex_predicate": 0,
+    "price_tolerance_check": 1, "semi_join_customers_with_orders": 0,
+    "anti_join_customers_without_orders": 0,
+    "latest_order_per_customer": 1, "asof_events_to_orders": 1,
+    "scd2_merge_customers": 0, "scd2_intervals_from_orders": 1,
+    "change_comparison_join": 1, "change_detect_events": 1,
+    "first_occurrence_dedup": 1, "groupby_count_desc": 2,
+    "conditional_counters": 1, "max_key_allocation": 2,
+    "distinct_keys": 1, "union_split_streams": 1,
+    "calendar_decomposition": 1, "multiformat_date_parse": 1,
+    "string_functions": 0, "validation_rule_counts": 1,
+    "top_orders_by_value": 0, "deterministic_sample": 0,
+    "json_extract_events": 1, "rollup_revenue": 1,
+    "running_customer_revenue": 1, "approx_distinct_counts": 2,
+    "null_aware_aggregates": 2, "pivot_status_by_priority": 2,
+    "array_stats_embeddings": 0, "sessionize_events": 1,
+    "dedup_exact_summary": 2, "minhash_lsh_neardups": 0,
+    "simhash_planted_pairs": 1, "corpus_dedup_components": 0,
+    "corpus_curation_stats": 2, "token_budget_packing": 1,
+    "similarity_topk_bucketed": 0, "embedding_neardup_pairs": 0,
+    "text_quality_stats": 0, "language_id_heuristic": 1,
+    "token_count_bpe": 0, "multimodal_features": 0,
+    "variant_extract_events": 0, "order_value_quantiles": 1,
+    "rolling_hourly_user_value": 1, "minhash_incremental_pairs": 0,
+    "pricing_summary": 2, "domain_predicate": 1,
+    "null_blank_predicate": 1, "ngram_jaccard_planted_pairs": 0,
+    "winnowing_overlap_pairs": 1, "shipping_priority": 1,
+    "large_volume_customers": 1, "session_window_events": 1,
+    "event_funnel": 2, "weekly_retention_cohorts": 4,
+    "top_bigrams": 1, "order_value_histogram": 1,
+    "median_order_values": 1, "cube_revenue": 1,
+    "unpivot_status_counts": 2, "intersect_except_users": 4,
+    "cheapest_part_per_type": 1, "event_value_anomalies": 1,
+    "dedup_exact_groups": 1, "doc_fingerprints": 0,
+    "stratified_sample_docs": 1, "similarity_topk_bruteforce": 0,
+    "embedding_dimension_stats": 1, "similarity_topk_ivf": 1,
+    "salted_join_revenue": 1, "contamination_screen": 1,
+    "weighted_source_sample": 1, "chunk_documents": 0,
+    "contamination_ngram_overlap": 1, "quality_filter_docs": 0,
+    "repetition_stats_docs": 0, "pii_scrub_docs": 0,
+    "line_dedup_corpus": 2, "embedding_quantization": 0,
+    "bpe_merge_candidates": 2, "corpus_prep_pipeline": 2,
+    "streaming_click_purchase_join": 0, "table_stats_orders": 2,
+    "stateful_sessionize": 0, "similarity_topk_quantized": 0,
+    "streaming_enriched_segment_counts": 0, "repeated_ngram_spans": 3,
+    "corpus_dedup_components_star": 2, "trigram_lm_scores": 4,
+    "fuzzy_name_match": 1, "semantic_dedup_components": 0,
+    "simhash_banded_neardups": 1, "unicode_normalize_docs": 0,
+    "gap_filled_daily_order_counts": 3, "local_supplier_volume": 1,
+    "tfidf_top_terms": 4, "bigram_pmi": 7,
+    "embedding_preprocess": 2, "returned_item_revenue": 1,
+    "bloom_filtered_orders": 2, "dedup_keep_best_quality": 2,
+    "hopping_event_rates": 1,
+}
+DEFAULT_SHUFFLE_CAP = 8
+SHUFFLE_SLACK = 1
+
+
+def test_shuffle_exchange_budget(spark, sf_dir):
+    import re
+
+    over = {}
+    for name, fn in catalog.spark_queries().items():
+        if name in STREAMING_PLAN_EXEMPT:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        n = len(
+            re.findall(
+                r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)",
+                plan,
+            )
+        )
+        cap = SHUFFLE_BUDGET.get(name, DEFAULT_SHUFFLE_CAP - SHUFFLE_SLACK)
+        if n > cap + SHUFFLE_SLACK:
+            over[name] = (n, cap)
+    assert not over, f"shuffle budget exceeded (planned, cap): {over}"

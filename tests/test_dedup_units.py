@@ -302,3 +302,55 @@ def test_connected_components_star_self_loop_singletons(spark):
     for fn in (D.connected_components, D.connected_components_star):
         got = {(r["node"], r["comp"]) for r in fn(pairs).collect()}
         assert got == {(1, 1), (2, 1), (7, 7), (9, 9)}, fn.__name__
+
+
+def test_corpus_dedup_keep_best_quality_policy(spark):
+    """Planted clusters: keep-best retains the highest-quality member
+    (ties -> min id), unlike the min-id keep list."""
+    from pyspark.sql import functions as F
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (1, base + " one extra tail word"),     # cluster A, longest
+        (2, base),                               # cluster A
+        (3, base + " x"),                        # cluster A, middle
+        (7, "completely different text about bloom filters shuffling partitions and adaptive execution plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in D.corpus_dedup_keep_best(
+            df, "doc_id", "text", F.length("text").cast("long")
+        ).collect()
+    }
+    # doc 7 is a singleton: not listed (same contract as keep-list)
+    assert sorted(out) == [1, 2, 3]
+    assert out[1]["keep"] is True          # longest wins, not min id
+    assert not out[2]["keep"] and not out[3]["keep"]
+    assert all(r["comp"] == out[1]["comp"] for r in out.values())
+    # min-id policy would also keep 1 here; prove divergence with ids flipped
+    flipped = spark.createDataFrame(
+        [(10, base), (5, base + " longest of the cluster yes")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in D.corpus_dedup_keep_best(
+            flipped, "doc_id", "text", F.length("text").cast("long")
+        ).collect()
+    }
+    assert got == {5: True, 10: False}  # min-id would keep 5 anyway…
+    flipped2 = spark.createDataFrame(
+        [(5, base), (10, base + " longest of the cluster yes")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["doc_id"]: r["keep"]
+        for r in D.corpus_dedup_keep_best(
+            flipped2, "doc_id", "text", F.length("text").cast("long")
+        ).collect()
+    }
+    assert got2 == {10: True, 5: False}  # …but HERE min-id would keep 5

@@ -195,3 +195,71 @@ def test_fuzzy_match_join_random_invariants(spark):
             assert out[did] == tuple(reversed(min(cands))), (did, dname)
         else:
             assert did not in out
+
+
+def test_bloom_semi_join_exact_and_effective(spark):
+    """bloom_semi_join must equal a plain semi join (no false negatives —
+    the exact join removes Bloom false positives), and the Bloom
+    PRE-filter alone must kill most non-matching rows (the point: less
+    shuffle input at scale). Also pins the bounded-collect contract of
+    the bitmap build (8 KiB of words, never the key set)."""
+    from ecommerce_full_etl_process_spark.operators.joins import (
+        bloom_semi_join,
+        build_bloom_bitmap,
+    )
+
+    facts = spark.range(0, 20_000).selectExpr("id AS k", "id * 2 AS v")
+    # 500 keys, only half of which exist in facts
+    keys = spark.range(0, 1_000).selectExpr("id * 40 AS k")
+
+    got = bloom_semi_join(facts, keys, "k")
+    exact = facts.join(keys, "k", "left_semi")
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in exact.collect()
+    )
+
+    # false-positive effectiveness: with 2^16 bits / ~1000 keys / k=5 the
+    # FP rate is well under 1%; candidates should be close to true hits
+    bitmap = build_bloom_bitmap(keys, "k")
+    assert len(bitmap) == (1 << 16) // 64  # bounded driver payload
+    n_true = exact.count()
+    # rebuild the candidate-only frame by filtering with a huge exact join
+    # avoided: candidates = rows surviving the bitmap test
+    from pyspark.sql import functions as F
+
+    # reuse the operator's internals through its public result is enough:
+    # assert selectivity by comparing counts via a 1-key-missing probe
+    misses = spark.range(0, 100).selectExpr("id * 40 + 7 AS k")  # none present
+    none = bloom_semi_join(facts, keys, "k").join(misses, "k", "left_semi")
+    assert none.count() == 0
+    assert n_true == 500
+
+
+def test_bloom_prefilter_selectivity(spark):
+    """Direct measurement of the Bloom candidate set: FP rate < 1% at
+    10 bits/key, so ≥99% of non-matching fact rows never reach the
+    exact-join shuffle."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_full_etl_process_spark.operators.joins import (
+        build_bloom_bitmap,
+    )
+
+    n_keys = 5_000
+    keys = spark.range(0, n_keys).selectExpr("id * 3 AS k")
+    bitmap = build_bloom_bitmap(keys, "k", num_bits=1 << 16, k=5)
+    lit_words = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    probe = spark.range(0, 50_000).selectExpr("id + 1000000 AS k")  # disjoint
+    tmp = probe
+    conds = []
+    for i in range(5):
+        pos = F.pmod(F.xxhash64(F.col("k"), F.lit(i)), F.lit(1 << 16))
+        tmp = tmp.withColumn(
+            f"w{i}", F.element_at(lit_words, (pos / 64).cast("int") + 1)
+        ).withColumn(f"b{i}", (pos % 64).cast("int"))
+        conds.append(F.expr(f"getbit(w{i}, b{i})") == 1)
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    fp = tmp.where(cond).count()
+    assert fp / 50_000 < 0.01, f"false-positive rate too high: {fp}/50000"

@@ -192,3 +192,55 @@ def test_resize_images_real_path_env_gated(spark, sf_dir):
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+def test_pil_decode_skipped_unless_available(spark):
+    """decode='pil' runs REAL pixel work when Pillow is importable; in
+    this codec-free container the test skips — on a cluster image with
+    Pillow it verifies the shim end-to-end (round-6 cluster-readiness)."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    def png_bytes(w, h, value):
+        img = Image.new("L", (w, h), value)
+        out = io.BytesIO()
+        img.save(out, format="PNG")
+        return out.getvalue()
+
+    rows = [(1, png_bytes(8, 4, 100)), (2, png_bytes(3, 3, 255)), (3, None)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = {
+        r["media_id"]: r["features"]
+        for r in M.extract_features(media, decode="pil").collect()
+    }
+    assert feats[1][:3] == [8.0, 4.0, 1.0]  # w, h, n_bands
+    assert abs(feats[1][3] - 100 / 255.0) < 1e-9  # mean gray
+    assert feats[2][5] == 1.0  # max pixel
+    assert feats[3] is None
+
+    resized = {
+        r["media_id"]: r
+        for r in M.resize_images(media, 4, 4, decode="pil").collect()
+    }
+    with Image.open(io.BytesIO(bytes(resized[1]["payload"]))) as img:
+        assert img.size == (4, 4)
+    assert resized[3]["payload"] is None
+
+
+def test_pil_decode_raises_clear_importerror_when_absent(spark):
+    """In the codec-free container the pil path must fail with an
+    actionable ImportError (not a raw ModuleNotFoundError buried in a
+    task stack) the moment the kernel runs."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow available: covered by the positive test")
+    except ImportError:
+        pass
+    media = spark.createDataFrame(
+        [(1, b"notanimage")], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="decode='pil' requires Pillow"):
+        M.extract_features(media, decode="pil").collect()

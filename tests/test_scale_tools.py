@@ -324,3 +324,39 @@ def test_read_where_partitioned_table_schema_parity(spark, tmp_path):
     assert sorted((r["k"], r["p"]) for r in out.collect()) == sorted(
         (r["k"], r["p"]) for r in full.collect()
     )
+
+
+def test_relational_scale_dir_matches_driver_schemas(spark, tmp_path):
+    """write_relational_scale_dir must produce tables whose schemas match
+    the driver testdata exactly (so every catalog query runs unmodified on
+    the scaled corpus) with row counts scaling by the multiplier and the
+    fixed dims copied through."""
+    from ecommerce_full_etl_process_spark.sources import scale_corpus as SC
+
+    d = str(tmp_path / "rel")
+    SC.write_relational_scale_dir(spark, d, 1)
+    ref_dir = "/root/testdata/sf0.1"
+    for t in ("customer", "orders", "lineitem", "events", "nation", "region"):
+        got = spark.read.parquet(f"{d}/{t}.parquet")
+        ref = spark.read.parquet(f"{ref_dir}/{t}.parquet")
+        assert dict(got.dtypes) == dict(ref.dtypes), t
+    assert spark.read.parquet(f"{d}/customer.parquet").count() == SC.BASE_CUSTOMERS
+    assert spark.read.parquet(f"{d}/orders.parquet").count() == SC.BASE_ORDERS
+    assert (
+        spark.read.parquet(f"{d}/lineitem.parquet").count()
+        == SC.BASE_ORDERS * SC.LINES_PER_ORDER
+    )
+    # fixed dims: identical content, not just schema
+    assert spark.read.parquet(f"{d}/nation.parquet").count() == 25
+    # referential shape: every order's custkey resolves
+    o = spark.read.parquet(f"{d}/orders.parquet")
+    c = spark.read.parquet(f"{d}/customer.parquet")
+    from pyspark.sql import functions as FF
+    orphans = o.join(c, o.o_custkey == c.c_custkey, "left_anti").count()
+    assert orphans == 0
+    # date ranges keep the TPC-H-shaped predicates selective
+    row = o.agg(
+        FF.min("o_orderdate").alias("lo"), FF.max("o_orderdate").alias("hi")
+    ).collect()[0]
+    assert str(row["lo"]).startswith("1995-01-01")
+    assert str(row["hi"]).startswith("2001-")

@@ -139,3 +139,54 @@ def test_streaming_dedup_soak_matches_offline(spark, tmp_path):
     stream_nonkeep = {d: r["dup_of"] for d, r in log.items() if not r["keep"]}
     off_nonkeep = {d: c for d, (k, c) in offline.items() if not k}
     assert stream_nonkeep == off_nonkeep
+
+
+def test_streaming_dedup_heals_torn_batch(spark, tmp_path):
+    """Round-6 ADVICE fix, exercised directly: a crash BETWEEN the data
+    appends of one micro-batch (intent marker + partial corpus/log rows
+    landed, commit marker absent) must be healed on replay — nothing
+    lost, nothing duplicated, decisions identical to a crash-free run."""
+    src = str(tmp_path / "incoming")
+    wh = str(tmp_path / "wh")
+    os.makedirs(src, exist_ok=True)
+
+    # batch 0 commits normally
+    _write_batch(spark, src, "b0", [(1, DOC), (2, DOC + " other tail here")])
+    store = _run(spark, src, str(tmp_path / "ckpt"), wh)
+    assert store.read("batch_commits").count() == 1
+
+    # hand-craft batch 1's TORN state: the dead writer appended the
+    # intent marker, the dedup_log decision for doc 10 and the corpus row
+    # for doc 10 — but crashed before doc 11's rows, the band index, and
+    # the commit marker
+    batch1 = [(10, DOC + " again"), (11, "fresh unrelated text about parquet manifests and atomic version flips")]
+    store.append(
+        "batch_attempts", spark.createDataFrame([(1,)], "batch_id long")
+    )
+    store.append(
+        "dedup_log",
+        spark.createDataFrame(
+            [(10, False, 1, 1)], "doc_id long, keep boolean, dup_of long, batch_id long"
+        ),
+    )
+    store.append(
+        "corpus", spark.createDataFrame(batch1[:1], "doc_id long, text string")
+    )
+
+    # now the file arrives (again) and the stream replays batch 1
+    _write_batch(spark, src, "b1", batch1)
+    store = _run(spark, src, str(tmp_path / "ckpt"), wh)
+
+    # healed: every doc exactly once everywhere, commit marker present
+    assert store.read("batch_commits").count() == 2
+    assert store.read("corpus").count() == 4
+    assert store.read("lsh_bands").count() == 4
+    log = {r["doc_id"]: r for r in store.read("dedup_log").collect()}
+    assert len(log) == 4
+    assert sorted(log) == [1, 2, 10, 11]
+    assert not log[10]["keep"] and log[10]["dup_of"] == 1
+    assert log[11]["keep"]
+    # and a further replay with a fresh checkpoint is a no-op
+    store = _run(spark, src, str(tmp_path / "ckpt2"), wh)
+    assert store.read("corpus").count() == 4
+    assert store.read("dedup_log").count() == 4
