@@ -73,6 +73,7 @@ HEADLINE = [
     "bloom_filtered_orders",
     "dedup_keep_best_quality",
     "hopping_event_rates",
+    "customer_revenue_deciles",
 ]
 
 

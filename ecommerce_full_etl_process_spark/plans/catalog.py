@@ -458,6 +458,11 @@ _REGISTRY: dict[
         oq.hopping_event_rates,
         oq.HOPPING_EVENT_RATES_ORACLE,
     ),
+    # round-6: ntile equal-frequency segmentation (RFM decile scoring)
+    "customer_revenue_deciles": (
+        oq.customer_revenue_deciles,
+        oq.CUSTOMER_REVENUE_DECILES_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

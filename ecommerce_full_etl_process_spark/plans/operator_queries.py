@@ -1590,7 +1590,11 @@ def bloom_filtered_orders(spark, sf_dir):
         .where(F.col("c_mktsegment") == "BUILDING")
         .select(F.col("c_custkey").alias("o_custkey"))
     )
-    out = bloom_semi_join(o, keys, "o_custkey")
+    # 2^14 bits ≈ 5 bits/key for this segment's key count — still kills
+    # >90% of non-matching fact rows pre-shuffle while keeping the
+    # literal-bitmap expression small (exactness is unaffected: the
+    # trailing exact semi join removes all false positives)
+    out = bloom_semi_join(o, keys, "o_custkey", num_bits=1 << 14)
     return out.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_value"),
@@ -1656,4 +1660,47 @@ SELECT win_start, event_type,
        round(sum(value), 2) AS total_value
 FROM expanded
 GROUP BY win_start, event_type
+"""
+
+
+def customer_revenue_deciles(spark, sf_dir):
+    """ntile decile segmentation (round-6): customers bucketed into 10
+    equal-frequency tiers by total order value — the classic RFM-style
+    scoring step. Completes the ranking-window family (row_number /
+    rank exist elsewhere; ntile's equal-size partitioning is distinct).
+    Per-decile stats keep the result compact and fully checkable.
+
+    Scale note: the ntile window is a GLOBAL ordering — fine for a
+    customer dimension (ntile over aggregated per-customer rows, not
+    facts); for fact-scale percentiles use order_value_quantiles'
+    mergeable-sketch path instead."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    tiled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("revenue"), 2).alias("decile_revenue"),
+        F.round(F.min("revenue"), 2).alias("min_revenue"),
+        F.round(F.max("revenue"), 2).alias("max_revenue"),
+    )
+
+
+CUSTOMER_REVENUE_DECILES_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT *, ntile(10) OVER (ORDER BY revenue DESC, o_custkey ASC) AS decile
+  FROM per_cust
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(revenue), 2) AS decile_revenue,
+       round(min(revenue), 2) AS min_revenue,
+       round(max(revenue), 2) AS max_revenue
+FROM tiled GROUP BY decile
 """

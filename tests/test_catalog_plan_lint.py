@@ -135,7 +135,7 @@ SHUFFLE_BUDGET = {
     "tfidf_top_terms": 4, "bigram_pmi": 7,
     "embedding_preprocess": 2, "returned_item_revenue": 1,
     "bloom_filtered_orders": 2, "dedup_keep_best_quality": 2,
-    "hopping_event_rates": 1,
+    "hopping_event_rates": 1, "customer_revenue_deciles": 2,
 }
 DEFAULT_SHUFFLE_CAP = 8
 SHUFFLE_SLACK = 1
