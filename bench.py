@@ -74,6 +74,7 @@ HEADLINE = [
     "dedup_keep_best_quality",
     "hopping_event_rates",
     "customer_revenue_deciles",
+    "order_priority_counts",
 ]
 
 

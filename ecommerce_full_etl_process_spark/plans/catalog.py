@@ -463,6 +463,12 @@ _REGISTRY: dict[
         oq.customer_revenue_deciles,
         oq.CUSTOMER_REVENUE_DECILES_ORACLE,
     ),
+    # round-6: TPC-H Q4 shape — correlated EXISTS as a compound-condition
+    # hash semi join
+    "order_priority_counts": (
+        oq.order_priority_counts,
+        oq.ORDER_PRIORITY_COUNTS_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -1704,3 +1704,44 @@ SELECT decile,
        round(max(revenue), 2) AS max_revenue
 FROM tiled GROUP BY decile
 """
+
+
+def order_priority_counts(spark, sf_dir):
+    """TPC-H Q4 shape (round-6): orders placed in one quarter having AT
+    LEAST ONE slow lineitem (shipped >60 days after the order date),
+    counted by priority — the correlated-EXISTS family, expressed as a
+    left-semi join with a compound (equi + range) condition so Spark
+    plans one hash semi join on orderkey with the range test as its
+    post-probe filter. The reference analogue is the notebook's
+    late-shipment QA probe; the date filter pushes to the orders scan."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    slow = (o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.timestamp_add("DAY", F.lit(60), o.o_orderdate)),
+        "left_semi",
+    ))
+    return (
+        slow.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_COUNTS_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
