@@ -75,6 +75,7 @@ HEADLINE = [
     "hopping_event_rates",
     "customer_revenue_deciles",
     "order_priority_counts",
+    "streaming_hopping_rates",
 ]
 
 

@@ -469,6 +469,12 @@ _REGISTRY: dict[
         oq.order_priority_counts,
         oq.ORDER_PRIORITY_COUNTS_ORACLE,
     ),
+    # round-6: hopping windows in their STREAMING form (4 state rows per
+    # event, AvailableNow drain ≡ the batch hopping aggregate)
+    "streaming_hopping_rates": (
+        sp.streaming_hopping_rates,
+        sp.STREAMING_HOPPING_RATES_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -737,3 +737,60 @@ def run_streaming_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_hopping_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HOPPING-window aggregation (round-6, SURVEY §2.12
+    extension): per-event-type counts over 1-hour windows sliding every
+    15 minutes, computed by a real streaming query — the overlapping-
+    window family in its streaming form (each event updates 4 windows'
+    state; Spark expands the membership row-locally exactly like the
+    batch `hopping_event_rates`, so state rows — not input rows — are
+    what multiply).
+
+    AvailableNow + complete-mode memory sink over the static corpus make
+    the result equal the batch hopping aggregate, hence oracle-checkable
+    (same day-slice filter to keep the window table compact). With live
+    data the same query runs append-mode with a watermark and only the
+    4×(arrival-rate × horizon) open-window state is retained."""
+    from pyspark.sql import functions as F
+
+    evt = _events_stream(spark, sf_dir).where(
+        (F.col("ts") >= F.lit("2024-01-03 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp_ntz"))
+    )
+    agg = evt.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    sink = _drain_to_memory_sink(agg, "streaming_hopping_rates", "complete")
+    out = spark.table(sink).select(
+        F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
+
+
+STREAMING_HOPPING_RATES_ORACLE = """
+WITH day AS (
+  SELECT ts, event_type, value FROM events
+  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-04 00:00:00'
+),
+expanded AS (
+  SELECT make_timestamp(((epoch_us(ts) // 900000000) - j) * 900000000)
+           AS win_start,
+         event_type, value
+  FROM day, unnest([0, 1, 2, 3]) AS t(j)
+)
+SELECT win_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM expanded
+GROUP BY win_start, event_type
+"""
