@@ -76,6 +76,7 @@ HEADLINE = [
     "customer_revenue_deciles",
     "order_priority_counts",
     "streaming_hopping_rates",
+    "customer_order_distribution",
 ]
 
 

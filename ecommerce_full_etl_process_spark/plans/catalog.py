@@ -475,6 +475,11 @@ _REGISTRY: dict[
         sp.streaming_hopping_rates,
         sp.STREAMING_HOPPING_RATES_ORACLE,
     ),
+    # round-6: TPC-H Q13 shape — left-join-with-zeros + count-of-counts
+    "customer_order_distribution": (
+        oq.customer_order_distribution,
+        oq.CUSTOMER_ORDER_DISTRIBUTION_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -1745,3 +1745,36 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (round-6): distribution of orders-per-customer —
+    LEFT join so zero-order customers are counted in the c_count=0
+    bucket, then a second aggregation over the per-customer counts (the
+    count-of-counts / histogram-of-cardinalities pattern). Both
+    aggregations are map-side combined; the first shuffles on custkey,
+    the second on the (tiny) count domain."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_ORACLE = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
