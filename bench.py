@@ -77,6 +77,7 @@ HEADLINE = [
     "order_priority_counts",
     "streaming_hopping_rates",
     "customer_order_distribution",
+    "promo_revenue_share",
 ]
 
 

@@ -480,6 +480,11 @@ _REGISTRY: dict[
         oq.customer_order_distribution,
         oq.CUSTOMER_ORDER_DISTRIBUTION_ORACLE,
     ),
+    # round-6: TPC-H Q14 shape — conditional-sum ratio in one aggregate
+    "promo_revenue_share": (
+        oq.promo_revenue_share,
+        oq.PROMO_REVENUE_SHARE_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -137,7 +137,7 @@ SHUFFLE_BUDGET = {
     "bloom_filtered_orders": 2, "dedup_keep_best_quality": 2,
     "hopping_event_rates": 1, "customer_revenue_deciles": 2,
     "order_priority_counts": 2, "streaming_hopping_rates": 0,
-    "customer_order_distribution": 3,
+    "customer_order_distribution": 3, "promo_revenue_share": 1,
 }
 DEFAULT_SHUFFLE_CAP = 8
 SHUFFLE_SLACK = 1
