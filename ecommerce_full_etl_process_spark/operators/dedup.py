@@ -770,10 +770,17 @@ def corpus_dedup_keep_best(
     (doc_id, comp, quality, keep) for every clustered doc; singletons are
     implicit keeps as in the min-id variant.
 
-    Scale shape: identical to the min-id path (one LSH job + CC) plus one
-    broadcast-sized join of cluster labels to quality and ONE extra
-    groupBy over cluster-sized data (collision rows only, not the
-    corpus) — the retention policy adds no corpus-scale shuffle.
+    Works for ANY orderable id type (ints, strings, ...): the winner is
+    picked in two cluster-sized aggregates — max quality per component,
+    then min id among that component's max-quality rows — instead of a
+    struct-max over a negated id (which silently required numeric ids).
+    Null quality never wins unless the whole cluster's quality is null
+    (then plain min-id retention applies, via null-safe equality).
+
+    Scale shape: identical to the min-id path (one LSH job + CC) plus
+    joins and groupBys over cluster-sized data only (collision rows, not
+    the corpus) — the retention policy adds no corpus-scale shuffle, and
+    both aggregates are map-side combined.
     """
     q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
     pairs = minhash_lsh_pairs(df, id_col, text_col, n=n, min_jaccard=min_jaccard)
@@ -782,20 +789,20 @@ def corpus_dedup_keep_best(
     )
     quality = df.select(F.col(id_col).alias("doc_id"), q.alias("quality"))
     labeled = comps.join(quality, "doc_id")
-    # winner per component: max (quality, -doc_id) — unique since ids are
-    winners = labeled.groupBy("comp").agg(
-        F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("__neg")))[
-            "__neg"
-        ].alias("__neg_winner")
+    # max() skips nulls, so qmax is null only for an all-null cluster;
+    # eqNullSafe then matches exactly the max-quality rows in both cases
+    qmax = labeled.groupBy("comp").agg(F.max("quality").alias("__qmax"))
+    winners = (
+        labeled.join(qmax, "comp")
+        .where(F.col("quality").eqNullSafe(F.col("__qmax")))
+        .groupBy("comp")
+        .agg(F.min("doc_id").alias("__winner"))
     )
-    return (
-        labeled.join(winners, "comp")
-        .select(
-            "doc_id",
-            "comp",
-            "quality",
-            (F.col("doc_id") == -F.col("__neg_winner")).alias("keep"),
-        )
+    return labeled.join(winners, "comp").select(
+        "doc_id",
+        "comp",
+        "quality",
+        (F.col("doc_id") == F.col("__winner")).alias("keep"),
     )
 
 

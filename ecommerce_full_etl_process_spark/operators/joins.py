@@ -7,6 +7,8 @@ the big (fact) side never shuffles for a lookup.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -75,6 +77,23 @@ def asof_join(
     return out
 
 
+# Largest bitmap shipped as a plan-literal array<long>: 2^18 bits = 4096
+# longs = 32 KiB. Beyond that the literal would be serialized into every
+# task binary, so the probe switches to a Spark broadcast variable read by
+# a vectorized Arrow pandas_udf.
+_BLOOM_LITERAL_MAX_BITS = 1 << 18
+# Hard ceiling on the bitmap itself (2^30 bits = 128 MiB broadcast).
+_BLOOM_MAX_BITS = 1 << 30
+
+
+def _bloom_auto_bits(n_keys: int, bits_per_key: int = 10) -> int:
+    """Power-of-two bitmap size ≈ ``bits_per_key``×|keys| (~1% FP at
+    k=5), floored at 2^14 and capped at the broadcast ceiling."""
+    target = max(1 << 14, n_keys * bits_per_key)
+    bits = 1 << (target - 1).bit_length()  # next power of two
+    return min(bits, _BLOOM_MAX_BITS)
+
+
 def build_bloom_bitmap(
     keys: DataFrame, on: str, num_bits: int = 1 << 16, k: int = 5
 ) -> list[int]:
@@ -117,47 +136,94 @@ def bloom_semi_join(
     facts: DataFrame,
     keys: DataFrame,
     on: str,
-    num_bits: int = 1 << 16,
+    num_bits: int | None = None,
     k: int = 5,
+    bits_per_key: int = 10,
 ) -> DataFrame:
     """J1 at fact scale: semi join with an explicit Bloom-filter
     pre-filter — the manual form of Spark's runtime row-level filtering,
     for when the key side is too big to broadcast but its Bloom bitmap
-    (a few KiB–MiB) is not.
+    is not.
 
-    The bitmap test runs as pure JVM column expressions against a literal
-    ``array<long>`` (``element_at`` + ``shiftright`` + bitwise and), so
-    the fact table is pre-filtered INSIDE its scan stage — most
-    non-matching rows die before the shuffle that the exact semi join
-    needs. The exact semi join then removes the Bloom false positives, so
+    ``num_bits=None`` (default) sizes the bitmap from a cheap
+    ``keys.count()`` as ~``bits_per_key``×|keys| rounded up to a power
+    of two (~1% false positives at k=5) — a fixed ``num_bits`` silently
+    saturates when the key side grows (at ~1 bit/key the prefilter
+    passes everything and becomes a no-op; results stay correct via the
+    trailing exact semi join, but the shuffle saving vanishes).
+
+    Probe path by bitmap size:
+
+    - ≤ 32 KiB (2^18 bits): pure JVM column expressions against a
+      literal ``array<long>`` (``element_at`` + ``getbit``) — the fact
+      table is pre-filtered INSIDE its scan stage under whole-stage
+      codegen.
+    - larger (up to 2^30 bits = 128 MiB): the bitmap ships as a Spark
+      BROADCAST variable probed by a vectorized Arrow ``pandas_udf``
+      (the k positions are still computed JVM-side with xxhash64 so
+      both paths test identical bits). A plan literal at this size
+      would be serialized into every task binary.
+
+    Either way the exact semi join removes all Bloom false positives, so
     the result is bit-identical to a plain semi join (the oracle), just
     with ~|selectivity| of the shuffle volume.
 
     At 100 TB: bitmap build is one job over the key side; the bitmap
     broadcast is O(num_bits); the fact side reads once and shuffles only
-    surviving rows. Pick ``num_bits ≈ 10×|keys|`` for ~1% false
-    positives at k=5.
+    surviving rows.
     """
+    if num_bits is None:
+        num_bits = _bloom_auto_bits(keys.count(), bits_per_key=bits_per_key)
+    if num_bits > _BLOOM_MAX_BITS:
+        raise ValueError(
+            f"num_bits={num_bits} exceeds the {_BLOOM_MAX_BITS}-bit "
+            "(128 MiB) broadcast ceiling — a bitmap this size should be "
+            "a runtime-filter rewrite, not a driver-built Bloom filter"
+        )
     bitmap = build_bloom_bitmap(keys, on, num_bits=num_bits, k=k)
-    lit_words = F.array(*[F.lit(w).cast("long") for w in bitmap])
 
-    tmp = facts
-    probe_cols = []
-    conds = []
-    for i in range(k):
-        pos = F.pmod(F.xxhash64(F.col(on), F.lit(i)), F.lit(num_bits))
-        # getbit's position arg accepts a column only in SQL-expr form,
-        # so stage word/bit-index as temp columns and test via expr
-        wc, bc = f"__bloom_w{i}", f"__bloom_b{i}"
-        tmp = tmp.withColumn(
-            wc, F.element_at(lit_words, (pos / 64).cast("int") + 1)
-        ).withColumn(bc, (pos % 64).cast("int"))
-        probe_cols += [wc, bc]
-        conds.append(F.expr(f"getbit({wc}, {bc})") == 1)
-    might_contain = conds[0]
-    for c in conds[1:]:
-        might_contain = might_contain & c
-    candidates = tmp.where(might_contain).drop(*probe_cols)
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(on), F.lit(i)), F.lit(num_bits))
+        for i in range(k)
+    ]
+    if num_bits <= _BLOOM_LITERAL_MAX_BITS:
+        lit_words = F.array(*[F.lit(w).cast("long") for w in bitmap])
+        tmp = facts
+        probe_cols = []
+        conds = []
+        for i, pos in enumerate(pos_cols):
+            # getbit's position arg accepts a column only in SQL-expr
+            # form, so stage word/bit-index as temp columns
+            wc, bc = f"__bloom_w{i}", f"__bloom_b{i}"
+            tmp = tmp.withColumn(
+                wc, F.element_at(lit_words, (pos / 64).cast("int") + 1)
+            ).withColumn(bc, (pos % 64).cast("int"))
+            probe_cols += [wc, bc]
+            conds.append(F.expr(f"getbit({wc}, {bc})") == 1)
+        might_contain = conds[0]
+        for c in conds[1:]:
+            might_contain = might_contain & c
+        candidates = tmp.where(might_contain).drop(*probe_cols)
+    else:
+        bc_bitmap = facts.sparkSession.sparkContext.broadcast(
+            np.array(bitmap, dtype=np.uint64)
+        )
+
+        @F.pandas_udf("boolean")
+        def _might_contain(pos: pd.Series) -> pd.Series:
+            if len(pos) == 0:
+                return pd.Series([], dtype=bool)
+            words = bc_bitmap.value
+            mat = np.vstack(pos.to_numpy())  # batch × k positions
+            w = words[mat >> 6]
+            hit = (w >> (mat & 63).astype(np.uint64)) & np.uint64(1)
+            return pd.Series(hit.all(axis=1))
+
+        candidates = (
+            facts.withColumn("__bloom_pos", F.array(*pos_cols))
+            .where(_might_contain(F.col("__bloom_pos")))
+            .drop("__bloom_pos")
+        )
     return candidates.join(keys.select(on).distinct(), on, "left_semi")
 
 

@@ -467,8 +467,12 @@ def trigram_lm_scores(
                     t = t.lower()
                     if len(t) < 3:
                         continue
+                    # errors="replace": lone surrogates (possible in scraped
+                    # corpora via surrogatepass decoding) would otherwise
+                    # raise UnicodeEncodeError and kill the whole task; the
+                    # deterministic '?' substitution keeps the kernel total.
                     cp = _np.frombuffer(
-                        t.encode("utf-32-le"), dtype=_np.uint32
+                        t.encode("utf-32-le", errors="replace"), dtype=_np.uint32
                     ).astype(_np.int64)
                     codes = (
                         (cp[:-2] << 42) | (cp[1:-1] << 21) | cp[2:]

@@ -1590,11 +1590,11 @@ def bloom_filtered_orders(spark, sf_dir):
         .where(F.col("c_mktsegment") == "BUILDING")
         .select(F.col("c_custkey").alias("o_custkey"))
     )
-    # 2^14 bits ≈ 5 bits/key for this segment's key count — still kills
-    # >90% of non-matching fact rows pre-shuffle while keeping the
-    # literal-bitmap expression small (exactness is unaffected: the
-    # trailing exact semi join removes all false positives)
-    out = bloom_semi_join(o, keys, "o_custkey", num_bits=1 << 14)
+    # auto-sized bitmap (~10 bits/key → ~1% FP at k=5): a hard-coded
+    # num_bits saturates when the key side grows and the prefilter
+    # silently degrades to a no-op (round-7 ADVICE fix) — sizing from
+    # keys.count() keeps the FP rate flat at any SF
+    out = bloom_semi_join(o, keys, "o_custkey")
     return out.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_value"),

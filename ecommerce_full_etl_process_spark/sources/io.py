@@ -187,10 +187,16 @@ class TableStore:
         """Per-table advisory writer lock — the single-writer contract the
         vacuum docstring documents, now enforced instead of assumed.
 
-        O_CREAT|O_EXCL is atomic on POSIX; the lock file records pid +
-        timestamp. A lock whose pid is dead (writer crashed between
-        acquire and release) is reclaimed — the versioned-dir protocol
-        already tolerates that writer's torn output (vacuum removes it).
+        Acquire writes the pid+timestamp payload to a contender-unique
+        temp file and publishes it with ``os.link`` — atomic on POSIX and
+        failing with FileExistsError when a lock already exists, so the
+        lock file is BORN with its content (a contender can never observe
+        an empty/torn lock and mistake a fresh live lock for a stale one,
+        which the earlier O_CREAT-then-write protocol allowed in the gap
+        between create and write). A lock whose pid is dead (writer
+        crashed between acquire and release) is reclaimed — the
+        versioned-dir protocol already tolerates that writer's torn
+        output (vacuum removes it).
 
         Liveness: only ``ProcessLookupError`` means dead. ``PermissionError``
         from ``os.kill(pid, 0)`` means the pid is ALIVE but owned by another
@@ -209,20 +215,30 @@ class TableStore:
         d = self._table_dir(table)
         os.makedirs(d, exist_ok=True)
         path = self._lock_path(table)
-        for attempt in (1, 2, 3):
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    json.dump({"pid": os.getpid(), "ts": time.time()}, f)
-                break
-            except FileExistsError:
+        payload = os.path.join(
+            d, f"_writer.lock.tmp.{os.getpid()}.{time.time_ns()}"
+        )
+        with open(payload, "w") as f:
+            json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+        try:
+            acquired = False
+            for attempt in (1, 2, 3):
                 try:
-                    with open(path) as f:
-                        holder = json.load(f)
-                    holder_pid = int(holder["pid"])
-                except (OSError, ValueError, KeyError, TypeError):
-                    # unreadable/torn lock file: treat as stale, race below
-                    holder, holder_pid = {}, None
+                    os.link(payload, path)  # atomic create WITH content
+                    acquired = True
+                    break
+                except FileExistsError:
+                    try:
+                        with open(path) as f:
+                            holder = json.load(f)
+                        holder_pid = int(holder["pid"])
+                    except FileNotFoundError:
+                        continue  # holder released between link and read
+                    except (OSError, ValueError, KeyError, TypeError):
+                        # Unreadable content can no longer be a fresh lock
+                        # mid-write (link publishes content atomically) —
+                        # only genuine corruption lands here; reclaim below.
+                        holder, holder_pid = {}, None
                 alive = False
                 if holder_pid is not None:
                     try:
@@ -253,6 +269,13 @@ class TableStore:
                     raise ConcurrentWriteError(
                         f"table {table!r}: lock contention while reclaiming"
                     )
+        finally:
+            try:
+                os.unlink(payload)
+            except FileNotFoundError:
+                pass
+        if not acquired:  # pragma: no cover — loop always breaks or raises
+            raise ConcurrentWriteError(f"table {table!r}: lock not acquired")
         try:
             yield
         finally:

@@ -286,3 +286,38 @@ def test_writer_lock_reclaim_loser_retries(spark, tmp_path, monkeypatch):
     store.overwrite("t", df)  # loser retries and acquires cleanly
     assert store._current_version("t") == 2
     assert not os.path.exists(store._lock_path("t"))
+
+
+def test_writer_lock_atomic_content_and_tmp_cleanup(spark, tmp_path):
+    """Round-7 ADVICE fix: the lock is published via os.link of a
+    pre-written payload, so (a) a corrupt/empty lock file can only be
+    genuine corruption — reclaimed — and (b) no payload temp files leak,
+    acquire success or failure."""
+    import glob
+    import json
+
+    import pytest
+
+    from ecommerce_full_etl_process_spark.sources.io import (
+        ConcurrentWriteError,
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    df = spark.range(5).selectExpr("id AS k")
+    store.overwrite("t", df)
+    tdir = os.path.dirname(store._lock_path("t"))
+
+    # empty lock file = corruption (the link protocol can never expose a
+    # fresh lock without content) -> reclaimed, write proceeds
+    open(store._lock_path("t"), "w").close()
+    store.overwrite("t", df)
+    assert store._current_version("t") == 2
+    assert glob.glob(os.path.join(tdir, "_writer.lock.tmp.*")) == []
+
+    # failed acquire (live holder) also leaves no payload temp behind
+    with open(store._lock_path("t"), "w") as f:
+        json.dump({"pid": os.getpid(), "ts": 0}, f)
+    with pytest.raises(ConcurrentWriteError):
+        store.overwrite("t", df)
+    assert glob.glob(os.path.join(tdir, "_writer.lock.tmp.*")) == []

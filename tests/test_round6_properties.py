@@ -91,3 +91,67 @@ def test_keep_best_invariants_random_corpus(spark, seed):
     part_best = {r["doc_id"]: r["comp"] for r in best}
     part_min = {r["node"] if "node" in r else r["doc_id"]: r["comp"] for r in minid}
     assert part_best == part_min  # same clustering, different retention
+
+def test_keep_best_string_ids_and_null_quality(spark):
+    """Round-7 ADVICE fix: keep-best must work with string ids (no
+    numeric-negation trick) and a null quality must not win unless the
+    whole cluster is null-quality (then min-id retention applies)."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    trunc = " ".join(base.split()[:39])
+    trunc2 = " ".join(base.split()[:38])
+    other = " ".join(f"zzz{i}" for i in range(40))
+    other_t = " ".join(other.split()[:39])
+    rows = [
+        # cluster 1: null quality on the longest doc — must NOT win
+        ("doc-a", base, None),
+        ("doc-b", trunc, 10),
+        ("doc-c", trunc2, 7),
+        # cluster 2: all-null quality -> min string id wins
+        ("x-2", other, None),
+        ("x-1", other_t, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, q long")
+    out = D.corpus_dedup_keep_best(df, "doc_id", "text", "q").collect()
+    keeps = sorted(r["doc_id"] for r in out if r["keep"])
+    assert keeps == ["doc-b", "x-1"]
+    # exactly one keep per component
+    comps = {}
+    for r in out:
+        comps.setdefault(r["comp"], 0)
+        comps[r["comp"]] += int(r["keep"])
+    assert all(v == 1 for v in comps.values())
+
+def test_bloom_large_bitmap_broadcast_path(spark):
+    """Round-7 fix: num_bits ≥ 2^22 must (a) stay bit-identical to the
+    plain semi join and (b) ship the bitmap as a broadcast variable read
+    by an Arrow pandas_udf — NOT a multi-MiB plan literal serialized
+    into every task binary."""
+    rng = random.Random(42)
+    keys = sorted(rng.sample(range(0, 1_000_000), 3_000))
+    facts = sorted(rng.sample(range(0, 1_000_000), 20_000))
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    fdf = spark.createDataFrame([(f,) for f in facts], "k long")
+    out = bloom_semi_join(fdf, kdf, "k", num_bits=1 << 22)
+    got = sorted(r["k"] for r in out.collect())
+    assert got == sorted(set(facts) & set(keys))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # broadcast+pandas_udf probe
+    # 2^22 bits = 65536 longs; a literal would dwarf any sane plan string
+    assert len(plan) < 200_000
+
+
+def test_bloom_auto_sizing_and_guard(spark):
+    """Auto num_bits tracks the key count (~10 bits/key, pow-2, floor
+    2^14) and the broadcast ceiling raises instead of silently building
+    an unshippable bitmap."""
+    from ecommerce_full_etl_process_spark.operators.joins import (
+        _bloom_auto_bits,
+    )
+
+    assert _bloom_auto_bits(10) == 1 << 14
+    assert _bloom_auto_bits(2_000) == 1 << 15  # 20k bits -> 32768
+    assert _bloom_auto_bits(90_000) == 1 << 20  # 900k bits -> 1M: no saturation
+    assert _bloom_auto_bits(10**12) == 1 << 30  # capped
+    kdf = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        bloom_semi_join(kdf, kdf, "k", num_bits=1 << 31)
