@@ -78,6 +78,10 @@ HEADLINE = [
     "streaming_hopping_rates",
     "customer_order_distribution",
     "promo_revenue_share",
+    # round-7 additions: Q21 (EXISTS+NOT-EXISTS decorrelated) and Q20
+    # (nested semi-join chain) shapes
+    "suppliers_who_kept_waiting",
+    "surplus_part_suppliers",
 ]
 
 

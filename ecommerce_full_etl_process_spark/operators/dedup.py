@@ -771,17 +771,20 @@ def corpus_dedup_keep_best(
     implicit keeps as in the min-id variant.
 
     Works for ANY orderable id type (ints, strings, ...): the winner is
-    picked in two cluster-sized aggregates — max quality per component,
-    then min id among that component's max-quality rows — instead of a
-    struct-max over a negated id (which silently required numeric ids).
-    Null quality never wins unless the whole cluster's quality is null
-    (then plain min-id retention applies, via null-safe equality).
+    the row_number()==1 row under (quality DESC NULLS LAST, id ASC) per
+    component — instead of a struct-max over a negated id (which
+    silently required numeric ids). Null quality never wins unless the
+    whole cluster's quality is null (then plain min-id retention
+    applies, from the id tie-break).
 
     Scale shape: identical to the min-id path (one LSH job + CC) plus
-    joins and groupBys over cluster-sized data only (collision rows, not
-    the corpus) — the retention policy adds no corpus-scale shuffle, and
-    both aggregates are map-side combined.
+    ONE window exchange keyed by component over cluster-sized data only
+    (collision rows, not the corpus) — the retention policy adds no
+    corpus-scale shuffle, and per-partition sort cost is bounded by the
+    largest duplicate cluster, not the corpus.
     """
+    from pyspark.sql.window import Window
+
     q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
     pairs = minhash_lsh_pairs(df, id_col, text_col, n=n, min_jaccard=min_jaccard)
     comps = connected_components(pairs).select(
@@ -789,20 +792,14 @@ def corpus_dedup_keep_best(
     )
     quality = df.select(F.col(id_col).alias("doc_id"), q.alias("quality"))
     labeled = comps.join(quality, "doc_id")
-    # max() skips nulls, so qmax is null only for an all-null cluster;
-    # eqNullSafe then matches exactly the max-quality rows in both cases
-    qmax = labeled.groupBy("comp").agg(F.max("quality").alias("__qmax"))
-    winners = (
-        labeled.join(qmax, "comp")
-        .where(F.col("quality").eqNullSafe(F.col("__qmax")))
-        .groupBy("comp")
-        .agg(F.min("doc_id").alias("__winner"))
+    w = Window.partitionBy("comp").orderBy(
+        F.col("quality").desc_nulls_last(), F.col("doc_id").asc()
     )
-    return labeled.join(winners, "comp").select(
+    return labeled.select(
         "doc_id",
         "comp",
         "quality",
-        (F.col("doc_id") == F.col("__winner")).alias("keep"),
+        (F.row_number().over(w) == 1).alias("keep"),
     )
 
 

@@ -41,21 +41,26 @@ _REGISTRY: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
     # ------------------------------------------------------------------
-    # Tier 1 — one entry per unique operator family (graded window)
+    # Tier 1 — one entry per unique operator family (graded window).
+    # Round-7 rotation: 9 never-driver-graded families promoted
+    # (bloom_filtered_orders, dedup_keep_best_quality, hopping_event_rates,
+    # order_priority_counts, customer_order_distribution,
+    # promo_revenue_share, local_supplier_volume, table_stats_orders,
+    # suppliers_who_kept_waiting); 9 same-family-redundant slots demoted
+    # to tier 2 (each already driver-graded green in r05/r06 and still
+    # locally oracle-checked every run).
     # ------------------------------------------------------------------
     "flagship_revenue_by_nation": (
         analytics.flagship_revenue_by_nation,
         analytics.FLAGSHIP_ORACLE,
     ),
-    # SURVEY §2.1 scans
+    # SURVEY §2.1 scans (covers scan+filter+projection; the plain
+    # projection_filter variant graded r06, now tier 2)
     "filtered_incremental_scan": (
         oq.filtered_incremental_scan,
         oq.FILTERED_INCREMENTAL_SCAN_ORACLE,
     ),
-    # §2.2 projections / predicates (regex covers the predicate family in
-    # tier 1; domain/null-blank variants graded locally in tier 2 —
-    # round-6 rotation freed their slots for unique families)
-    "projection_filter": (oq.projection_filter, oq.PROJECTION_FILTER_ORACLE),
+    # §2.2 predicates (regex covers the predicate family in tier 1)
     "regex_predicate": (oq.regex_predicate, oq.REGEX_PREDICATE_ORACLE),
     "price_tolerance_check": (
         oq.price_tolerance_check,
@@ -78,14 +83,11 @@ _REGISTRY: dict[
         oq.asof_events_to_orders,
         oq.ASOF_EVENTS_TO_ORDERS_ORACLE,
     ),
-    # §2.6 SCD2 (merge = the centerpiece; intervals = windowed construction)
+    # §2.6 SCD2 (merge = the centerpiece; the interval-construction
+    # variant graded r06, now tier 2)
     "scd2_merge_customers": (
         sq.scd2_merge_customers,
         sq.SCD2_MERGE_CUSTOMERS_ORACLE,
-    ),
-    "scd2_intervals_from_orders": (
-        oq.scd2_intervals_from_orders,
-        oq.SCD2_INTERVALS_ORACLE,
     ),
     # §2.4 J7 change-comparison join / §2.7 change detection
     "change_comparison_join": (
@@ -101,20 +103,13 @@ _REGISTRY: dict[
         oq.first_occurrence_dedup,
         oq.FIRST_OCCURRENCE_DEDUP_ORACLE,
     ),
-    "groupby_count_desc": (oq.groupby_count_desc, oq.GROUPBY_COUNT_DESC_ORACLE),
     "conditional_counters": (
         oq.conditional_counters,
         oq.CONDITIONAL_COUNTERS_ORACLE,
     ),
-    "max_key_allocation": (oq.max_key_allocation, oq.MAX_KEY_ALLOCATION_ORACLE),
-    "distinct_keys": (oq.distinct_keys, oq.DISTINCT_KEYS_ORACLE),
     # §2.10 set ops
     "union_split_streams": (oq.union_split_streams, oq.UNION_SPLIT_STREAMS_ORACLE),
-    # §2.8 scalar functions
-    "calendar_decomposition": (
-        oq.calendar_decomposition,
-        oq.CALENDAR_DECOMPOSITION_ORACLE,
-    ),
+    # §2.8 scalar functions (ISO-calendar variant graded r06, now tier 2)
     "multiformat_date_parse": (
         oq.multiformat_date_parse,
         oq.MULTIFORMAT_DATE_PARSE_ORACLE,
@@ -125,20 +120,10 @@ _REGISTRY: dict[
         oq.validation_rule_counts,
         oq.VALIDATION_RULE_COUNTS_ORACLE,
     ),
-    # §2.9 sorts / top-k / sampling
+    # §2.9 sorts / top-k (deterministic_sample graded r06, now tier 2)
     "top_orders_by_value": (oq.top_orders_by_value, oq.TOP_ORDERS_BY_VALUE_ORACLE),
-    "deterministic_sample": (
-        oq.deterministic_sample,
-        oq.DETERMINISTIC_SAMPLE_ORACLE,
-    ),
-    # beyond-reference: JSON column ops
-    "json_extract_events": (oq.json_extract_events, oq.JSON_EXTRACT_EVENTS_ORACLE),
-    # §2.5 extensions: grouping sets, window frames, approximate aggregates
+    # §2.5 extensions: grouping sets, approximate aggregates
     "rollup_revenue": (oq.rollup_revenue, oq.ROLLUP_REVENUE_ORACLE),
-    "running_customer_revenue": (
-        oq.running_customer_revenue,
-        oq.RUNNING_CUSTOMER_REVENUE_ORACLE,
-    ),
     "approx_distinct_counts": (
         oq.approx_distinct_counts,
         oq.APPROX_DISTINCT_COUNTS_ORACLE,
@@ -227,9 +212,76 @@ _REGISTRY: dict[
         lq.minhash_incremental_pairs,
         lq.MINHASH_INCREMENTAL_PAIRS_ORACLE,
     ),
+    # round-7 rotation promotions — nine families never driver-graded
+    # before this round: Bloom-prefiltered semi join, quality-aware dedup
+    # retention, hopping windows, per-column table stats, and the TPC-H
+    # Q4/Q5/Q13/Q14/Q21 join-shape family
+    "bloom_filtered_orders": (
+        oq.bloom_filtered_orders,
+        oq.BLOOM_FILTERED_ORDERS_ORACLE,
+    ),
+    "dedup_keep_best_quality": (
+        lq.dedup_keep_best_quality,
+        lq.DEDUP_KEEP_BEST_QUALITY_ORACLE,
+    ),
+    "hopping_event_rates": (
+        oq.hopping_event_rates,
+        oq.HOPPING_EVENT_RATES_ORACLE,
+    ),
+    "table_stats_orders": (
+        oq.table_stats_orders,
+        oq.TABLE_STATS_ORDERS_ORACLE,
+    ),
+    "order_priority_counts": (
+        oq.order_priority_counts,
+        oq.ORDER_PRIORITY_COUNTS_ORACLE,
+    ),
+    "local_supplier_volume": (
+        oq.local_supplier_volume,
+        oq.LOCAL_SUPPLIER_VOLUME_ORACLE,
+    ),
+    "customer_order_distribution": (
+        oq.customer_order_distribution,
+        oq.CUSTOMER_ORDER_DISTRIBUTION_ORACLE,
+    ),
+    "promo_revenue_share": (
+        oq.promo_revenue_share,
+        oq.PROMO_REVENUE_SHARE_ORACLE,
+    ),
+    "suppliers_who_kept_waiting": (
+        oq.suppliers_who_kept_waiting,
+        oq.SUPPLIERS_WHO_KEPT_WAITING_ORACLE,
+    ),
     # ------------------------------------------------------------------
     # Tier 2 — same-family variants (past the graded window)
     # ------------------------------------------------------------------
+    # round-7 rotation demotions (all driver-graded green in r05/r06;
+    # their families remain represented in tier 1 by
+    # filtered_incremental_scan, conditional_counters /
+    # customer_order_distribution, table_stats_orders,
+    # multiformat_date_parse, top_orders_by_value, variant_extract_events,
+    # rolling_hourly_user_value and scd2_merge_customers)
+    "projection_filter": (oq.projection_filter, oq.PROJECTION_FILTER_ORACLE),
+    "groupby_count_desc": (oq.groupby_count_desc, oq.GROUPBY_COUNT_DESC_ORACLE),
+    "max_key_allocation": (oq.max_key_allocation, oq.MAX_KEY_ALLOCATION_ORACLE),
+    "distinct_keys": (oq.distinct_keys, oq.DISTINCT_KEYS_ORACLE),
+    "calendar_decomposition": (
+        oq.calendar_decomposition,
+        oq.CALENDAR_DECOMPOSITION_ORACLE,
+    ),
+    "deterministic_sample": (
+        oq.deterministic_sample,
+        oq.DETERMINISTIC_SAMPLE_ORACLE,
+    ),
+    "json_extract_events": (oq.json_extract_events, oq.JSON_EXTRACT_EVENTS_ORACLE),
+    "running_customer_revenue": (
+        oq.running_customer_revenue,
+        oq.RUNNING_CUSTOMER_REVENUE_ORACLE,
+    ),
+    "scd2_intervals_from_orders": (
+        oq.scd2_intervals_from_orders,
+        oq.SCD2_INTERVALS_ORACLE,
+    ),
     "pricing_summary": (
         analytics.pricing_summary,
         analytics.PRICING_SUMMARY_ORACLE,
@@ -360,11 +412,6 @@ _REGISTRY: dict[
         sp.streaming_click_purchase_join,
         sp.STREAMING_CLICK_PURCHASE_JOIN_ORACLE,
     ),
-    # round-5: ANALYZE-style per-column statistics (CBO / data-quality feed)
-    "table_stats_orders": (
-        oq.table_stats_orders,
-        oq.TABLE_STATS_ORDERS_ORACLE,
-    ),
     # round-5: custom stateful streaming sessionization (applyInPandasWithState
     # + event-time timeout) — emitted rows = batch sessions minus each user's
     # still-open trailing session
@@ -423,11 +470,6 @@ _REGISTRY: dict[
         oq.gap_filled_daily_order_counts,
         oq.GAP_FILLED_DAILY_ORDER_COUNTS_ORACLE,
     ),
-    # round-5: TPC-H Q5 proper — completes supplier-table coverage
-    "local_supplier_volume": (
-        oq.local_supplier_volume,
-        oq.LOCAL_SUPPLIER_VOLUME_ORACLE,
-    ),
     # round-5: salient-term extraction (tf-idf) and PMI collocations
     "tfidf_top_terms": (lq.tfidf_top_terms, lq.TFIDF_TOP_TERMS_ORACLE),
     "bigram_pmi": (lq.bigram_pmi, lq.BIGRAM_PMI_ORACLE),
@@ -441,33 +483,10 @@ _REGISTRY: dict[
         oq.returned_item_revenue,
         oq.RETURNED_ITEM_REVENUE_ORACLE,
     ),
-    # round-6: Bloom-prefiltered semi join (manual runtime row-level
-    # filtering — key side too big to broadcast, its bitmap is not)
-    "bloom_filtered_orders": (
-        oq.bloom_filtered_orders,
-        oq.BLOOM_FILTERED_ORDERS_ORACLE,
-    ),
-    # round-6: quality-aware dedup retention (keep best, not min-id)
-    "dedup_keep_best_quality": (
-        lq.dedup_keep_best_quality,
-        lq.DEDUP_KEEP_BEST_QUALITY_ORACLE,
-    ),
-    # round-6: hopping (sliding) window family — overlapping windows via
-    # row-local 4x expansion before ONE map-side-combined aggregate
-    "hopping_event_rates": (
-        oq.hopping_event_rates,
-        oq.HOPPING_EVENT_RATES_ORACLE,
-    ),
     # round-6: ntile equal-frequency segmentation (RFM decile scoring)
     "customer_revenue_deciles": (
         oq.customer_revenue_deciles,
         oq.CUSTOMER_REVENUE_DECILES_ORACLE,
-    ),
-    # round-6: TPC-H Q4 shape — correlated EXISTS as a compound-condition
-    # hash semi join
-    "order_priority_counts": (
-        oq.order_priority_counts,
-        oq.ORDER_PRIORITY_COUNTS_ORACLE,
     ),
     # round-6: hopping windows in their STREAMING form (4 state rows per
     # event, AvailableNow drain ≡ the batch hopping aggregate)
@@ -475,15 +494,11 @@ _REGISTRY: dict[
         sp.streaming_hopping_rates,
         sp.STREAMING_HOPPING_RATES_ORACLE,
     ),
-    # round-6: TPC-H Q13 shape — left-join-with-zeros + count-of-counts
-    "customer_order_distribution": (
-        oq.customer_order_distribution,
-        oq.CUSTOMER_ORDER_DISTRIBUTION_ORACLE,
-    ),
-    # round-6: TPC-H Q14 shape — conditional-sum ratio in one aggregate
-    "promo_revenue_share": (
-        oq.promo_revenue_share,
-        oq.PROMO_REVENUE_SHARE_ORACLE,
+    # round-7: TPC-H Q20 shape — nested semi-join chain with a
+    # correlated-aggregate threshold (part → supply pairs → supplier)
+    "surplus_part_suppliers": (
+        oq.surplus_part_suppliers,
+        oq.SURPLUS_PART_SUPPLIERS_ORACLE,
     ),
 }
 
@@ -492,7 +507,6 @@ TIER1_REQUIRED = frozenset(
     {
         "flagship_revenue_by_nation",
         "filtered_incremental_scan",
-        "projection_filter",
         "regex_predicate",
         "price_tolerance_check",
         "semi_join_customers_with_orders",
@@ -500,24 +514,16 @@ TIER1_REQUIRED = frozenset(
         "latest_order_per_customer",
         "asof_events_to_orders",
         "scd2_merge_customers",
-        "scd2_intervals_from_orders",
         "change_comparison_join",
         "change_detect_events",
         "first_occurrence_dedup",
-        "groupby_count_desc",
         "conditional_counters",
-        "max_key_allocation",
-        "distinct_keys",
         "union_split_streams",
-        "calendar_decomposition",
         "multiformat_date_parse",
         "string_functions",
         "validation_rule_counts",
         "top_orders_by_value",
-        "deterministic_sample",
-        "json_extract_events",
         "rollup_revenue",
-        "running_customer_revenue",
         "approx_distinct_counts",
         "null_aware_aggregates",
         "pivot_status_by_priority",
@@ -541,6 +547,16 @@ TIER1_REQUIRED = frozenset(
         "order_value_quantiles",
         "rolling_hourly_user_value",
         "minhash_incremental_pairs",
+        # round-7 rotation promotions (first driver grading this round)
+        "bloom_filtered_orders",
+        "dedup_keep_best_quality",
+        "hopping_event_rates",
+        "table_stats_orders",
+        "order_priority_counts",
+        "local_supplier_volume",
+        "customer_order_distribution",
+        "promo_revenue_share",
+        "suppliers_who_kept_waiting",
     }
 )
 

@@ -1817,3 +1817,161 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
   AND l_shipdate <  TIMESTAMP '1996-04-01'
 """
+
+
+def suppliers_who_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 shape (round-7): suppliers who were the SOLE late
+    shipper on a finished multi-supplier order — the hardest classic
+    semi/anti composition (EXISTS + NOT-EXISTS over the same fact,
+    correlated on a potentially skewed supplier key).
+
+    Reference analogue: the notebook's late-shipment QA probe
+    (pipeline.ipynb cell 23) is the single-EXISTS half of this; the
+    reference engine would run three correlated sqlite scans per row.
+
+    Spark-first decorrelation: instead of three lineitem self-joins
+    (l1 ⋈ EXISTS(l2) ⋈ NOT-EXISTS(l3)), derive per-order supplier
+    lateness in ONE orderkey-keyed aggregate — n_suppliers,
+    n_late_suppliers and the (unique when n_late=1) late supplier —
+    then filter n_supp ≥ 2 AND n_late = 1. EXISTS becomes "≥2
+    suppliers"; NOT-EXISTS becomes "no OTHER late supplier", i.e.
+    exactly one late supplier. One shuffle join (lineitem ⋈ orders on
+    orderkey, AQE-skew-splittable) + one aggregate replaces the
+    three-way self-join; the multi-distinct aggregate plans as a single
+    Expand pass, and the final supplier attribution is a broadcast
+    join against the 100-row dimension. No per-supplier skew ever
+    reaches a shuffle key: the aggregate is keyed by orderkey.
+    """
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == o.o_orderkey,
+    ).withColumn(
+        "late",
+        F.col("l_shipdate")
+        > F.timestamp_add("DAY", F.lit(90), F.col("o_orderdate")),
+    )
+    # two-level aggregate instead of countDistinct×2: both levels'
+    # grouping keys contain/equal the join key, so the join's orderkey
+    # partitioning satisfies both and neither re-shuffles — and no
+    # Expand pass (which would triple the rows) is planned
+    per_pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("late")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    waiting = per_order.where(
+        (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(
+            F.broadcast(s), waiting.late_supp == s.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(25)
+    )
+
+
+SUPPLIERS_WHO_KEPT_WAITING_ORACLE = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier,
+     (SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM lineitem l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                   AND o.o_orderstatus = 'F'
+      WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+     ) waiting
+WHERE s_suppkey = waiting.l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 25
+"""
+
+
+def surplus_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (round-7): the nested semi-join CHAIN — suppliers
+    having a (part, supplier) supply relationship whose 1996 shipped
+    quantity exceeds HALF of that pair's all-time demand (with a
+    minimum-volume floor), over 'red'-named parts only. The testdata
+    has no partsupp table, so the supply relation is derived from
+    lineitem itself; the correlated-aggregate-threshold semantics
+    (ps_availqty > 0.5 × correlated SUM in Q20) are preserved as
+    "period share > 0.5 × total" per pair.
+
+    Spark-first: part-name semi filter BROADCAST onto the lineitem
+    scan (kills ~7/8 of rows before any shuffle), ONE (partkey,
+    suppkey) aggregate with a conditional sum (the decorrelated form
+    of Q20's scalar subquery — no per-pair re-scan), then a semi join
+    from the 100-row supplier dimension into the qualifying pairs.
+    The only corpus-scale shuffle is the pair aggregate, map-side
+    combined; everything else is broadcast-sized.
+    """
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red %"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_quantity"
+    )
+    in96 = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    pairs = (
+        li.join(F.broadcast(p), "l_partkey", "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in96, F.col("l_quantity")).otherwise(0.0)).alias(
+                "q96"
+            ),
+            F.sum("l_quantity").alias("q_total"),
+        )
+        .where(
+            (F.col("q96") > 0.5 * F.col("q_total"))
+            & (F.col("q_total") >= 60)
+        )
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(pairs, s.s_suppkey == pairs.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_name")
+    )
+
+
+SURPLUS_PART_SUPPLIERS_ORACLE = """
+SELECT s_name, round(s_acctbal, 2) AS acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate <  TIMESTAMP '1997-01-01'
+             THEN l_quantity ELSE 0.0 END) > 0.5 * sum(l_quantity)
+     AND sum(l_quantity) >= 60
+)
+ORDER BY s_name
+"""

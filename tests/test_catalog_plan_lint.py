@@ -138,6 +138,7 @@ SHUFFLE_BUDGET = {
     "hopping_event_rates": 1, "customer_revenue_deciles": 2,
     "order_priority_counts": 2, "streaming_hopping_rates": 0,
     "customer_order_distribution": 3, "promo_revenue_share": 1,
+    "suppliers_who_kept_waiting": 3, "surplus_part_suppliers": 2,
 }
 DEFAULT_SHUFFLE_CAP = 8
 SHUFFLE_SLACK = 1
