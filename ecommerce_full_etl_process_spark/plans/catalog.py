@@ -500,6 +500,17 @@ _REGISTRY: dict[
         oq.surplus_part_suppliers,
         oq.SURPLUS_PART_SUPPLIERS_ORACLE,
     ),
+    # round-7: TPC-H Q11 shape — per-group aggregate vs a global-scalar
+    # threshold derived from the SAME aggregate (no second fact scan)
+    "important_part_revenue": (
+        oq.important_part_revenue,
+        oq.IMPORTANT_PART_REVENUE_ORACLE,
+    ),
+    # round-7: TPC-H Q22 shape — scalar-average subquery + anti join
+    "lapsed_high_balance_customers": (
+        oq.lapsed_high_balance_customers,
+        oq.LAPSED_HIGH_BALANCE_CUSTOMERS_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -1975,3 +1975,108 @@ WHERE s_suppkey IN (
 )
 ORDER BY s_name
 """
+
+
+def important_part_revenue(spark, sf_dir):
+    """TPC-H Q11 shape (round-7): parts whose revenue exceeds a fraction
+    of TOTAL revenue — the scalar-subquery-HAVING family (a per-group
+    aggregate compared against a global aggregate of the same scan).
+
+    Spark-first: ONE lineitem scan builds the per-part aggregate; the
+    global total is then re-aggregated FROM the per-part frame (2k rows,
+    part-bounded) instead of re-scanning the fact table, and joined back
+    as a broadcast 1-row frame. ``localCheckpoint`` pins the per-part
+    aggregate so its two consumers (threshold + filter) don't recompute
+    the fact scan (multi-consumer recompute hazard). Both engines compare
+    cent-rounded values so an FP tail in the float sum can't flip a
+    boundary part's membership between Spark and the oracle.
+
+    At 100 TB: per-part is |parts|-bounded (dimension-sized), the only
+    fact-scale work is the one map-side-combined groupBy.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"),
+    )
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("v").alias("part_value"))
+        .localCheckpoint(eager=True)
+    )
+    total = per_part.agg(F.sum("part_value").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.round("part_value", 2)
+            > F.round(F.col("__total") * 0.00065, 2)
+        )
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+IMPORTANT_PART_REVENUE_ORACLE = """
+SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+         AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) >
+       (SELECT round(sum(l_extendedprice * (1 - l_discount)) * 0.00065, 2)
+        FROM lineitem)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+def lapsed_high_balance_customers(spark, sf_dir):
+    """TPC-H Q22 shape (round-7): high-balance customers with NO recent
+    orders, rolled up by nation — the scalar-average subquery + anti
+    join composition (Q22's country-code bucketing replaced by the
+    nation dimension the testdata actually has; "no orders at all"
+    relaxed to "no orders since 1999" because every sf customer has
+    lifetime orders).
+
+    Spark-first: the positive-balance average is a broadcast 1-row
+    frame (crossJoin against a dimension-sized table); the recency
+    check is a left-anti join against the date-filtered orders
+    projection (filter pushed to the orders scan); nation attribution
+    broadcasts. No fact-scale shuffle at all — the only orders work is
+    a pushed-filter scan.
+    """
+    c = _t(spark, sf_dir, "customer")
+    avg_pos = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.crossJoin(F.broadcast(avg_pos))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .join(recent, "c_custkey", "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+LAPSED_HIGH_BALANCE_CUSTOMERS_ORACLE = """
+SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY n_name
+ORDER BY n_name
+"""

@@ -221,6 +221,77 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — isolate the section
         errors["relational_corpus"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # ---- as-of join growth decomposition (round-7) ----------------------
+    # SCALEBENCH's steepest relational line is asof_events_to_orders
+    # (×30 growth ~8.4 while output rows grow 30×). Decompose WHERE the
+    # time goes at each scale so join cost is separable from result
+    # materialization:
+    #   join_fanout   — events⋈orders + range filter only (.count();
+    #                   the per-user fan-out term, pre-aggregation)
+    #   asof_count    — the full query via .count(); Catalyst prunes the
+    #                   struct-max aggregate down to its grouping keys
+    #   asof_hash     — xxhash64 over ALL output columns summed, forcing
+    #                   the as-of key to actually materialize (what a
+    #                   downstream consumer pays)
+    # The 100×-safety claim holds iff each component's growth ≲ its row
+    # growth (joined rows for the first, output rows for the others).
+    asof_decomp: dict[str, dict[str, float]] = {}
+    try:
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from ecommerce_full_etl_process_spark.plans import (
+            operator_queries as oq,
+        )
+
+        for m in mults:
+            d = rel_dirs[m]
+            e = spark.read.parquet(os.path.join(d, "events.parquet")).select(
+                "event_id", "user_id", "ts"
+            )
+            o = spark.read.parquet(os.path.join(d, "orders.parquet")).select(
+                F.col("o_custkey").alias("user_id"),
+                "o_orderkey",
+                "o_orderdate",
+            )
+            joined = e.join(o, "user_id").where(
+                F.col("o_orderdate") <= F.col("ts")
+            )
+            comp: dict[str, float] = {}
+            jf, ac, ah = [], [], []
+            jrows = orows = 0
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                jrows = joined.count()
+                jf.append(time.perf_counter() - t0)
+                full = oq.asof_events_to_orders(spark, d)
+                t0 = time.perf_counter()
+                orows = full.count()
+                ac.append(time.perf_counter() - t0)
+                full = oq.asof_events_to_orders(spark, d)
+                t0 = time.perf_counter()
+                full.select(
+                    F.sum(
+                        F.xxhash64("event_id", "user_id", "asof_orderkey")
+                    )
+                ).collect()
+                ah.append(time.perf_counter() - t0)
+            comp["join_fanout"] = round(min(jf), 3)
+            comp["asof_count"] = round(min(ac), 3)
+            comp["asof_hash"] = round(min(ah), 3)
+            comp["joined_rows"] = jrows
+            comp["output_rows"] = orows
+            asof_decomp[f"x{m}"] = comp
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        b = asof_decomp[f"x{mults[0]}"]
+        for m in mults[1:]:
+            cur = asof_decomp[f"x{m}"]
+            for kk in ("join_fanout", "asof_count", "asof_hash"):
+                if b.get(kk):
+                    cur[f"growth_{kk}"] = round(cur[kk] / b[kk], 2)
+    except Exception as exc:  # noqa: BLE001 — isolate the section
+        errors["asof_decomposition"] = f"{type(exc).__name__}: {exc}"[:500]
+
     base = mults[0]
     for table in (timings, rel_timings):
         for name in table:
@@ -245,6 +316,7 @@ def main() -> None:
         "queries": timings,
         "relational_queries": rel_timings,
         "incremental_dedup": incremental,
+        "asof_decomposition": asof_decomp,
         "result_rows": {n: {f"x{m}": c for m, c in v.items()} for n, v in rows.items()},
         "repeats_min": args.repeats,
         "partial": bool(errors),

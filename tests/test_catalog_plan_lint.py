@@ -139,6 +139,7 @@ SHUFFLE_BUDGET = {
     "order_priority_counts": 2, "streaming_hopping_rates": 0,
     "customer_order_distribution": 3, "promo_revenue_share": 1,
     "suppliers_who_kept_waiting": 3, "surplus_part_suppliers": 2,
+    "important_part_revenue": 2, "lapsed_high_balance_customers": 3,
 }
 DEFAULT_SHUFFLE_CAP = 8
 SHUFFLE_SLACK = 1
