@@ -142,6 +142,12 @@ def main() -> None:
             qa_failures += 1
             print(f"soak: day {day_idx} run FAILED", file=sys.stderr)
         fact_total += s.counters.get("rows_fact_transactions_inserted", 0)
+        # retention, as a real nightly warehouse would run it: keep the
+        # last 3 dim versions so version dirs don't accumulate unbounded
+        # (not inside day_wall — the flatness metric isolates pipeline
+        # cost; vacuum is bounded by keep_versions regardless of day)
+        for t in (pipeline.DIM_USER, pipeline.DIM_PRODUCT):
+            store.vacuum(t, keep_versions=3)
         checks = qa_checks(store)
         bad = {k: v for k, v in checks.items() if v != 0}
         if bad:
