@@ -269,8 +269,11 @@ def main() -> None:
                 ac.append(time.perf_counter() - t0)
                 full = oq.asof_events_to_orders(spark, d)
                 t0 = time.perf_counter()
+                # bit_xor, not sum: summing 64-bit hashes overflows under
+                # ANSI mode; xor folds without overflow and still forces
+                # every output value to materialize
                 full.select(
-                    F.sum(
+                    F.bit_xor(
                         F.xxhash64("event_id", "user_id", "asof_orderkey")
                     )
                 ).collect()
