@@ -227,6 +227,97 @@ def bloom_semi_join(
     return candidates.join(keys.select(on).distinct(), on, "left_semi")
 
 
+def asof_merge_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """J3 at fact-×-fact scale: fanout-free as-of join via a merged
+    timeline + carry-forward window.
+
+    Same semantics as the candidate-join form of J3 (reference
+    ETL/etl.py:326-352): each left row is matched to the right row with
+    the greatest ``(right_ts, *payload_cols)`` such that
+    ``right_ts <= left_ts`` on the same key. Ties at equal ``right_ts``
+    resolve to the lexicographically greatest payload (= the
+    ``ORDER BY ts DESC, key DESC LIMIT 1`` tie-break).
+
+    Why a second physical strategy: the candidate-join form materializes
+    |left| × (avg right rows per key before each left ts) intermediate
+    rows before its argmax — the round-7 SCALEBENCH decomposition
+    measured 10× fanout (30.0M joined rows for 3.0M outputs at ×30).
+    Fine while the right side is dimension-sized and broadcastable;
+    at fact×fact scale the fanout term dominates. This form instead:
+
+    1. tags both inputs and unions them into one timeline
+       (zero-shuffle, column-pruned to key + ts + payload);
+    2. ONE hash exchange on the key + per-partition sort by
+       ``(ts, side, payload)`` — right rows sort before left rows at
+       equal ts, so an order ON the left row's date is visible to it
+       (inclusive bound);
+    3. ``last(payload, ignorenulls=True)`` over an unbounded-preceding
+       rows frame carries the latest right payload forward into every
+       left row.
+
+    Cost is shuffle+sort of |left|+|right| rows — independent of match
+    fanout — and the sort run length is bounded by the largest single
+    key's row count, not the corpus. ``how='left'`` keeps left rows with
+    no preceding right row (null payload); ``'inner'`` drops them,
+    matching the candidate-join form.
+    """
+    key = [on] if isinstance(on, str) else list(on)
+    lcols = [c for c in left.columns if c not in key]
+    clash = set(payload_cols) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"payload columns collide with left columns: {sorted(clash)} "
+            "— alias one side before joining"
+        )
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in payload_cols]
+    )
+    payload_type = right.select(payload.alias("__p")).schema["__p"].dataType
+    r = right.select(
+        *key,
+        F.col(right_ts).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        payload.alias("__p"),
+    )
+    l = left.select(
+        *key,
+        F.col(left_ts).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__side"),
+        *lcols,
+        F.lit(None).cast(payload_type).alias("__p"),
+    )
+    w = (
+        Window.partitionBy(*key)
+        .orderBy("__t", "__side", "__p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r.unionByName(l).withColumn(
+        "__carry", F.last("__p", ignorenulls=True).over(w)
+    )
+    out = merged.where(F.col("__side") == 1)
+    if how == "inner":
+        out = out.where(F.col("__carry").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    return out.select(
+        *key,
+        *lcols,
+        *[F.col(f"__carry.{c}").alias(c) for c in payload_cols],
+    )
+
+
 def latest_per_key(
     df: DataFrame, key_cols: list[str], order_col: str, descending: bool = True
 ) -> DataFrame:

@@ -263,3 +263,106 @@ def test_bloom_prefilter_selectivity(spark):
         cond = cond & c
     fp = tmp.where(cond).count()
     assert fp / 50_000 < 0.01, f"false-positive rate too high: {fp}/50000"
+
+
+# ---------------------------------------------------------------------------
+# asof_merge_join — fanout-free merged-timeline as-of (round 7)
+# ---------------------------------------------------------------------------
+
+def _merge_fixture(spark):
+    from datetime import datetime
+
+    events = spark.createDataFrame(
+        [
+            (1, 10, datetime(2026, 3, 5, 12, 0)),   # after o2 → o2
+            (2, 10, datetime(2026, 3, 1, 0, 0)),    # ON o1's date → o1
+            (3, 10, datetime(2026, 2, 1, 0, 0)),    # before any order → none
+            (4, 11, datetime(2026, 3, 10, 9, 0)),   # tie date: max key wins
+            (5, 12, datetime(2026, 3, 1, 0, 0)),    # user with no orders
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 10, date(2026, 3, 1)),   # o1
+            (101, 10, date(2026, 3, 4)),   # o2
+            (200, 11, date(2026, 3, 2)),   # same-date pair: 201 must win
+            (201, 11, date(2026, 3, 2)),
+        ],
+        "o_orderkey long, user_id long, o_orderdate date",
+    )
+    return events, orders
+
+
+def test_asof_merge_join_semantics(spark):
+    from ecommerce_full_etl_process_spark.operators.joins import (
+        asof_merge_join,
+    )
+
+    events, orders = _merge_fixture(spark)
+    out = asof_merge_join(
+        events, orders, "user_id", "ts", "o_orderdate", ["o_orderkey"]
+    )
+    got = {r["event_id"]: r["o_orderkey"] for r in out.collect()}
+    # inner: events 3 (before history) and 5 (no orders) are dropped;
+    # event 2 sees the order dated AT its timestamp (inclusive bound);
+    # event 4's same-date tie resolves to the greater key (DESC,DESC)
+    assert got == {1: 101, 2: 100, 4: 201}
+
+
+def test_asof_merge_join_left_keeps_unmatched(spark):
+    from ecommerce_full_etl_process_spark.operators.joins import (
+        asof_merge_join,
+    )
+
+    events, orders = _merge_fixture(spark)
+    out = asof_merge_join(
+        events, orders, "user_id", "ts", "o_orderdate", ["o_orderkey"],
+        how="left",
+    )
+    got = {r["event_id"]: r["o_orderkey"] for r in out.collect()}
+    assert got == {1: 101, 2: 100, 3: None, 4: 201, 5: None}
+
+
+def test_asof_merge_join_rejects_column_clash(spark):
+    import pytest
+
+    from ecommerce_full_etl_process_spark.operators.joins import (
+        asof_merge_join,
+    )
+
+    events, orders = _merge_fixture(spark)
+    with pytest.raises(ValueError, match="collide"):
+        asof_merge_join(
+            events.withColumnRenamed("event_id", "o_orderkey"),
+            orders, "user_id", "ts", "o_orderdate", ["o_orderkey"],
+        )
+
+
+def test_asof_merge_matches_candidate_join_form(spark, sf_dir):
+    """The two J3 physical strategies must agree bit-for-bit on real
+    data (sf0.001: 1k events × 1.5k orders with genuine fanout)."""
+    from ecommerce_full_etl_process_spark.plans import operator_queries as oq
+
+    a = oq.asof_events_to_orders(spark, sf_dir)
+    b = oq.asof_events_to_orders_merge(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() == b.count()
+
+
+def test_asof_merge_plan_single_exchange(spark, sf_dir):
+    """The merged-timeline form must plan exactly ONE hash exchange (the
+    window key) — the whole point vs the candidate-join fanout."""
+    import re
+
+    from ecommerce_full_etl_process_spark.plans import operator_queries as oq
+
+    plan = (
+        oq.asof_events_to_orders_merge(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n == 1, f"expected 1 exchange, planned {n}"
