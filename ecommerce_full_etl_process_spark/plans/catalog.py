@@ -262,6 +262,48 @@ _REGISTRY: dict[
     # multiformat_date_parse, top_orders_by_value, variant_extract_events,
     # rolling_hourly_user_value and scd2_merge_customers)
     "projection_filter": (oq.projection_filter, oq.PROJECTION_FILTER_ORACLE),
+    # J3 alternate physical strategy: merged-timeline (fanout-free) as-of
+    # join — same oracle as the graded candidate-join form
+    "asof_events_to_orders_merge": (
+        oq.asof_events_to_orders_merge,
+        oq.ASOF_EVENTS_TO_ORDERS_ORACLE,
+    ),
+    # round-7 TPC-H long-tail shapes (Q7/Q8/Q9/Q12/Q15/Q16/Q17/Q19
+    # analogues — join-order, conditional-agg, decorrelation and
+    # disjunctive-pushdown stress; families already represented in the
+    # graded window by flagship/promo/suppliers_who_kept_waiting)
+    "bilateral_trade_volume": (
+        oq.bilateral_trade_volume,
+        oq.BILATERAL_TRADE_VOLUME_ORACLE,
+    ),
+    "nation_market_share": (
+        oq.nation_market_share,
+        oq.NATION_MARKET_SHARE_ORACLE,
+    ),
+    "product_type_profit": (
+        oq.product_type_profit,
+        oq.PRODUCT_TYPE_PROFIT_ORACLE,
+    ),
+    "shipping_delay_priority_mix": (
+        oq.shipping_delay_priority_mix,
+        oq.SHIPPING_DELAY_PRIORITY_MIX_ORACLE,
+    ),
+    "top_revenue_supplier": (
+        oq.top_revenue_supplier,
+        oq.TOP_REVENUE_SUPPLIER_ORACLE,
+    ),
+    "part_supplier_diversity": (
+        oq.part_supplier_diversity,
+        oq.PART_SUPPLIER_DIVERSITY_ORACLE,
+    ),
+    "small_quantity_revenue": (
+        oq.small_quantity_revenue,
+        oq.SMALL_QUANTITY_REVENUE_ORACLE,
+    ),
+    "disjunctive_promo_revenue": (
+        oq.disjunctive_promo_revenue,
+        oq.DISJUNCTIVE_PROMO_REVENUE_ORACLE,
+    ),
     "groupby_count_desc": (oq.groupby_count_desc, oq.GROUPBY_COUNT_DESC_ORACLE),
     "max_key_allocation": (oq.max_key_allocation, oq.MAX_KEY_ALLOCATION_ORACLE),
     "distinct_keys": (oq.distinct_keys, oq.DISTINCT_KEYS_ORACLE),

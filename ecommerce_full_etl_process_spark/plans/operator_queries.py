@@ -363,6 +363,35 @@ WHERE rn = 1
 """
 
 
+def asof_events_to_orders_merge(spark, sf_dir):
+    """J3, merged-timeline physical strategy: identical semantics (and
+    oracle) to ``asof_events_to_orders``, computed fanout-free by
+    ``joins.asof_merge_join`` — union events+orders, ONE exchange on
+    user_id, carry the latest order forward with a window. The
+    candidate-join form materializes ~10× fanout before its argmax
+    (SCALEBENCH r7 ``asof_decomposition``); this form's cost is
+    shuffle+sort of |events|+|orders| rows regardless of how many past
+    orders each event matches — the fact×fact scale path.
+    """
+    from ..operators.joins import asof_merge_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    return asof_merge_join(
+        e,
+        o,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey"],
+        how="inner",
+    ).select(
+        "event_id", "user_id", F.col("o_orderkey").alias("asof_orderkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 — SCD2 interval construction from version history
 # ---------------------------------------------------------------------------
@@ -2079,4 +2108,479 @@ WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
                     AND o.o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY n_name
 ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-7 TPC-H long-tail shapes (Q7/Q8/Q9/Q12/Q15/Q16/Q17/Q19 analogues,
+# adapted to this star schema — no partsupp/shipmode/commitdate columns).
+# Reference analogue for all of these: the notebook's OLAP star-join
+# reporting cells (pipeline.ipynb cells 25-31) — per-dimension revenue
+# rollups the reference computes with row-loop sqlite queries.
+# ---------------------------------------------------------------------------
+
+def bilateral_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape: revenue shipped between two specific nations
+    (either direction), by supplier nation × customer nation × ship year.
+
+    Plan: both nation filters are applied INSIDE the dimension sides
+    before any fact row is touched — supplier and (customer ⋈ orders)
+    shrink to the two-nation slice, the supplier side broadcasts, and
+    the only fact-scale work is lineitem ⋈ orders on orderkey. The
+    disjunctive pair predicate runs post-join on two tiny dict columns.
+    """
+    pair = ("NATION_1", "NATION_2")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+        "l_discount",
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+BILATERAL_TRADE_VOLUME_ORACLE = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_5's share of revenue sold into the ASIA
+    market (customers in ASIA nations), per order year.
+
+    Plan: the market membership (region → nation → customer) collapses
+    to a broadcast semi join before the fact join; the supplier's
+    nation label rides in on a broadcast dict; both the conditional and
+    total sums come out of ONE map-side-combined aggregate keyed by the
+    (tiny) year — no second pass for the denominator.
+    """
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n_mkt = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n_mkt),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select(
+            "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+NATION_MARKET_SHARE_ORACLE = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                      ELSE 0.0 END) / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit on widget-family parts by supplier nation
+    and order year. No partsupp table here, so cost is modeled from the
+    part dimension (80% of retail price × quantity) — same join/agg
+    topology: fact ⋈ two broadcast dims ⋈ orders, profit expression
+    evaluated pre-aggregation inside codegen.
+    """
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        0.8 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    # the profit difference amplifies float error enough that a plain
+    # double sum drifts a cent across engines at sf0.01 — sum exactly
+    # in decimal(18,4) (order-independent), round, then return double
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(
+            F.round(F.sum(profit.cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+PRODUCT_TYPE_PROFIT_ORACLE = """
+SELECT nation, o_year,
+       CAST(round(sum(CAST(amount AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.8 * p_retailprice * l_quantity AS amount
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def shipping_delay_priority_mix(spark, sf_dir):
+    """TPC-H Q12 shape: line counts split by order priority
+    (urgent/high vs other) across ship-delay buckets — the
+    conditional-count-over-join. No shipmode column, so the grouping
+    dimension is the order→ship delay bucket (a CASE over datediff).
+    One orderkey join + ONE aggregate keyed by the 3-value bucket.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(delay <= 30, "0-30d")
+        .when(delay <= 90, "31-90d")
+        .otherwise("90d+")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_line_count"),
+            F.sum((~high).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+SHIPPING_DELAY_PRIORITY_MIX_ORACLE = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) <= 30 THEN '0-30d'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) <= 90 THEN '31-90d'
+            ELSE '90d+' END AS delay_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY delay_bucket
+ORDER BY delay_bucket
+"""
+
+
+def top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum quarterly
+    revenue — aggregate, take the scalar max, join back on equality.
+
+    Plan: ONE fact aggregate keyed by suppkey (map-side combined behind
+    a pushed quarter filter); the scalar max comes from a global-max
+    window over the ALREADY-AGGREGATED supplier-sized frame — a
+    scalar-subquery crossJoin would recompute the whole fact aggregate
+    (Spark does not reuse an exchange across the two consumers), i.e.
+    scan lineitem twice. The single-partition window touches only
+    |suppliers| pre-aggregated rows. Revenue is rounded BEFORE the
+    max-equality so the tie comparison is exact across engines.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("total_revenue")
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.withColumn(
+            "__mx", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "total_revenue")
+        .orderBy("s_name")
+    )
+
+
+TOP_REVENUE_SUPPLIER_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_name
+"""
+
+
+def part_supplier_diversity(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct suppliers have shipped each
+    (brand, type, size) part family — excluding one brand, one type,
+    and any supplier in deficit (the NOT-IN-subquery → broadcast anti
+    join). No partsupp table, so the supplier↔part relationship is
+    derived from lineitem.
+
+    Plan: part filter broadcasts; the deficit-supplier exclusion is a
+    broadcast ANTI join (never a shuffle); the count-distinct runs as
+    distinct-then-count (two key-prefixed exchanges, no Expand pass).
+    """
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    deficit = _t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    rels = (
+        li.join(
+            F.broadcast(deficit),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        rels.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+PART_SUPPLIER_DIVERSITY_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: yearly revenue lost to small-quantity orders of
+    one brand's parts — the correlated scalar-average subquery,
+    decorrelated into a per-part aggregate joined back to the fact.
+
+    Plan: the brand slice broadcasts into the fact scan twice (once to
+    prune lines, once as the per-part average); both the average and
+    the final scalar come out of brand-sized data, so fact-scale cost
+    is one pruned scan. No correlated per-row re-scan, which is what
+    the reference's row-loop would do.
+    """
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(
+            F.broadcast(p),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+    )
+    avg_qty = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("__half_avg")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), "l_partkey")
+        .where(F.col("l_quantity") < F.col("__half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_ORACLE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem
+                    WHERE l_partkey = l.l_partkey)
+"""
+
+
+def disjunctive_promo_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR of three (brand, size,
+    quantity) conjunctions — the disjunctive-predicate-pushdown test.
+
+    Plan: the part side is pre-pruned to the union of the three brand
+    slices (a pushed IN filter on the part scan) and broadcast; the
+    residual OR runs post-join inside codegen. The fact side is never
+    shuffled; the aggregate is a single scalar row.
+    """
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    ).select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & sz.between(1, 15)
+           & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+DISJUNCTIVE_PROMO_REVENUE_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
 """

@@ -87,6 +87,14 @@ SHUFFLE_BUDGET = {
     "price_tolerance_check": 1, "semi_join_customers_with_orders": 0,
     "anti_join_customers_without_orders": 0,
     "latest_order_per_customer": 1, "asof_events_to_orders": 1,
+    "asof_events_to_orders_merge": 1,
+    # bilateral: orders⋈customer-slice and lineitem⋈orders are honest
+    # shuffle joins at scale (2 exchanges each in the pre-AQE plan; AQE
+    # broadcasts them at bench SF)
+    "bilateral_trade_volume": 4, "nation_market_share": 3,
+    "product_type_profit": 2, "shipping_delay_priority_mix": 2,
+    "top_revenue_supplier": 3, "part_supplier_diversity": 3,
+    "small_quantity_revenue": 2, "disjunctive_promo_revenue": 1,
     "scd2_merge_customers": 0, "scd2_intervals_from_orders": 1,
     "change_comparison_join": 1, "change_detect_events": 1,
     "first_occurrence_dedup": 1, "groupby_count_desc": 2,
