@@ -263,11 +263,11 @@ def main() -> None:
                 t0 = time.perf_counter()
                 jrows = joined.count()
                 jf.append(time.perf_counter() - t0)
-                full = oq.asof_events_to_orders(spark, d)
+                full = oq.asof_events_to_orders_fanout(spark, d)
                 t0 = time.perf_counter()
                 orows = full.count()
                 ac.append(time.perf_counter() - t0)
-                full = oq.asof_events_to_orders(spark, d)
+                full = oq.asof_events_to_orders_fanout(spark, d)
                 t0 = time.perf_counter()
                 # bit_xor, not sum: summing 64-bit hashes overflows under
                 # ANSI mode; xor folds without overflow and still forces
@@ -278,9 +278,24 @@ def main() -> None:
                     )
                 ).collect()
                 ah.append(time.perf_counter() - t0)
+            # merge strategy (round 7): same semantics, fanout-free —
+            # union timeline + ONE exchange + carry-forward window.
+            # Timed with the same forced-materialization hash probe so
+            # the two strategies are directly comparable.
+            mh = []
+            for _ in range(args.repeats):
+                merged = oq.asof_events_to_orders_merge(spark, d)
+                t0 = time.perf_counter()
+                merged.select(
+                    F.bit_xor(
+                        F.xxhash64("event_id", "user_id", "asof_orderkey")
+                    )
+                ).collect()
+                mh.append(time.perf_counter() - t0)
             comp["join_fanout"] = round(min(jf), 3)
             comp["asof_count"] = round(min(ac), 3)
             comp["asof_hash"] = round(min(ah), 3)
+            comp["asof_merge_hash"] = round(min(mh), 3)
             comp["joined_rows"] = jrows
             comp["output_rows"] = orows
             asof_decomp[f"x{m}"] = comp
@@ -289,7 +304,9 @@ def main() -> None:
         b = asof_decomp[f"x{mults[0]}"]
         for m in mults[1:]:
             cur = asof_decomp[f"x{m}"]
-            for kk in ("join_fanout", "asof_count", "asof_hash"):
+            for kk in (
+                "join_fanout", "asof_count", "asof_hash", "asof_merge_hash"
+            ):
                 if b.get(kk):
                     cur[f"growth_{kk}"] = round(cur[kk] / b[kk], 2)
     except Exception as exc:  # noqa: BLE001 — isolate the section

@@ -87,7 +87,7 @@ SHUFFLE_BUDGET = {
     "price_tolerance_check": 1, "semi_join_customers_with_orders": 0,
     "anti_join_customers_without_orders": 0,
     "latest_order_per_customer": 1, "asof_events_to_orders": 1,
-    "asof_events_to_orders_merge": 1,
+    "asof_events_to_orders_fanout": 1,
     # bilateral: orders⋈customer-slice and lineitem⋈orders are honest
     # shuffle joins at scale (2 exchanges each in the pre-AQE plan; AQE
     # broadcasts them at bench SF)

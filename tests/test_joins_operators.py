@@ -344,7 +344,7 @@ def test_asof_merge_matches_candidate_join_form(spark, sf_dir):
     data (sf0.001: 1k events × 1.5k orders with genuine fanout)."""
     from ecommerce_full_etl_process_spark.plans import operator_queries as oq
 
-    a = oq.asof_events_to_orders(spark, sf_dir)
+    a = oq.asof_events_to_orders_fanout(spark, sf_dir)
     b = oq.asof_events_to_orders_merge(spark, sf_dir)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0

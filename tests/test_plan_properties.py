@@ -49,12 +49,23 @@ def test_price_tolerance_pushes_filter_and_broadcasts_part(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_asof_uses_broadcast_and_hash_aggregate(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "asof_events_to_orders")
+def test_asof_fanout_uses_broadcast_and_hash_aggregate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "asof_events_to_orders_fanout")
     assert "BroadcastHashJoin" in plan
     # max(struct(...)) as a hash aggregate — no sort-based window
     assert "Window" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_asof_default_is_fanout_free_merge(spark, sf_dir):
+    """The default as-of strategy (round 7) must plan the merged
+    timeline: no join at all — one union, one window, one exchange."""
+    import re
+
+    plan = _plan(spark, sf_dir, "asof_events_to_orders")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
 def test_scd2_merge_has_no_global_sort(spark):
     """Surrogate-key assignment must plan per-bucket (local) sorts only —
