@@ -82,6 +82,11 @@ HEADLINE = [
     # (nested semi-join chain) shapes
     "suppliers_who_kept_waiting",
     "surplus_part_suppliers",
+    # round-7 session additions: Q7 (two-nation disjunctive join),
+    # Q9 (profit star join), Q16 (anti join + count-distinct)
+    "bilateral_trade_volume",
+    "product_type_profit",
+    "part_supplier_diversity",
 ]
 
 

@@ -305,6 +305,10 @@ _REGISTRY: dict[
         oq.disjunctive_promo_revenue,
         oq.DISJUNCTIVE_PROMO_REVENUE_ORACLE,
     ),
+    "best_price_supplier_per_part": (
+        oq.best_price_supplier_per_part,
+        oq.BEST_PRICE_SUPPLIER_PER_PART_ORACLE,
+    ),
     "groupby_count_desc": (oq.groupby_count_desc, oq.GROUPBY_COUNT_DESC_ORACLE),
     "max_key_allocation": (oq.max_key_allocation, oq.MAX_KEY_ALLOCATION_ORACLE),
     "distinct_keys": (oq.distinct_keys, oq.DISTINCT_KEYS_ORACLE),

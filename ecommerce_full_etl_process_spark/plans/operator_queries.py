@@ -2605,3 +2605,99 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
 """
+
+
+def best_price_supplier_per_part(spark, sf_dir):
+    """TPC-H Q2 shape: for each part shipped into one region, the
+    supplier offering the minimum observed unit price — the classic
+    correlated-min-over-a-join, decorrelated. No partsupp table here, so
+    the supplier↔part offer price is the average observed unit price
+    (l_extendedprice/l_quantity) from lineitem.
+
+    Plan: offers = ONE fact aggregate keyed by (part, supplier) with the
+    region membership applied as a broadcast semi join BEFORE the
+    aggregate (prunes the fact scan's output early); the per-part min is
+    a second aggregate over offer-sized (not fact-sized) data; the
+    winner join is offer⋈min on (part, price) — all shuffles are keyed
+    by part, so the exchange chain reuses one partitioning. The final
+    supplier/part attribution broadcasts the dims. Top 100 by account
+    balance mirrors Q2's ORDER BY s_acctbal DESC LIMIT.
+    """
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n_eu = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n_eu), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(
+            F.broadcast(s.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+    )
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4)
+        .alias("unit_price")
+    )
+    best = offers.groupBy("l_partkey").agg(
+        F.min("unit_price").alias("best_price")
+    ).select(
+        F.col("l_partkey").alias("bp_partkey"),
+        "best_price",
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("bp_partkey"))
+            & (F.col("unit_price") == F.col("best_price")),
+        )
+        .select(F.col("l_partkey").alias("p_partkey"), "l_suppkey", "unit_price")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), "p_partkey")
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            "unit_price",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "l_suppkey"
+        )
+        .limit(100)
+    )
+
+
+BEST_PRICE_SUPPLIER_PER_PART_ORACLE = """
+WITH eu_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), offers AS (
+  SELECT l_partkey, l_suppkey,
+         round(avg(l_extendedprice / l_quantity), 4) AS unit_price
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM eu_supp)
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+       p_type, unit_price
+FROM offers o
+JOIN eu_supp ON s_suppkey = l_suppkey
+JOIN part    ON p_partkey = l_partkey
+WHERE unit_price = (SELECT min(unit_price) FROM offers o2
+                    WHERE o2.l_partkey = o.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, l_suppkey
+LIMIT 100
+"""

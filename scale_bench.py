@@ -70,6 +70,9 @@ RELATIONAL = [
     "scd2_intervals_from_orders",   # lead() interval construction
     "bloom_filtered_orders",        # bloom build + prefiltered semi join
     "hopping_event_rates",          # 4x window fan-out + one aggregate
+    # round-7 session additions
+    "bilateral_trade_volume",       # Q7: two shuffle joins + dict filters
+    "product_type_profit",          # Q9: star join, decimal-exact profit agg
 ]
 
 SCALE_ROOT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/repo/.scale")

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from datetime import date
 
+import pytest
 from pyspark.sql import functions as F
 
 from ecommerce_full_etl_process_spark.operators.joins import (
@@ -366,3 +367,64 @@ def test_asof_merge_plan_single_exchange(spark, sf_dir):
     )
     n = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n == 1, f"expected 1 exchange, planned {n}"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_asof_merge_randomized_differential(spark, seed):
+    """Seeded randomized differential: merge strategy vs candidate-join
+    argmax on adversarial timelines — dense ties (many orders on one
+    date, events exactly AT order dates), users with no orders, orders
+    with no events. Both forms must agree row-for-row."""
+    import random
+    from datetime import date, datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_full_etl_process_spark.operators.joins import (
+        asof_merge_join,
+    )
+
+    rng = random.Random(seed)
+    base = date(2026, 1, 1)
+    orders = [
+        (
+            100 + i,
+            rng.randrange(8),  # few users -> dense per-user timelines
+            base + timedelta(days=rng.randrange(10)),  # 10 dates -> ties
+        )
+        for i in range(60)
+    ]
+    events = [
+        (
+            i,
+            rng.randrange(10),  # users 8,9 have no orders
+            datetime(2026, 1, 1)
+            + timedelta(
+                days=rng.randrange(12), hours=rng.choice([0, 0, 6, 23])
+            ),  # hour 0 lands exactly ON order dates (inclusive bound)
+        )
+        for i in range(80)
+    ]
+    odf = spark.createDataFrame(
+        orders, "o_orderkey long, user_id long, o_orderdate date"
+    )
+    edf = spark.createDataFrame(
+        events, "event_id long, user_id long, ts timestamp"
+    )
+
+    merge = asof_merge_join(
+        edf, odf, "user_id", "ts", "o_orderdate", ["o_orderkey"], how="inner"
+    ).select("event_id", "user_id", "o_orderkey")
+    fanout = (
+        edf.join(odf, "user_id")
+        .where(F.col("o_orderdate") <= F.col("ts"))
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.max(F.struct("o_orderdate", "o_orderkey"))[
+                "o_orderkey"
+            ].alias("o_orderkey")
+        )
+    )
+    assert merge.exceptAll(fanout).count() == 0
+    assert fanout.exceptAll(merge).count() == 0
+    assert merge.count() == fanout.count()
