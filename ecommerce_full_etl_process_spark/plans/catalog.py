@@ -269,10 +269,15 @@ _REGISTRY: dict[
         oq.asof_events_to_orders_fanout,
         oq.ASOF_EVENTS_TO_ORDERS_ORACLE,
     ),
-    # round-7 TPC-H long-tail shapes (Q7/Q8/Q9/Q12/Q15/Q16/Q17/Q19
+    # round-7 TPC-H long-tail shapes (Q2/Q7/Q8/Q9/Q12/Q15/Q16/Q17/Q19
     # analogues — join-order, conditional-agg, decorrelation and
     # disjunctive-pushdown stress; families already represented in the
-    # graded window by flagship/promo/suppliers_who_kept_waiting)
+    # graded window by flagship/promo/suppliers_who_kept_waiting).
+    # Round-8 rotation candidates (never driver-graded, first in line
+    # for tier-1 slots next round): bilateral_trade_volume,
+    # product_type_profit, part_supplier_diversity, top_revenue_supplier,
+    # best_price_supplier_per_part, asof_events_to_orders_fanout,
+    # gap_filled_daily_order_counts, returned_item_revenue.
     "bilateral_trade_volume": (
         oq.bilateral_trade_volume,
         oq.BILATERAL_TRADE_VOLUME_ORACLE,
