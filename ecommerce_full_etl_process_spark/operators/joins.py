@@ -318,6 +318,113 @@ def asof_merge_join(
     )
 
 
+def asof_merge_join_skewed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    how: str = "inner",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Skew-safe ``asof_merge_join``: identical semantics, hot keys split
+    across partitions.
+
+    The plain merge strategy partitions by key, so one key's ENTIRE
+    timeline lands in one task — a key with 100M events becomes a
+    straggler. This variant windows by (key, time-bucket) instead:
+
+    1. phase 1 — carry-forward WITHIN each (key, bucket): the data-sized
+       exchange is keyed by (key, bucket), so a hot key spreads over
+       timeline/bucket_seconds tasks;
+    2. phase 2 — per (key, bucket) the bucket's LAST right payload is a
+       ``max(__p)`` (same ordering as the timeline: __p starts with
+       right_ts), aggregated WITHOUT a new exchange (grouping keys ==
+       partitioning keys); the cross-bucket prefix carry is a window
+       over bucket-level rows — |keys|×|buckets| rows, not data-sized;
+    3. left rows with no in-bucket predecessor coalesce to the previous
+       buckets' carry, joined back on (key, bucket).
+
+    Total data-sized exchanges: ONE (phase 1), same as the plain form —
+    plus two bucket-level (tiny) exchanges. Choose ``bucket_seconds`` ~
+    hot-key-rows-per-day >> task size; any value is correct, it only
+    moves the split granularity (pinned by the equivalence test across
+    bucket sizes, including degenerate 1-second buckets).
+    """
+    key = [on] if isinstance(on, str) else list(on)
+    lcols = [c for c in left.columns if c not in key]
+    clash = set(payload_cols) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"payload columns collide with left columns: {sorted(clash)} "
+            "— alias one side before joining"
+        )
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in payload_cols]
+    )
+    payload_type = right.select(payload.alias("__p")).schema["__p"].dataType
+    r = right.select(
+        *key,
+        F.col(right_ts).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        payload.alias("__p"),
+    )
+    l = left.select(
+        *key,
+        F.col(left_ts).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__side"),
+        *lcols,
+        F.lit(None).cast(payload_type).alias("__p"),
+    )
+    merged = r.unionByName(l).withColumn(
+        "__bkt",
+        F.floor(F.unix_timestamp("__t") / F.lit(bucket_seconds)).cast("long"),
+    )
+    # phase 1: carry within (key, bucket) — THE data-sized exchange
+    w_in = (
+        Window.partitionBy(*key, "__bkt")
+        .orderBy("__t", "__side", "__p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = merged.withColumn(
+        "__local", F.last("__p", ignorenulls=True).over(w_in)
+    )
+    # phase 2: bucket summaries (no new exchange: grouping keys ==
+    # phase-1 partitioning) → per-key prefix over bucket-level rows
+    bucket_last = staged.groupBy(*key, "__bkt").agg(
+        F.max("__p").alias("__blast")
+    )
+    w_prefix = (
+        Window.partitionBy(*key)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_carry = bucket_last.select(
+        *key,
+        "__bkt",
+        F.last("__blast", ignorenulls=True).over(w_prefix).alias("__prev"),
+    )
+    out = (
+        staged.where(F.col("__side") == 1)
+        .join(prev_carry, [*key, "__bkt"], "left")
+        .withColumn("__carry", F.coalesce("__local", "__prev"))
+    )
+    if how == "inner":
+        out = out.where(F.col("__carry").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    return out.select(
+        *key,
+        *lcols,
+        *[F.col(f"__carry.{c}").alias(c) for c in payload_cols],
+    )
+
+
 def latest_per_key(
     df: DataFrame, key_cols: list[str], order_col: str, descending: bool = True
 ) -> DataFrame:

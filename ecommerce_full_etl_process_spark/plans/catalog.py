@@ -269,6 +269,11 @@ _REGISTRY: dict[
         oq.asof_events_to_orders_fanout,
         oq.ASOF_EVENTS_TO_ORDERS_ORACLE,
     ),
+    # J3 skew-safe two-phase merge: hot keys split by (key, day-bucket)
+    "asof_events_to_orders_skewsafe": (
+        oq.asof_events_to_orders_skewsafe,
+        oq.ASOF_EVENTS_TO_ORDERS_ORACLE,
+    ),
     # round-7 TPC-H long-tail shapes (Q2/Q7/Q8/Q9/Q12/Q15/Q16/Q17/Q19
     # analogues — join-order, conditional-agg, decorrelation and
     # disjunctive-pushdown stress; families already represented in the

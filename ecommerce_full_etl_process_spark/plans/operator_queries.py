@@ -2701,3 +2701,31 @@ WHERE unit_price = (SELECT min(unit_price) FROM offers o2
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, l_suppkey
 LIMIT 100
 """
+
+
+def asof_events_to_orders_skewsafe(spark, sf_dir):
+    """J3, skew-safe two-phase merge strategy: same semantics and oracle
+    as ``asof_events_to_orders``, windowed by (user, day-bucket) so a
+    hot user's timeline spreads across partitions instead of landing in
+    one straggler task (`joins.asof_merge_join_skewed`). Still ONE
+    data-sized exchange; the cross-bucket prefix runs over bucket-level
+    rows only.
+    """
+    from ..operators.joins import asof_merge_join_skewed
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    return asof_merge_join_skewed(
+        e,
+        o,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey"],
+        how="inner",
+        bucket_seconds=86400,
+    ).select(
+        "event_id", "user_id", F.col("o_orderkey").alias("asof_orderkey")
+    )

@@ -88,6 +88,7 @@ SHUFFLE_BUDGET = {
     "anti_join_customers_without_orders": 0,
     "latest_order_per_customer": 1, "asof_events_to_orders": 1,
     "asof_events_to_orders_fanout": 1,
+    "asof_events_to_orders_skewsafe": 3,
     # bilateral: orders⋈customer-slice and lineitem⋈orders are honest
     # shuffle joins at scale (2 exchanges each in the pre-AQE plan; AQE
     # broadcasts them at bench SF)

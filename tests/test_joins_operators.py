@@ -428,3 +428,117 @@ def test_asof_merge_randomized_differential(spark, seed):
     assert merge.exceptAll(fanout).count() == 0
     assert fanout.exceptAll(merge).count() == 0
     assert merge.count() == fanout.count()
+
+
+@pytest.mark.parametrize("bucket_seconds", [1, 3600, 86400, 10_000_000])
+def test_asof_skewed_equals_plain_merge(spark, bucket_seconds):
+    """The two-phase (skew-safe) merge as-of must equal the plain merge
+    form for ANY bucket size — including degenerate 1-second buckets
+    (every row its own bucket → pure phase-2 path) and one huge bucket
+    (pure phase-1 path)."""
+    import random
+    from datetime import date, datetime, timedelta
+
+    from ecommerce_full_etl_process_spark.operators.joins import (
+        asof_merge_join,
+        asof_merge_join_skewed,
+    )
+
+    rng = random.Random(7)
+    orders = [
+        (100 + i, rng.randrange(6), date(2026, 1, 1)
+         + timedelta(days=rng.randrange(8)))
+        for i in range(50)
+    ]
+    events = [
+        (i, rng.randrange(8), datetime(2026, 1, 1)
+         + timedelta(days=rng.randrange(10), hours=rng.choice([0, 5, 23])))
+        for i in range(70)
+    ]
+    odf = spark.createDataFrame(
+        orders, "o_orderkey long, user_id long, o_orderdate date"
+    )
+    edf = spark.createDataFrame(
+        events, "event_id long, user_id long, ts timestamp"
+    )
+    for how in ("inner", "left"):
+        plain = asof_merge_join(
+            edf, odf, "user_id", "ts", "o_orderdate", ["o_orderkey"], how=how
+        )
+        skewed = asof_merge_join_skewed(
+            edf, odf, "user_id", "ts", "o_orderdate", ["o_orderkey"],
+            how=how, bucket_seconds=bucket_seconds,
+        )
+        assert plain.exceptAll(skewed).count() == 0, (how, bucket_seconds)
+        assert skewed.exceptAll(plain).count() == 0, (how, bucket_seconds)
+
+
+def test_asof_skewed_single_data_exchange(spark, sf_dir):
+    """The skew-safe form must keep exactly ONE data-sized exchange (the
+    (key, bucket) hash); the extra exchanges operate on bucket-level
+    rows only. We assert the total exchange count stays bounded (<=3)
+    and that the first (data) exchange is keyed by key+bucket — the
+    property that actually splits a hot key."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_full_etl_process_spark.operators.joins import (
+        asof_merge_join_skewed,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    df = asof_merge_join_skewed(
+        e, o, "user_id", "ts", "o_orderdate", ["o_orderkey"]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 3, f"too many exchanges ({n}):\n{plan}"
+    assert re.search(
+        r"Exchange hashpartitioning\(user_id#\d+L, __bkt#\d+L", plan
+    ), "data exchange must be keyed by (key, bucket) to split hot keys"
+
+
+def test_asof_skewed_hot_key(spark):
+    """A single user owning 90% of all rows (the straggler scenario) —
+    results must still match the plain form exactly."""
+    import random
+    from datetime import date, datetime, timedelta
+
+    from ecommerce_full_etl_process_spark.operators.joins import (
+        asof_merge_join,
+        asof_merge_join_skewed,
+    )
+
+    rng = random.Random(11)
+    hot = 0
+    orders = [
+        (i, hot if i % 10 else 1, date(2026, 1, 1)
+         + timedelta(days=rng.randrange(30)))
+        for i in range(300)
+    ]
+    events = [
+        (i, hot if i % 10 else 1, datetime(2026, 1, 1)
+         + timedelta(days=rng.randrange(32), hours=rng.randrange(24)))
+        for i in range(400)
+    ]
+    odf = spark.createDataFrame(
+        orders, "o_orderkey long, user_id long, o_orderdate date"
+    )
+    edf = spark.createDataFrame(
+        events, "event_id long, user_id long, ts timestamp"
+    )
+    plain = asof_merge_join(
+        edf, odf, "user_id", "ts", "o_orderdate", ["o_orderkey"]
+    )
+    skewed = asof_merge_join_skewed(
+        edf, odf, "user_id", "ts", "o_orderdate", ["o_orderkey"],
+        bucket_seconds=86400,
+    )
+    assert plain.exceptAll(skewed).count() == 0
+    assert skewed.exceptAll(plain).count() == 0
