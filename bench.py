@@ -142,8 +142,18 @@ def main() -> None:
     # worst), and the median is reported alongside the min so regressions
     # are attributable to plan changes rather than a bad draw.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    # SPARK_GRAFT_BENCH_MATERIALIZE=1: additionally time each query with
+    # a forced full-output materialization (bit_xor of xxhash64 over all
+    # output columns). The default count() action lets Catalyst prune
+    # work a real consumer pays for — e.g. a count prunes the fanout
+    # as-of's argmax but not the merge form's window, so count-only
+    # numbers can invert the true ranking of two strategies
+    # (BENCH_NOTES_r7.md). Opt-in because it ~doubles bench wall time;
+    # recorded as `queries_materialized` in the detail JSON only.
+    materialize = os.environ.get("SPARK_GRAFT_BENCH_MATERIALIZE", "") == "1"
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    materialized: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         # per-query failure isolation: one broken query must never zero
@@ -161,6 +171,24 @@ def main() -> None:
             samples.sort()
             timings[name] = round(samples[0], 3)
             medians[name] = round(samples[len(samples) // 2], 3)
+            if materialize:
+                # own try: a non-hashable output type (array/variant)
+                # must not flag the query errored — the count metric
+                # above already succeeded; just skip the extra number
+                try:
+                    from pyspark.sql import functions as F
+
+                    msamples: list[float] = []
+                    for _ in range(repeats):
+                        df = queries[name](spark, SF_DIR)
+                        t0 = time.perf_counter()
+                        df.select(
+                            F.bit_xor(F.xxhash64(*df.columns))
+                        ).collect()
+                        msamples.append(time.perf_counter() - t0)
+                    materialized[name] = round(min(msamples), 3)
+                except Exception:  # noqa: BLE001 — optional metric
+                    pass
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
@@ -184,6 +212,7 @@ def main() -> None:
         "partial": bool(errors),
         "queries": timings,
         "queries_median": medians,
+        **({"queries_materialized": materialized} if materialize else {}),
         "errors": errors,
         "repeats_min": repeats,
         "sf": _sf_from_dir(SF_DIR),

@@ -319,6 +319,17 @@ _REGISTRY: dict[
         oq.best_price_supplier_per_part,
         oq.BEST_PRICE_SUPPLIER_PER_PART_ORACLE,
     ),
+    # explicit GROUPING SETS (the general form cube/rollup specialize)
+    "grouping_sets_revenue": (
+        oq.grouping_sets_revenue,
+        oq.GROUPING_SETS_REVENUE_ORACLE,
+    ),
+    # time-series linear interpolation over a date spine (beyond the
+    # forward-fill in gap_filled_daily_order_counts)
+    "interpolated_daily_values": (
+        oq.interpolated_daily_values,
+        oq.INTERPOLATED_DAILY_VALUES_ORACLE,
+    ),
     "groupby_count_desc": (oq.groupby_count_desc, oq.GROUPBY_COUNT_DESC_ORACLE),
     "max_key_allocation": (oq.max_key_allocation, oq.MAX_KEY_ALLOCATION_ORACLE),
     "distinct_keys": (oq.distinct_keys, oq.DISTINCT_KEYS_ORACLE),

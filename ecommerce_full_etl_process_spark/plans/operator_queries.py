@@ -2729,3 +2729,131 @@ def asof_events_to_orders_skewsafe(spark, sf_dir):
     ).select(
         "event_id", "user_id", F.col("o_orderkey").alias("asof_orderkey")
     )
+
+
+def grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS — the general form cube/rollup specialize:
+    revenue at (status, priority), (status) and grand-total granularity
+    ONLY (a cube would also emit the (priority) slice). One Expand pass
+    over pre-aggregated rows, exactly like cube/rollup; grouping_id
+    disambiguates a real NULL key from a rolled-up one.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+GROUPING_SETS_REVENUE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+"""
+
+
+def interpolated_daily_values(spark, sf_dir):
+    """Time-series linear interpolation over a date spine — the
+    feature-store fill beyond forward-fill (gap_filled_daily_order_counts
+    carries; this one interpolates between the bracketing observations).
+
+    Observed series: daily mean purchase value, with every third
+    calendar day deterministically withheld so the interpolation path is
+    exercised at any SF. Missing days get
+    ``prev + (next - prev) · Δdays/span``; days before the first or
+    after the last observation stay NULL (no extrapolation).
+
+    Scale shape: the fact table is touched once for the daily aggregate;
+    the spine and both bracketing windows are SPINE-sized (days — a few
+    thousand rows for a decade), never fact-sized, so the single-
+    partition windows here are bounded by the calendar, not the data.
+    """
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+        .where(F.pmod(F.dayofmonth("d"), F.lit(3)) != 0)
+    )
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    grid = spine.join(daily, "d", "left")
+    w_prev = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.orderBy("d").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs = F.when(F.col("v").isNotNull(), F.struct("d", "v"))
+    prev = F.last(obs, ignorenulls=True).over(w_prev)
+    nxt = F.first(obs, ignorenulls=True).over(w_next)
+    interp = F.round(
+        prev["v"]
+        + (nxt["v"] - prev["v"])
+        * F.datediff(F.col("d"), prev["d"])
+        / F.datediff(nxt["d"], prev["d"]),
+        6,
+    )
+    return grid.select(
+        "d",
+        "v",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(interp)
+        .alias("v_filled"),
+    )
+
+
+INTERPOLATED_DAILY_VALUES_ORACLE = """
+WITH daily AS (
+  SELECT * FROM (
+    SELECT CAST(ts AS DATE) AS d, round(avg(value), 6) AS v
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+  ) WHERE day(d) % 3 <> 0
+), bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+  FROM events WHERE event_type = 'purchase'
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+), grid AS (
+  SELECT s.d, daily.v FROM spine s LEFT JOIN daily ON s.d = daily.d
+), spans AS (
+  SELECT d, v,
+         last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prev_d,
+         last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+           OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prev_v,
+         first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_d,
+         first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+           OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_v
+  FROM grid
+)
+SELECT d, v,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+              round(prev_v + (next_v - prev_v)
+                    * date_diff('day', prev_d, d)
+                    / date_diff('day', prev_d, next_d), 6)
+       END AS v_filled
+FROM spans
+"""

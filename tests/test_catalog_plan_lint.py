@@ -97,6 +97,7 @@ SHUFFLE_BUDGET = {
     "top_revenue_supplier": 3, "part_supplier_diversity": 3,
     "small_quantity_revenue": 2, "disjunctive_promo_revenue": 1,
     "best_price_supplier_per_part": 4,
+    "grouping_sets_revenue": 1, "interpolated_daily_values": 3,
     "scd2_merge_customers": 0, "scd2_intervals_from_orders": 1,
     "change_comparison_join": 1, "change_detect_events": 1,
     "first_occurrence_dedup": 1, "groupby_count_desc": 2,
