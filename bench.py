@@ -180,12 +180,16 @@ def main() -> None:
 
                     msamples: list[float] = []
                     for _ in range(repeats):
-                        df = queries[name](spark, SF_DIR)
+                        # timer starts BEFORE query construction, same
+                        # as the count loop — for queries with eager
+                        # localCheckpoints, construction IS the compute
                         t0 = time.perf_counter()
+                        df = queries[name](spark, SF_DIR)
                         df.select(
                             F.bit_xor(F.xxhash64(*df.columns))
                         ).collect()
                         msamples.append(time.perf_counter() - t0)
+                        spark.catalog.clearCache()
                     materialized[name] = round(min(msamples), 3)
                 except Exception:  # noqa: BLE001 — optional metric
                     pass
