@@ -87,6 +87,12 @@ HEADLINE = [
     "bilateral_trade_volume",
     "product_type_profit",
     "part_supplier_diversity",
+    # late-round-7 additions: Q6 pure-pushdown scan, interval×point
+    # range join, snapshot reconciliation diff, expectation suite
+    "discount_band_revenue",
+    "repeat_purchases_within_90d",
+    "snapshot_diff_orders",
+    "data_quality_expectations",
 ]
 
 

@@ -439,6 +439,65 @@ def latest_per_key(
     )
 
 
+def range_bucket_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_lo,
+    left_hi,
+    right_point,
+    bucket_width_seconds: int,
+    *,
+    lo_open: bool = False,
+    hi_open: bool = False,
+) -> DataFrame:
+    """Interval×point range join via time-bucket blocking (beyond-reference
+    join family: the batch form of an interval join).
+
+    Matches each left row to the right rows that share the ``on`` keys and
+    whose ``right_point`` timestamp falls inside the left row's
+    ``[left_lo, left_hi]`` interval (``lo_open``/``hi_open`` make either
+    bound strict). All three bound arguments are TIMESTAMP_NTZ Columns —
+    the epoch math is pure NTZ (``timestamp_diff``), so results are
+    session-timezone independent.
+
+    Scale shape: Spark plans a raw ``t1.ts BETWEEN t2.lo AND t2.hi``
+    join as a broadcast-nested-loop / cartesian — quadratic and
+    cluster-fatal at fact×fact scale. Here each right row is assigned ONE
+    bucket (``floor(epoch/width)``) and each left interval explodes to its
+    covered bucket ids (``sequence(lo_bucket, hi_bucket)`` — fan-out =
+    interval/width + 1, bounded by the caller's width choice), turning the
+    inequality join into a plain equi join on (keys, bucket) that
+    hash-partitions, AQE-skew-splits, and map-side prunes like any other;
+    the exact bound predicate then filters within buckets. Each matching
+    (left, right) pair meets in exactly one bucket (the right row's), so
+    no post-join dedup is needed. Inner semantics; compose a left join at
+    the call site to keep unmatched left rows (see
+    ``repeat_purchases_within_90d``).
+    """
+    width_s = int(bucket_width_seconds)
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+    def _bucket(col):
+        # second-granularity epoch keeps the arithmetic inside double's
+        # exact-integer range for ~280k years; floor(sec/width) is
+        # consistent between a point and its covering interval bounds, so
+        # sub-second points only ever over-generate candidates (the exact
+        # predicate below filters them), never miss one
+        return F.floor(
+            F.timestamp_diff("SECOND", epoch, col) / F.lit(width_s)
+        ).cast("long")
+
+    l = left.withColumn(
+        "__bucket",
+        F.explode(F.sequence(_bucket(left_lo), _bucket(left_hi))),
+    )
+    r = right.withColumn("__bucket", _bucket(right_point))
+    lo_ok = right_point > left_lo if lo_open else right_point >= left_lo
+    hi_ok = right_point < left_hi if hi_open else right_point <= left_hi
+    return l.join(r, [*on, "__bucket"]).where(lo_ok & hi_ok).drop("__bucket")
+
+
 def fuzzy_match_join(
     left: DataFrame,
     right: DataFrame,

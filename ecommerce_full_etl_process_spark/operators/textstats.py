@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # BPE-ish tokenization: word pieces, digit runs, single punctuation marks
 BPE_TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
@@ -336,10 +337,18 @@ def repeated_span_stats(
     High ``repeated_frac`` docs are templated/boilerplate/leaked content
     that span-level dedup would cut.
 
-    Scale shape: one explode + one map-side-combined groupBy over gram
-    hashes (the same distribution as exact dedup), a semi-join of the
-    gram stream against the (small) repeated-hash set, and a regroup by
-    doc. Hashes are md5 strings computed identically in both engines.
+    Scale shape: ONE pass over the gram stream. The explode + per-gram
+    md5 is the dominant cost, so the plan is arranged to compute it
+    exactly once: grams are first collapsed to distinct ``(gh, doc)``
+    pairs with an in-doc instance count (map-side-combined groupBy),
+    then a window partitioned by ``gh`` counts the docs per gram — the
+    cross-doc-repeat test — without re-reading the corpus, and a final
+    regroup by doc sums the surviving instance counts. (The earlier
+    two-branch form — groupBy for the repeated-hash set, then a join of
+    a SECOND gram stream against it — recomputed the explode+md5
+    pipeline twice; Spark does not reuse a non-checkpointed subtree
+    across consumers.) Hashes are md5 strings computed identically in
+    both engines.
     """
     toks = F.split(F.lower(F.col(text_col)), " ")
     cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
@@ -351,14 +360,15 @@ def repeated_span_stats(
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = df.select(F.col(id_col), F.explode(grams).alias("gh"))
-    rep = (
-        g.groupBy("gh")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("gh")
+    per = g.groupBy("gh", id_col).agg(F.count(F.lit(1)).alias("c"))
+    n_docs_with_gram = F.count(F.lit(1)).over(
+        Window.partitionBy("gh")
     )
-    hits = g.join(rep, "gh").groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_repeated")
+    hits = (
+        per.withColumn("nd", n_docs_with_gram)
+        .where(F.col("nd") >= 2)
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_repeated"))
     )
     base = df.select(F.col(id_col), cnt.cast("long").alias("n_grams"))
     return base.join(hits, id_col, "left").select(

@@ -42,12 +42,14 @@ _REGISTRY: dict[
 ] = {
     # ------------------------------------------------------------------
     # Tier 1 — one entry per unique operator family (graded window).
-    # Round-7 rotation: 9 never-driver-graded families promoted
+    # Round-7 rotation: 13 never-driver-graded families promoted
     # (bloom_filtered_orders, dedup_keep_best_quality, hopping_event_rates,
     # order_priority_counts, customer_order_distribution,
     # promo_revenue_share, local_supplier_volume, table_stats_orders,
-    # suppliers_who_kept_waiting); 9 same-family-redundant slots demoted
-    # to tier 2 (each already driver-graded green in r05/r06 and still
+    # suppliers_who_kept_waiting, discount_band_revenue,
+    # repeat_purchases_within_90d, snapshot_diff_orders,
+    # data_quality_expectations); 13 same-family-redundant slots demoted
+    # to tier 2 (each already driver-graded green in r01-r06 and still
     # locally oracle-checked every run).
     # ------------------------------------------------------------------
     "flagship_revenue_by_nation": (
@@ -122,16 +124,6 @@ _REGISTRY: dict[
     ),
     # §2.9 sorts / top-k (deterministic_sample graded r06, now tier 2)
     "top_orders_by_value": (oq.top_orders_by_value, oq.TOP_ORDERS_BY_VALUE_ORACLE),
-    # §2.5 extensions: grouping sets, approximate aggregates
-    "rollup_revenue": (oq.rollup_revenue, oq.ROLLUP_REVENUE_ORACLE),
-    "approx_distinct_counts": (
-        oq.approx_distinct_counts,
-        oq.APPROX_DISTINCT_COUNTS_ORACLE,
-    ),
-    "null_aware_aggregates": (
-        oq.null_aware_aggregates,
-        oq.NULL_AWARE_AGGREGATES_ORACLE,
-    ),
     "pivot_status_by_priority": (
         oq.pivot_status_by_priority,
         oq.PIVOT_STATUS_BY_PRIORITY_ORACLE,
@@ -140,10 +132,27 @@ _REGISTRY: dict[
         oq.array_stats_embeddings,
         oq.ARRAY_STATS_EMBEDDINGS_ORACLE,
     ),
-    # behavioral analytics (window sessionization)
-    "sessionize_events": (
-        analytics.sessionize_events,
-        analytics.SESSIONIZE_EVENTS_ORACLE,
+    # late-round-7 rotation: four NEW never-driver-graded families promoted
+    # (TPC-H Q6 pure-pushdown scan, interval×point range join, keyed
+    # snapshot reconciliation diff, deequ-style expectation suite);
+    # rollup_revenue / approx_distinct_counts / null_aware_aggregates /
+    # sessionize_events demoted — each driver-graded green 5-6 rounds
+    # running (r01-r06) and still locally oracle-checked every run.
+    "discount_band_revenue": (
+        oq.discount_band_revenue,
+        oq.DISCOUNT_BAND_REVENUE_ORACLE,
+    ),
+    "repeat_purchases_within_90d": (
+        oq.repeat_purchases_within_90d,
+        oq.REPEAT_PURCHASES_WITHIN_90D_ORACLE,
+    ),
+    "snapshot_diff_orders": (
+        oq.snapshot_diff_orders,
+        oq.SNAPSHOT_DIFF_ORDERS_ORACLE,
+    ),
+    "data_quality_expectations": (
+        oq.data_quality_expectations,
+        oq.DATA_QUALITY_EXPECTATIONS_ORACLE,
     ),
     # LLM-data-pipeline: deduplication (round-6 rotation: the three
     # fingerprint planted-pair variants collapsed to simhash in tier 1;
@@ -262,6 +271,22 @@ _REGISTRY: dict[
     # multiformat_date_parse, top_orders_by_value, variant_extract_events,
     # rolling_hourly_user_value and scd2_merge_customers)
     "projection_filter": (oq.projection_filter, oq.PROJECTION_FILTER_ORACLE),
+    # late-round-7 rotation demotions (driver-graded green r01-r06;
+    # aggregate/window families remain in tier 1 via conditional_counters,
+    # order_value_quantiles, table_stats_orders and hopping_event_rates)
+    "rollup_revenue": (oq.rollup_revenue, oq.ROLLUP_REVENUE_ORACLE),
+    "approx_distinct_counts": (
+        oq.approx_distinct_counts,
+        oq.APPROX_DISTINCT_COUNTS_ORACLE,
+    ),
+    "null_aware_aggregates": (
+        oq.null_aware_aggregates,
+        oq.NULL_AWARE_AGGREGATES_ORACLE,
+    ),
+    "sessionize_events": (
+        analytics.sessionize_events,
+        analytics.SESSIONIZE_EVENTS_ORACLE,
+    ),
     # J3 alternate physical strategy: the candidate-join (fanout) form —
     # same oracle as the graded entry, whose default is now the
     # merged-timeline strategy (measured 2-3× faster at every scale)
@@ -602,12 +627,13 @@ TIER1_REQUIRED = frozenset(
         "string_functions",
         "validation_rule_counts",
         "top_orders_by_value",
-        "rollup_revenue",
-        "approx_distinct_counts",
-        "null_aware_aggregates",
         "pivot_status_by_priority",
         "array_stats_embeddings",
-        "sessionize_events",
+        # late-round-7 rotation promotions (first driver grading r07)
+        "discount_band_revenue",
+        "repeat_purchases_within_90d",
+        "snapshot_diff_orders",
+        "data_quality_expectations",
         "dedup_exact_summary",
         "minhash_lsh_neardups",
         "simhash_planted_pairs",

@@ -2857,3 +2857,307 @@ SELECT d, v,
        END AS v_filled
 FROM spans
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape — the last classic missing from the long tail: pure
+# scan-side predicate stack + one global aggregate, the canonical
+# pushdown/vectorization microbenchmark (no join at all).
+# ---------------------------------------------------------------------------
+
+def discount_band_revenue(spark, sf_dir):
+    """Revenue that would be recovered by dropping a discount band
+    (TPC-H Q6 shape): one-year ship window × discount band × small
+    quantities, summed revenue delta. Every predicate is a plain
+    column comparison, so the whole WHERE stack pushes into the parquet
+    scan (PushedFilters) and the surviving rows feed ONE
+    map-side-combined global aggregate — the minimal full-scan shape:
+    zero joins, zero wide shuffles, one SinglePartition exchange of a
+    single partial-agg row per task."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("potential_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+DISCOUNT_BAND_REVENUE_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS potential_revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interval join (range_bucket_join showcase) — beyond-reference join
+# family: batch interval×point join without a nested-loop plan.
+# ---------------------------------------------------------------------------
+
+def repeat_purchases_within_90d(spark, sf_dir):
+    """Per order: how many LATER orders the same customer placed within
+    90 days (repeat-purchase burst signal). A naive
+    ``b.date > a.date AND b.date <= a.date + 90d`` join plans as a
+    broadcast-nested-loop — quadratic per customer and cluster-fatal on
+    a fact×fact pair. ``operators/joins.range_bucket_join`` turns it
+    into an equi join on (custkey, 90-day bucket): each right order
+    lands in ONE bucket, each left interval explodes to its ≤2 covered
+    buckets, and the exact bound predicate filters inside the bucket.
+    Unmatched orders are restored by a left join of the aggregated
+    match counts back onto orders (count 0)."""
+    from ..operators.joins import range_bucket_join
+
+    o = _t(spark, sf_dir, "orders")
+    left = o.select("o_orderkey", "o_custkey", "o_orderdate")
+    right = o.select(
+        "o_custkey", F.col("o_orderdate").alias("r_orderdate")
+    )
+    matched = range_bucket_join(
+        left,
+        right,
+        ["o_custkey"],
+        F.col("o_orderdate"),
+        F.timestamp_add("DAY", F.lit(90), F.col("o_orderdate")),
+        F.col("r_orderdate"),
+        bucket_width_seconds=90 * 86400,
+        lo_open=True,  # strictly later orders only
+    )
+    counts = matched.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_repeat_90d")
+    )
+    return left.select("o_orderkey").join(counts, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.coalesce("n_repeat_90d", F.lit(0)).alias("n_repeat_90d"),
+    )
+
+
+REPEAT_PURCHASES_WITHIN_90D_ORACLE = """
+SELECT a.o_orderkey,
+       CAST(count(b.o_orderdate) AS BIGINT) AS n_repeat_90d
+FROM orders a LEFT JOIN orders b
+  ON b.o_custkey = a.o_custkey
+ AND b.o_orderdate > a.o_orderdate
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL 90 DAY
+GROUP BY a.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation diff — the migration/validation tool every ETL
+# engine needs: given yesterday's and today's snapshot of a keyed table,
+# classify every key as unchanged / changed / only_left / only_right in
+# one pass.
+# ---------------------------------------------------------------------------
+
+_DIFF_COMPARE_COLS = [
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _orders_next_snapshot(o):
+    """Deterministic 'today' snapshot: ~1% deletes (key % 97), ~1%
+    price updates (key % 89), ~1% inserts (key % 101 cloned to a
+    disjoint key range). Mutations are exact-arithmetic (+1.5 on a
+    parquet double) so both engines compute identical values."""
+    kept = o.where(F.col("o_orderkey") % 97 != 0)
+    updated = kept.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.5
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = o.where(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    return updated.unionByName(inserts)
+
+
+def snapshot_diff_orders(spark, sf_dir):
+    """Keyed snapshot diff (reconciliation): FULL OUTER join of two
+    order snapshots on the primary key, each key classified by
+    null-safe column comparison — no row-hash, so engine-specific float
+    formatting can't fake a diff. Scale shape: two hash exchanges on
+    the key (bucketing both snapshots on the key makes them zero) and
+    one tiny summary aggregate; the comparison itself is JVM column
+    expressions inside the join stage. Output: per-class row counts
+    plus the summed absolute price drift of changed keys."""
+    o = _t(spark, sf_dir, "orders")
+    left = o.select("o_orderkey", *_DIFF_COMPARE_COLS)
+    right = _orders_next_snapshot(o).select(
+        F.col("o_orderkey"),
+        *[F.col(c).alias(f"r_{c}") for c in _DIFF_COMPARE_COLS],
+    )
+    j = left.join(right, "o_orderkey", "full_outer")
+    # presence flags: a snapshot row always has a non-null custkey, so
+    # null-ness of one side's columns after the outer join marks absence
+    has_l = F.col("o_custkey").isNotNull()
+    has_r = F.col("r_o_custkey").isNotNull()
+    differs = None
+    for c in _DIFF_COMPARE_COLS:
+        d = ~F.col(c).eqNullSafe(F.col(f"r_{c}"))
+        differs = d if differs is None else (differs | d)
+    status = (
+        F.when(has_l & ~has_r, F.lit("only_left"))
+        .when(~has_l & has_r, F.lit("only_right"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            status.alias("diff_status"),
+            F.when(
+                has_l & has_r,
+                F.abs(F.col("o_totalprice") - F.col("r_o_totalprice")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("price_delta"),
+        )
+        .groupBy("diff_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(F.sum("price_delta"), 2).alias("abs_price_drift"),
+        )
+    )
+
+
+SNAPSHOT_DIFF_ORDERS_ORACLE = """
+WITH next AS (
+  SELECT o_orderkey,
+         o_custkey,
+         o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.5
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+j AS (
+  SELECT l.o_custkey AS lc, r.o_custkey AS rc,
+         CASE
+           WHEN r.o_custkey IS NULL THEN 'only_left'
+           WHEN l.o_custkey IS NULL THEN 'only_right'
+           WHEN (l.o_custkey IS DISTINCT FROM r.o_custkey)
+             OR (l.o_orderstatus IS DISTINCT FROM r.o_orderstatus)
+             OR (l.o_totalprice IS DISTINCT FROM r.o_totalprice)
+             OR (l.o_orderdate IS DISTINCT FROM r.o_orderdate)
+             OR (l.o_orderpriority IS DISTINCT FROM r.o_orderpriority)
+           THEN 'changed'
+           ELSE 'unchanged'
+         END AS diff_status,
+         CASE WHEN l.o_custkey IS NOT NULL AND r.o_custkey IS NOT NULL
+              THEN abs(l.o_totalprice - r.o_totalprice) ELSE 0.0 END
+           AS price_delta
+  FROM orders l FULL OUTER JOIN next r USING (o_orderkey)
+)
+SELECT diff_status, CAST(count(*) AS BIGINT) AS n_keys,
+       round(sum(price_delta), 2) AS abs_price_drift
+FROM j GROUP BY diff_status
+"""
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectation suite — deequ-style constraint checking in ONE
+# aggregation pass (plus one anti-join for referential integrity).
+# ---------------------------------------------------------------------------
+
+def data_quality_expectations(spark, sf_dir):
+    """Seven table expectations evaluated in a single scan: row count,
+    PK uniqueness, not-null, value bounds, domain membership, date
+    range, and FK existence. All scalar metrics come from ONE
+    map-side-combined aggregate over orders (conditional sums — no
+    per-rule scans); the FK check is a broadcast anti-join count. The
+    two 1-row frames cross-join (broadcast, constant) and unpivot via
+    ``stack`` into (expectation, observed, passed) rows — the shape a
+    quality gate consumes. At 100 TB this is exactly 1 fact scan + 1
+    tiny exchange regardless of how many rules are added."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    allowed = ["O", "F", "P"]
+    m = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dups"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
+        F.sum((~F.col("o_orderstatus").isin(allowed)).cast("long")).alias(
+            "bad_status"
+        ),
+        F.sum(
+            (
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp_ntz"))
+                | (F.col("o_orderdate") >= F.lit("2002-01-01").cast("timestamp_ntz"))
+            ).cast("long")
+        ).alias("bad_date"),
+    )
+    orphans = (
+        o.join(F.broadcast(c), "o_custkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_orphans"))
+    )
+    both = m.crossJoin(orphans)
+    return both.select(
+        F.expr(
+            """stack(7,
+            'row_count_positive', CAST(n_rows AS DOUBLE), n_rows > 0,
+            'orderkey_unique', CAST(pk_dups AS DOUBLE), pk_dups = 0,
+            'custkey_not_null', CAST(null_cust AS DOUBLE), null_cust = 0,
+            'totalprice_positive', CAST(bad_price AS DOUBLE), bad_price = 0,
+            'orderstatus_in_domain', CAST(bad_status AS DOUBLE), bad_status = 0,
+            'orderdate_in_range', CAST(bad_date AS DOUBLE), bad_date = 0,
+            'custkey_fk_exists', CAST(fk_orphans AS DOUBLE), fk_orphans = 0
+            ) AS (expectation, observed, passed)"""
+        )
+    )
+
+
+DATA_QUALITY_EXPECTATIONS_ORACLE = """
+WITH m AS (
+  SELECT count(*) AS n_rows,
+         count(*) - count(DISTINCT o_orderkey) AS pk_dups,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+         sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+         sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+           AS bad_status,
+         sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                    OR o_orderdate >= TIMESTAMP '2002-01-01'
+                  THEN 1 ELSE 0 END) AS bad_date
+  FROM orders
+), fk AS (
+  SELECT count(*) AS fk_orphans FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT 'row_count_positive' AS expectation,
+       CAST(n_rows AS DOUBLE) AS observed, n_rows > 0 AS passed FROM m
+UNION ALL SELECT 'orderkey_unique', CAST(pk_dups AS DOUBLE), pk_dups = 0 FROM m
+UNION ALL SELECT 'custkey_not_null', CAST(null_cust AS DOUBLE),
+                 null_cust = 0 FROM m
+UNION ALL SELECT 'totalprice_positive', CAST(bad_price AS DOUBLE),
+                 bad_price = 0 FROM m
+UNION ALL SELECT 'orderstatus_in_domain', CAST(bad_status AS DOUBLE),
+                 bad_status = 0 FROM m
+UNION ALL SELECT 'orderdate_in_range', CAST(bad_date AS DOUBLE),
+                 bad_date = 0 FROM m
+UNION ALL SELECT 'custkey_fk_exists', CAST(fk_orphans AS DOUBLE),
+                 fk_orphans = 0 FROM fk
+"""

@@ -151,6 +151,8 @@ SHUFFLE_BUDGET = {
     "customer_order_distribution": 3, "promo_revenue_share": 1,
     "suppliers_who_kept_waiting": 3, "surplus_part_suppliers": 2,
     "important_part_revenue": 2, "lapsed_high_balance_customers": 3,
+    "discount_band_revenue": 1, "repeat_purchases_within_90d": 3,
+    "snapshot_diff_orders": 3, "data_quality_expectations": 3,
 }
 DEFAULT_SHUFFLE_CAP = 8
 SHUFFLE_SLACK = 1
