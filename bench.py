@@ -93,6 +93,8 @@ HEADLINE = [
     "repeat_purchases_within_90d",
     "snapshot_diff_orders",
     "data_quality_expectations",
+    "heavy_hitter_bigrams",
+    "incremental_monthly_revenue",
 ]
 
 

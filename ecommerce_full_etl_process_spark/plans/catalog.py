@@ -604,6 +604,19 @@ _REGISTRY: dict[
         oq.lapsed_high_balance_customers,
         oq.LAPSED_HIGH_BALANCE_CUSTOMERS_ORACLE,
     ),
+    # round-7: exact heavy hitters via bounded-state Misra-Gries
+    # candidates + exact rescore (operators/frequency.py) — the oracle
+    # is the brute-force full-vocabulary groupBy the sketch replaces
+    "heavy_hitter_bigrams": (
+        lq.heavy_hitter_bigrams,
+        lq.HEAVY_HITTER_BIGRAMS_ORACLE,
+    ),
+    # round-7: incremental aggregate maintenance — partial-state merge
+    # refresh (operators/incremental.py); oracle is the full rescan
+    "incremental_monthly_revenue": (
+        oq.incremental_monthly_revenue,
+        oq.INCREMENTAL_MONTHLY_REVENUE_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -1993,3 +1993,42 @@ SELECT doc_id, comp, quality, rn = 1 AS keep FROM ranked
 
 
 DEDUP_KEEP_BEST_QUALITY_ORACLE = _keep_best_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (bounded-state frequency sketch) — stop-word/boilerplate
+# discovery without a vocabulary-sized shuffle.
+# ---------------------------------------------------------------------------
+
+def heavy_hitter_bigrams(spark, sf_dir):
+    """EXACT frequent word-bigrams via Misra-Gries candidates + exact
+    rescore (``operators/frequency.py``): every bigram occurring more
+    than N/(k+1) times (k=800), with its exact count. The corpus's
+    ~916-bigram vocabulary exceeds the 800-counter budget, so the MG
+    eviction path genuinely runs; the pigeonhole superset guarantee +
+    exact rescore make the result identical to a full-vocabulary
+    groupBy — which is exactly what the oracle computes, so the sketch
+    path is cross-checked against the brute-force semantics it
+    replaces. At 100 TB the full groupBy shuffles billions of distinct
+    n-grams; this plan shuffles only candidates × partitions rows."""
+    from ..operators.frequency import heavy_hitter_terms
+
+    d = _docs(spark, sf_dir).select("text")
+    return heavy_hitter_terms(d, "text", k=800, ngram=2)
+
+
+HEAVY_HITTER_BIGRAMS_ORACLE = """
+WITH docs AS (
+  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS term
+  FROM docs, unnest(range(1, len(ws))) AS u(i)
+),
+tot AS (SELECT count(*) AS n_total FROM grams)
+SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM grams, tot
+GROUP BY term, tot.n_total
+HAVING count(*) * 801 > tot.n_total
+"""

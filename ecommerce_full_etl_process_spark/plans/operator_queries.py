@@ -3161,3 +3161,61 @@ UNION ALL SELECT 'orderdate_in_range', CAST(bad_date AS DOUBLE),
 UNION ALL SELECT 'custkey_fk_exists', CAST(fk_orphans AS DOUBLE),
                  fk_orphans = 0 FROM fk
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view refresh) — merge a
+# new batch's partial aggregates into persisted state instead of
+# rescanning history (operators/incremental.py).
+# ---------------------------------------------------------------------------
+
+def incremental_monthly_revenue(spark, sf_dir):
+    """Monthly revenue metrics maintained INCREMENTALLY: history's
+    partial-aggregate state (count/sum/min/max per month — each a
+    mergeable monoid) is merged with the partials of a new batch
+    (orders ≥ 1997-06-01), and avg is finalized from the merged
+    partials. The oracle recomputes the same metrics from the full
+    table, so the merge path is cross-checked against the full-rescan
+    semantics it replaces. Here the history state is built in-query and
+    eagerly checkpointed to stand in for the persisted state table a
+    production refresh would READ — the refresh plan itself touches
+    only the batch scan plus two state-sized (month-cardinality)
+    aggregates, independent of history size."""
+    from ..operators.incremental import (
+        finalize_aggs,
+        merge_partials,
+        partial_agg,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-06-01").cast("timestamp_ntz")
+    # cast to DATE: Spark's date_trunc returns a timestamp while the
+    # oracle's returns a date, and month granularity is a date anyway
+    month = (
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .alias("month")
+    )
+    hist = o.where(F.col("o_orderdate") < cutoff).select(
+        month, "o_totalprice"
+    )
+    batch = o.where(F.col("o_orderdate") >= cutoff).select(
+        month, "o_totalprice"
+    )
+    state_hist = partial_agg(hist, ["month"], "o_totalprice").localCheckpoint(
+        eager=True
+    )
+    state_new = partial_agg(batch, ["month"], "o_totalprice")
+    return finalize_aggs(merge_partials([state_hist, state_new], ["month"]))
+
+
+INCREMENTAL_MONTHLY_REVENUE_ORACLE = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       CAST(count(o_totalprice) AS BIGINT) AS n_rows,
+       round(sum(o_totalprice), 2) AS value_sum,
+       round(sum(o_totalprice) / count(o_totalprice), 2) AS value_avg,
+       round(min(o_totalprice), 2) AS value_min,
+       round(max(o_totalprice), 2) AS value_max
+FROM orders
+GROUP BY date_trunc('month', o_orderdate)
+"""

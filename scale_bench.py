@@ -55,6 +55,9 @@ HEAVY = [
     # round-6: retention policy rides the same LSH+CC jobs — growth must
     # track corpus_dedup_components, not exceed it
     "dedup_keep_best_quality",
+    # round-7: bounded-state MG sketch — candidate state is fixed (≤k per
+    # partition), so growth must be the token-stream scan, near-linear
+    "heavy_hitter_bigrams",
 ]
 
 #: TPC-H-side scale headroom (round-6): the star-join half of the engine
@@ -73,6 +76,12 @@ RELATIONAL = [
     # round-7 session additions
     "bilateral_trade_volume",       # Q7: two shuffle joins + dict filters
     "product_type_profit",          # Q9: star join, decimal-exact profit agg
+    # late-round-7 additions
+    "discount_band_revenue",        # Q6: pure pushdown + one global agg
+    "repeat_purchases_within_90d",  # interval×point range join (fact×fact)
+    "snapshot_diff_orders",         # FULL OUTER keyed reconciliation diff
+    "data_quality_expectations",    # one-scan expectation suite
+    "incremental_monthly_revenue",  # partial-state merge refresh
 ]
 
 SCALE_ROOT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/repo/.scale")
