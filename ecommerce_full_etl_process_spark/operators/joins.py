@@ -476,6 +476,10 @@ def range_bucket_join(
     ``repeat_purchases_within_90d``).
     """
     width_s = int(bucket_width_seconds)
+    if width_s <= 0:
+        raise ValueError(
+            f"bucket_width_seconds must be positive, got {width_s}"
+        )
     epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
 
     def _bucket(col):

@@ -84,6 +84,29 @@ RELATIONAL = [
     "incremental_monthly_revenue",  # partial-state merge refresh
 ]
 
+#: queries whose ``.count()`` lets Catalyst eliminate the operator under
+#: test (repeat_purchases: the aggregate groups by a unique key, so the
+#: left join back — and with it the entire range join subtree — drops out
+#: of a count-only plan; verified via optimizedPlan: 2 joins → 0). These
+#: are timed by hashing EVERY output value instead, so the committed
+#: growth factor measures the real operator, not a pruned scan.
+FORCE_MATERIALIZE = {"repeat_purchases_within_90d"}
+
+
+def _execute(df, name: str) -> int:
+    """Execute a query for timing: ``.count()`` unless the query is in
+    FORCE_MATERIALIZE, in which case bit_xor(xxhash64(*)) folds every
+    output value through one scalar — no driver-side result transfer,
+    nothing prunable — and the row count comes from a cheap length probe
+    on the same already-computed action semantics (count runs untimed by
+    the caller in that case)."""
+    if name in FORCE_MATERIALIZE:
+        from pyspark.sql import functions as F
+
+        df.select(F.bit_xor(F.xxhash64(*df.columns)).alias("h")).collect()
+        return -1
+    return df.count()
+
 SCALE_ROOT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/repo/.scale")
 
 
@@ -124,8 +147,10 @@ def main() -> None:
                 nrows = 0
                 for _ in range(args.repeats):
                     t0 = time.perf_counter()
-                    nrows = queries[name](spark, dirs[m]).count()
+                    nrows = _execute(queries[name](spark, dirs[m]), name)
                     samples.append(time.perf_counter() - t0)
+                if nrows < 0:  # forced-materialize path: rows untimed
+                    nrows = queries[name](spark, dirs[m]).count()
                 timings[name][f"x{m}"] = round(min(samples), 3)
                 rows.setdefault(name, {})[m] = nrows
             except Exception as exc:  # noqa: BLE001 — isolate per query
@@ -219,8 +244,12 @@ def main() -> None:
                     nrows = 0
                     for _ in range(args.repeats):
                         t0 = time.perf_counter()
-                        nrows = queries[name](spark, rel_dirs[m]).count()
+                        nrows = _execute(
+                            queries[name](spark, rel_dirs[m]), name
+                        )
                         samples.append(time.perf_counter() - t0)
+                    if nrows < 0:  # forced-materialize path: rows untimed
+                        nrows = queries[name](spark, rel_dirs[m]).count()
                     rel_timings[name][f"x{m}"] = round(min(samples), 3)
                     rows.setdefault(name, {})[m] = nrows
                 except Exception as exc:  # noqa: BLE001 — isolate per query
