@@ -307,7 +307,10 @@ _REGISTRY: dict[
     # for tier-1 slots next round): bilateral_trade_volume,
     # product_type_profit, part_supplier_diversity, top_revenue_supplier,
     # best_price_supplier_per_part, asof_events_to_orders_fanout,
-    # gap_filled_daily_order_counts, returned_item_revenue.
+    # gap_filled_daily_order_counts, returned_item_revenue,
+    # heavy_hitter_bigrams, incremental_monthly_revenue,
+    # asof_events_to_orders_skewsafe, grouping_sets_revenue,
+    # interpolated_daily_values.
     "bilateral_trade_volume": (
         oq.bilateral_trade_volume,
         oq.BILATERAL_TRADE_VOLUME_ORACLE,

@@ -542,3 +542,80 @@ def test_asof_skewed_hot_key(spark):
     )
     assert plain.exceptAll(skewed).count() == 0
     assert skewed.exceptAll(plain).count() == 0
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_range_bucket_join_randomized_differential(spark, seed):
+    """Seeded randomized differential: range_bucket_join vs the naive
+    inequality join it replaces, on adversarial data — points exactly ON
+    interval bounds, zero-length intervals, intervals spanning many
+    buckets, sub-second points (bucket over-generation path), keys with
+    no matches, duplicate timestamps. Every (lo_open, hi_open) bound
+    combination must agree row-for-row with the literal BETWEEN plan."""
+    import random
+    from datetime import datetime, timedelta
+
+    from ecommerce_full_etl_process_spark.operators.joins import (
+        range_bucket_join,
+    )
+
+    rng = random.Random(seed)
+    base = datetime(2026, 1, 1)
+    width = 3600  # 1-hour buckets
+    lefts = []
+    for i in range(80):
+        lo = base + timedelta(
+            seconds=rng.randrange(0, 7 * 86400),
+            microseconds=rng.choice([0, 1, 500_000]),
+        )
+        # zero-length, sub-bucket, and multi-bucket intervals
+        dur = rng.choice([0, 1, 59, width - 1, width, 3 * width + 7])
+        lefts.append((i, rng.randrange(6), lo, lo + timedelta(seconds=dur)))
+    rights = []
+    for j in range(300):
+        ts = base + timedelta(
+            seconds=rng.randrange(0, 7 * 86400),
+            microseconds=rng.choice([0, 1, 999_999]),
+        )
+        rights.append((j, rng.randrange(8), ts))  # keys 6,7 never match
+    # align some points exactly onto interval bounds (boundary semantics)
+    for i in range(0, 40, 5):
+        rights[i] = (rights[i][0], lefts[i][1], lefts[i][2])
+        rights[i + 1] = (rights[i + 1][0], lefts[i][1], lefts[i][3])
+    ldf = spark.createDataFrame(
+        lefts, "lid long, k long, lo timestamp_ntz, hi timestamp_ntz"
+    )
+    rdf = spark.createDataFrame(
+        rights, "rid long, k long, ts timestamp_ntz"
+    )
+    for lo_open in (False, True):
+        for hi_open in (False, True):
+            got = sorted(
+                (r["lid"], r["rid"])
+                for r in range_bucket_join(
+                    ldf,
+                    rdf,
+                    ["k"],
+                    F.col("lo"),
+                    F.col("hi"),
+                    F.col("ts"),
+                    bucket_width_seconds=width,
+                    lo_open=lo_open,
+                    hi_open=hi_open,
+                ).collect()
+            )
+            lo_ok = (
+                F.col("ts") > F.col("lo")
+                if lo_open
+                else F.col("ts") >= F.col("lo")
+            )
+            hi_ok = (
+                F.col("ts") < F.col("hi")
+                if hi_open
+                else F.col("ts") <= F.col("hi")
+            )
+            naive = sorted(
+                (r["lid"], r["rid"])
+                for r in ldf.join(rdf, "k").where(lo_ok & hi_ok).collect()
+            )
+            assert got == naive, (seed, lo_open, hi_open)
