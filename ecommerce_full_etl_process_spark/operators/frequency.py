@@ -49,8 +49,12 @@ def misra_gries_candidates(
     Arrow-batched ``mapInPandas``; state is a dict of at most ``k``
     counters per partition regardless of corpus size (the whole point —
     nothing vocabulary-sized is ever held or shuffled). Terms are
-    space-joined word ``ngram``s of the lowercased, empty-filtered token
-    stream (``ngram=1`` → plain words). Output rows: ``(term, cnt)`` for
+    space-joined word ``ngram``s of the JVM-lowercased, empty-filtered
+    token stream (lowercasing happens via ``F.lower`` BEFORE the kernel
+    so the candidate strings and the rescore's terms come from the SAME
+    case-folding — Python ``str.lower`` differs from the JVM's on a few
+    Unicode code points, which could otherwise break the superset
+    guarantee). Output rows: ``(term, cnt)`` for
     each surviving counter, plus one ``(NULL, n)`` marker row per
     batch-stream carrying the partition's term count so the caller can
     compute the global N without a second corpus scan. Surviving ``cnt``
@@ -67,7 +71,7 @@ def misra_gries_candidates(
             for text in pdf[text_col]:
                 if text is None:
                     continue
-                toks = [t for t in str(text).lower().split(" ") if t]
+                toks = [t for t in str(text).split(" ") if t]
                 for i in range(len(toks) - ngram + 1):
                     term = " ".join(toks[i : i + ngram])
                     n_terms += 1
@@ -93,7 +97,10 @@ def misra_gries_candidates(
             }
         )
 
-    return df.select(text_col).mapInPandas(_mg, schema="term string, cnt long")
+    return (
+        df.select(F.lower(F.col(text_col)).alias(text_col))
+        .mapInPandas(_mg, schema="term string, cnt long")
+    )
 
 
 def heavy_hitter_terms(

@@ -153,6 +153,12 @@ SHUFFLE_BUDGET = {
     "important_part_revenue": 2, "lapsed_high_balance_customers": 3,
     "discount_band_revenue": 1, "repeat_purchases_within_90d": 3,
     "snapshot_diff_orders": 3, "data_quality_expectations": 3,
+    # MG sketch: candidate distinct + scalar total + rescore groupBy;
+    # the bounded-state candidate pass itself is exchange-free (a map)
+    "heavy_hitter_bigrams": 3,
+    # batch partials + state merge (history enters via the checkpointed
+    # state RDD, not a shuffle)
+    "incremental_monthly_revenue": 2,
 }
 DEFAULT_SHUFFLE_CAP = 8
 SHUFFLE_SLACK = 1
