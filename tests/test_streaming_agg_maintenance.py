@@ -1,0 +1,122 @@
+"""Streaming materialized-view maintenance (stream_pipeline.
+apply_agg_state_batch / run_streaming_agg_maintenance).
+
+Contracts under test:
+- after draining N files, the finalized state equals a plain full
+  aggregate over all ingested rows (streaming == batch semantics);
+- restarting against the same checkpoint with new files applies ONLY
+  the new files (no double counting across restarts);
+- an at-least-once replay of an already-applied batch id is a no-op
+  (the state-embedded marker skips it);
+- a torn attempt (crash before the atomic overwrite) re-merges cleanly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ecommerce_full_etl_process_spark.operators.incremental import (
+    finalize_aggs,
+)
+from ecommerce_full_etl_process_spark.sources.io import TableStore
+from ecommerce_full_etl_process_spark.streaming.stream_pipeline import (
+    apply_agg_state_batch,
+    run_streaming_agg_maintenance,
+)
+
+
+def _write_file(spark, src, name, rows):
+    # append a single part file into the stream source directory (file
+    # streams list the dir itself, not nested dataset dirs)
+    spark.createDataFrame(rows, "g string, v double").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+
+def _finalized(spark, wh):
+    store = TableStore(spark, wh)
+    return {
+        r["g"]: (r["n_rows"], r["value_sum"], r["value_avg"])
+        for r in finalize_aggs(
+            store.read("agg_state").drop("last_batch")
+        ).collect()
+    }
+
+
+def _expected(spark, rows):
+    df = spark.createDataFrame(rows, "g string, v double")
+    return {
+        r["g"]: (r["n_rows"], r["value_sum"], r["value_avg"])
+        for r in finalize_aggs(
+            df.groupBy("g").agg(
+                F.count("v").alias("cnt"),
+                F.sum("v").alias("sum"),
+                F.min("v").alias("min"),
+                F.max("v").alias("max"),
+            )
+        ).collect()
+    }
+
+
+def test_stream_equals_full_recompute_and_restart(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    wh = str(tmp_path / "wh")
+    os.makedirs(src)
+    f1 = [("a", 1.0), ("b", 2.0)]
+    f2 = [("a", 3.0), ("c", 4.0)]
+    _write_file(spark, src, "f1.parquet", f1)
+    _write_file(spark, src, "f2.parquet", f2)
+    q = run_streaming_agg_maintenance(spark, src, ckpt, wh, ["g"], "v")
+    q.awaitTermination()
+    assert _finalized(spark, wh) == _expected(spark, f1 + f2)
+
+    # restart with one more file: only the new file is applied
+    f3 = [("b", 10.0), ("d", -1.0)]
+    _write_file(spark, src, "f3.parquet", f3)
+    q = run_streaming_agg_maintenance(spark, src, ckpt, wh, ["g"], "v")
+    q.awaitTermination()
+    assert _finalized(spark, wh) == _expected(spark, f1 + f2 + f3)
+
+
+def test_replay_of_applied_batch_is_noop(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    store = TableStore(spark, wh)
+    b = spark.createDataFrame([("a", 1.0), ("a", 3.0)], "g string, v double")
+    assert apply_agg_state_batch(spark, store, b, 0, ["g"], "v")
+    before = sorted(map(tuple, store.read("agg_state").collect()))
+    # at-least-once replay of batch 0, and an out-of-order stale id
+    assert not apply_agg_state_batch(spark, store, b, 0, ["g"], "v")
+    assert sorted(map(tuple, store.read("agg_state").collect())) == before
+    # the NEXT id applies on top exactly once
+    assert apply_agg_state_batch(spark, store, b, 1, ["g"], "v")
+    assert _finalized(spark, wh)["a"] == (4, 8.0, 2.0)
+
+
+def test_torn_attempt_replays_cleanly(spark, tmp_path):
+    """Crash BEFORE the atomic overwrite = nothing happened: the replay
+    merges from the old state and the result is single-application."""
+    wh = str(tmp_path / "wh")
+    store = TableStore(spark, wh)
+    b0 = spark.createDataFrame([("a", 2.0)], "g string, v double")
+    apply_agg_state_batch(spark, store, b0, 0, ["g"], "v")
+    # simulate a torn batch-1 attempt: compute-but-crash = no overwrite,
+    # so the on-disk state is untouched; then the replay applies batch 1
+    b1 = spark.createDataFrame([("a", 4.0), ("b", 1.0)], "g string, v double")
+    assert apply_agg_state_batch(spark, store, b1, 1, ["g"], "v")
+    fin = _finalized(spark, wh)
+    assert fin["a"] == (2, 6.0, 3.0) and fin["b"] == (1, 1.0, 1.0)
+
+
+def test_empty_batch_skipped_without_marker_damage(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    store = TableStore(spark, wh)
+    b = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    apply_agg_state_batch(spark, store, b, 0, ["g"], "v")
+    empty = spark.createDataFrame([], "g string, v double")
+    assert not apply_agg_state_batch(spark, store, empty, 1, ["g"], "v")
+    # marker still reflects batch 0; batch 2 applies normally
+    assert apply_agg_state_batch(spark, store, b, 2, ["g"], "v")
+    assert _finalized(spark, wh)["a"] == (2, 2.0, 1.0)
