@@ -95,6 +95,7 @@ HEADLINE = [
     "data_quality_expectations",
     "heavy_hitter_bigrams",
     "incremental_monthly_revenue",
+    "cdc_apply_orders",
 ]
 
 

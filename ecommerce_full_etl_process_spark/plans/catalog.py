@@ -620,6 +620,12 @@ _REGISTRY: dict[
         oq.incremental_monthly_revenue,
         oq.INCREMENTAL_MONTHLY_REVENUE_ORACLE,
     ),
+    # round-7: CDC apply — last-writer-wins upserts + delete tombstones
+    # folded into a snapshot (operators/cdc.py)
+    "cdc_apply_orders": (
+        oq.cdc_apply_orders,
+        oq.CDC_APPLY_ORDERS_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

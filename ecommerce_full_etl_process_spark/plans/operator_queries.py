@@ -3219,3 +3219,88 @@ SELECT date_trunc('month', o_orderdate) AS month,
 FROM orders
 GROUP BY date_trunc('month', o_orderdate)
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC apply — fold an ordered change log (binlog/Debezium shape) into a
+# snapshot: last-writer-wins upserts + delete tombstones
+# (operators/cdc.py).
+# ---------------------------------------------------------------------------
+
+def cdc_apply_orders(spark, sf_dir):
+    """Next orders snapshot from a deterministic 3-sequence CDC log:
+    seq 1 updates price +1.5 for keys %89==0, seq 2 deletes keys
+    %97==0, seq 3 re-updates price +2.5 for keys %89==0 AND %2==1
+    (last-writer-wins over seq 1), plus seq 1 inserts of cloned keys
+    (+10M) for keys %101==0. Keys divisible by both 89 and 97 exercise
+    delete-after-update; the oracle replays the same log with window
+    SQL, so the operator's anti-join + union plan is cross-checked
+    against the declarative row_number semantics. Output is the full
+    resulting snapshot (key, price) — every row hash-compared."""
+    from ..operators.cdc import apply_cdc
+
+    o = _t(spark, sf_dir, "orders")
+    snap = o.select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+
+    def ch(df, seq, op, price):
+        return df.select(
+            "o_orderkey",
+            price.alias("o_totalprice"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    upd1 = ch(
+        o.where(k % 89 == 0), 1, "U", F.col("o_totalprice") + 1.5
+    )
+    dels = ch(o.where(k % 97 == 0), 2, "D", F.col("o_totalprice"))
+    upd3 = ch(
+        o.where((k % 89 == 0) & (k % 2 == 1)),
+        3,
+        "U",
+        F.col("o_totalprice") + 2.5,
+    )
+    ins = ch(
+        o.where(k % 101 == 0).withColumn(
+            "o_orderkey", k + 10_000_000
+        ),
+        1,
+        "I",
+        F.col("o_totalprice"),
+    )
+    changes = upd1.unionByName(dels).unionByName(upd3).unionByName(ins)
+    return apply_cdc(
+        snap, changes, ["o_orderkey"], "seq"
+    ).select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+CDC_APPLY_ORDERS_ORACLE = """
+WITH changes AS (
+  SELECT o_orderkey, o_totalprice + 1.5 AS o_totalprice,
+         1 AS seq, 'U' AS op
+  FROM orders WHERE o_orderkey % 89 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 2, 'D'
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 2.5, 3, 'U'
+  FROM orders WHERE o_orderkey % 89 = 0 AND o_orderkey % 2 = 1
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, 1, 'I'
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY seq DESC, (op = 'D') DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+)
+SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM last l WHERE l.o_orderkey = o.o_orderkey)
+UNION ALL
+SELECT o_orderkey, round(o_totalprice, 2)
+FROM last WHERE op <> 'D'
+"""

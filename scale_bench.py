@@ -82,6 +82,7 @@ RELATIONAL = [
     "snapshot_diff_orders",         # FULL OUTER keyed reconciliation diff
     "data_quality_expectations",    # one-scan expectation suite
     "incremental_monthly_revenue",  # partial-state merge refresh
+    "cdc_apply_orders",             # CDC log fold: window winner + anti join
 ]
 
 #: queries whose ``.count()`` lets Catalyst eliminate the operator under

@@ -159,6 +159,8 @@ SHUFFLE_BUDGET = {
     # batch partials + state merge (history enters via the checkpointed
     # state RDD, not a shuffle)
     "incremental_monthly_revenue": 2,
+    # one change-log exchange (window winner) + anti-join side
+    "cdc_apply_orders": 2,
 }
 DEFAULT_SHUFFLE_CAP = 8
 SHUFFLE_SLACK = 1
