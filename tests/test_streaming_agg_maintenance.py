@@ -27,7 +27,7 @@ from ecommerce_full_etl_process_spark.streaming.stream_pipeline import (
 )
 
 
-def _write_file(spark, src, name, rows):
+def _write_file(spark, src, rows):
     # append a single part file into the stream source directory (file
     # streams list the dir itself, not nested dataset dirs)
     spark.createDataFrame(rows, "g string, v double").coalesce(1).write.mode(
@@ -67,15 +67,15 @@ def test_stream_equals_full_recompute_and_restart(spark, tmp_path):
     os.makedirs(src)
     f1 = [("a", 1.0), ("b", 2.0)]
     f2 = [("a", 3.0), ("c", 4.0)]
-    _write_file(spark, src, "f1.parquet", f1)
-    _write_file(spark, src, "f2.parquet", f2)
+    _write_file(spark, src, f1)
+    _write_file(spark, src, f2)
     q = run_streaming_agg_maintenance(spark, src, ckpt, wh, ["g"], "v")
     q.awaitTermination()
     assert _finalized(spark, wh) == _expected(spark, f1 + f2)
 
     # restart with one more file: only the new file is applied
     f3 = [("b", 10.0), ("d", -1.0)]
-    _write_file(spark, src, "f3.parquet", f3)
+    _write_file(spark, src, f3)
     q = run_streaming_agg_maintenance(spark, src, ckpt, wh, ["g"], "v")
     q.awaitTermination()
     assert _finalized(spark, wh) == _expected(spark, f1 + f2 + f3)
