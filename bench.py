@@ -96,6 +96,7 @@ HEADLINE = [
     "heavy_hitter_bigrams",
     "incremental_monthly_revenue",
     "cdc_apply_orders",
+    "streaming_agg_maintenance_state",
 ]
 
 

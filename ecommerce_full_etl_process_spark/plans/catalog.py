@@ -626,6 +626,13 @@ _REGISTRY: dict[
         oq.cdc_apply_orders,
         oq.CDC_APPLY_ORDERS_ORACLE,
     ),
+    # round-7: streaming materialized-view maintenance end-to-end — the
+    # foreachBatch state-merge loop with the state-embedded exactly-once
+    # marker, drained and finalized against the full-scan oracle
+    "streaming_agg_maintenance_state": (
+        sp.streaming_agg_maintenance_state,
+        sp.STREAMING_AGG_MAINTENANCE_STATE_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

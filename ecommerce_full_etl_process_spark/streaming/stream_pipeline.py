@@ -892,3 +892,56 @@ def run_streaming_agg_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_agg_maintenance_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: the streaming materialized-view maintenance loop
+    END-TO-END under the oracle gate — events split into three stream
+    files, drained through ``run_streaming_agg_maintenance`` (three
+    foreachBatch state merges, each an atomic versioned overwrite with
+    the state-embedded batch marker), then the persisted state finalized.
+    AvailableNow processes every row, and the partial-state merge is
+    split-invariant, so the finalized state must equal the oracle's
+    plain one-pass aggregate over the whole table — grading both the
+    merge algebra and the exactly-once plumbing."""
+    import os
+    import tempfile
+
+    from ..operators.incremental import finalize_aggs
+    from ..sources.io import TableStore
+
+    root = tempfile.mkdtemp(prefix="agg_maint_")
+    src = os.path.join(root, "src")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    # three part files -> three micro-batches under maxFilesPerTrigger=1
+    ev.repartition(3).write.parquet(src)
+    q = run_streaming_agg_maintenance(
+        spark,
+        src,
+        os.path.join(root, "ckpt"),
+        os.path.join(root, "wh"),
+        ["event_type"],
+        "value",
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "streaming_agg_maintenance_state: AvailableNow query did not "
+            "finish within 300s"
+        )
+    state = TableStore(spark, os.path.join(root, "wh")).read("agg_state")
+    return finalize_aggs(state.drop("last_batch")).localCheckpoint(eager=True)
+
+
+STREAMING_AGG_MAINTENANCE_STATE_ORACLE = """
+SELECT event_type,
+       CAST(count(value) AS BIGINT) AS n_rows,
+       round(sum(value), 2) AS value_sum,
+       round(sum(value) / count(value), 2) AS value_avg,
+       round(min(value), 2) AS value_min,
+       round(max(value), 2) AS value_max
+FROM events
+GROUP BY event_type
+"""

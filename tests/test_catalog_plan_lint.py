@@ -161,6 +161,9 @@ SHUFFLE_BUDGET = {
     "incremental_monthly_revenue": 2,
     # one change-log exchange (window winner) + anti-join side
     "cdc_apply_orders": 2,
+    # returns the finalized checkpointed state frame (the stream runs
+    # during construction, like the other foreachBatch entries)
+    "streaming_agg_maintenance_state": 0,
 }
 DEFAULT_SHUFFLE_CAP = 8
 SHUFFLE_SLACK = 1
