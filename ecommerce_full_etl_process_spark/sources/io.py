@@ -483,6 +483,63 @@ class TableStore:
         self.overwrite(table, df)
         self.collect_stats(table)
 
+    def cluster_by_zorder(
+        self, table: str, cols: list[str], num_files: int, bits: int = 10
+    ) -> None:
+        """Multi-column layout rewrite (the Delta OPTIMIZE ZORDER
+        analogue): interleave the bits of each column's scaled bucket id
+        into one Z-order (Morton) key, range-partition on that key into
+        ``num_files`` files, and refresh stats. Where :meth:`cluster_by`
+        gives one column tight per-file ranges and leaves the others
+        unclustered, the space-filling curve keeps EVERY listed column's
+        per-file min/max narrow, so :meth:`read_where` prunes on any of
+        them — the property that makes a single layout serve several
+        query predicates at 100 TB.
+
+        Mechanics: each numeric column is linearly scaled into a
+        ``bits``-wide bucket from table-level min/max collected in one
+        tiny aggregate (k scalars to the driver); the Morton key is a
+        pure JVM column expression (``bits × k`` shift/mask terms inside
+        whole-stage codegen), so the rewrite is scan → map → one range
+        exchange — identical cost shape to linear clustering. Linear
+        min/max scaling keeps interleaving cheap; a heavily skewed
+        column wants a rank-based bucketing instead (the classic
+        z-order caveat, left to the caller's judgment).
+        """
+        df = self.read(table)
+        stats = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).collect()[0]
+        top = (1 << bits) - 1
+        bucket_cols = []
+        for c in cols:
+            mn = float(stats[f"mn_{c}"])
+            mx = float(stats[f"mx_{c}"])
+            if mx > mn:
+                scaled = (F.col(c).cast("double") - mn) * top / (mx - mn)
+                b = F.least(
+                    F.greatest(F.floor(scaled), F.lit(0)), F.lit(top)
+                ).cast("long")
+            else:
+                b = F.lit(0).cast("long")
+            bucket_cols.append(b)
+        zkey = F.lit(0).cast("long")
+        for bit in range(bits):
+            for i, b in enumerate(bucket_cols):
+                zkey = zkey + F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                    bit * len(cols) + i,
+                )
+        out = (
+            df.withColumn("__zkey", zkey)
+            .repartitionByRange(num_files, F.col("__zkey"))
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+        self.overwrite(table, out)
+        self.collect_stats(table)
+
     def drop(self, table: str) -> None:
         import shutil
 

@@ -360,3 +360,60 @@ def test_relational_scale_dir_matches_driver_schemas(spark, tmp_path):
     ).collect()[0]
     assert str(row["lo"]).startswith("1995-01-01")
     assert str(row["hi"]).startswith("2001-")
+
+
+def test_zorder_clustering_prunes_on_both_columns(spark, tmp_path):
+    """2-D grid: linear clustering on x gives y-predicates nothing to
+    skip; Z-order keeps BOTH columns' per-file ranges narrow, so
+    read_where prunes on either column — and pruned reads stay exactly
+    equal to full-scan filters."""
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") / 100).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    store.overwrite("grid", df.repartition(16))
+
+    # linear clustering on x: y still spans the full range in every file
+    store.cluster_by("grid", ["x"], num_files=16)
+    _kept, skipped_y_linear = store.prune_files("grid", "y", 10, 19)
+    assert skipped_y_linear == 0
+
+    store.cluster_by_zorder("grid", ["x", "y"], num_files=16)
+    _kept, skipped_x = store.prune_files("grid", "x", 10, 19)
+    _kept, skipped_y = store.prune_files("grid", "y", 10, 19)
+    # a 16-file Z-layout of a 100x100 grid puts a 10-wide slab of either
+    # dimension into ~half the curve cells
+    assert skipped_x >= 8, skipped_x
+    assert skipped_y >= 8, skipped_y
+    for col in ("x", "y"):
+        out = store.read_where("grid", col, 10, 19)
+        full = store.read("grid").where(F.col(col).between(10, 19))
+        assert sorted(r["payload"] for r in out.collect()) == sorted(
+            r["payload"] for r in full.collect()
+        )
+
+
+def test_zorder_constant_and_skewed_columns(spark, tmp_path):
+    """Degenerate inputs: a constant column (max == min) buckets to 0
+    everywhere and must not break the key or the rewrite; row count and
+    content survive the layout rewrite bit-for-bit."""
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 1_000).select(
+        F.lit(7).alias("c"),
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    store.overwrite("t", df.repartition(4))
+    store.cluster_by_zorder("t", ["c", "k"], num_files=4)
+    got = sorted((r["c"], r["k"], r["v"]) for r in store.read("t").collect())
+    assert got == [(7, i, 2 * i) for i in range(1_000)]
+    # constant column contributes nothing, so the layout degrades to
+    # linear clustering on k — k-predicates still prune
+    _kept, skipped = store.prune_files("t", "k", 0, 99)
+    assert skipped >= 2
