@@ -633,6 +633,13 @@ _REGISTRY: dict[
         sp.streaming_agg_maintenance_state,
         sp.STREAMING_AGG_MAINTENANCE_STATE_ORACLE,
     ),
+    # round-7: Z-order clustering + stats-pruned reads end-to-end —
+    # pruned file-skipping scans on both interleaved axes vs the plain
+    # full-scan oracle (sources/io.py cluster_by_zorder/read_where)
+    "zorder_pruned_scan": (
+        oq.zorder_pruned_scan,
+        oq.ZORDER_PRUNED_SCAN_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

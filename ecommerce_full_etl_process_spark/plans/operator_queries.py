@@ -3304,3 +3304,46 @@ UNION ALL
 SELECT o_orderkey, round(o_totalprice, 2)
 FROM last WHERE op <> 'D'
 """
+
+
+# ---------------------------------------------------------------------------
+# Z-order pruned scan — the file-skipping storage path end-to-end under
+# the oracle gate (sources/io.py cluster_by_zorder + read_where).
+# ---------------------------------------------------------------------------
+
+def zorder_pruned_scan(spark, sf_dir):
+    """Orders copied into a TableStore, Z-order-clustered on
+    (o_totalprice, o_custkey), then range-read on EACH axis via the
+    stats-pruned ``read_where`` path and combined — results must equal
+    the oracle's plain full-scan filters, proving pruned reads drop
+    whole files without dropping rows. The interleaved layout is what
+    lets BOTH predicates skip files from one rewrite; the oracle only
+    checks correctness (pruning effectiveness is pinned by
+    tests/test_scale_tools.py)."""
+    import os
+    import tempfile
+
+    from ..sources.io import TableStore
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="zorder_q_"))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    store.overwrite("orders_z", o.repartition(8))
+    store.cluster_by_zorder("orders_z", ["o_totalprice", "o_custkey"], 16)
+    by_price = store.read_where(
+        "orders_z", "o_totalprice", 50_000.0, 100_000.0
+    ).select("o_orderkey", F.lit("price_band").alias("probe"))
+    by_cust = store.read_where("orders_z", "o_custkey", 100, 499).select(
+        "o_orderkey", F.lit("cust_band").alias("probe")
+    )
+    return by_price.unionByName(by_cust).localCheckpoint(eager=True)
+
+
+ZORDER_PRUNED_SCAN_ORACLE = """
+SELECT o_orderkey, 'price_band' AS probe FROM orders
+WHERE o_totalprice BETWEEN 50000.0 AND 100000.0
+UNION ALL
+SELECT o_orderkey, 'cust_band' FROM orders
+WHERE o_custkey BETWEEN 100 AND 499
+"""
