@@ -97,6 +97,7 @@ HEADLINE = [
     "incremental_monthly_revenue",
     "cdc_apply_orders",
     "streaming_agg_maintenance_state",
+    "zorder_pruned_scan",
 ]
 
 
