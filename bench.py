@@ -98,6 +98,10 @@ HEADLINE = [
     "cdc_apply_orders",
     "streaming_agg_maintenance_state",
     "zorder_pruned_scan",
+    # round-8 additions: skew-safe as-of merge and the CDC × MV
+    # composition (snapshot + aggregate maintained in one loop)
+    "asof_events_to_orders_skewsafe",
+    "cdc_mv_maintenance_state",
 ]
 
 
@@ -121,6 +125,14 @@ def summary_line(full: dict) -> str:
         {
             "metric": full["metric"],
             "value": full["value"],
+            # round-8: the count-action total lets Catalyst prune work a
+            # real consumer pays for (BENCH_NOTES_r7.md), so the honest
+            # full-output-materialized total rides in the summary too —
+            # null when the materialize pass was disabled or any query
+            # skipped it (non-hashable output), so a partial sum can
+            # never masquerade as the real total
+            "materialized_total_wall": full.get("materialized_total_wall"),
+            "materialized_n": full.get("materialized_n", 0),
             "unit": full["unit"],
             "partial": full["partial"],
             "n_queries": len(full["queries"]),
@@ -153,15 +165,16 @@ def main() -> None:
     # worst), and the median is reported alongside the min so regressions
     # are attributable to plan changes rather than a bad draw.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
-    # SPARK_GRAFT_BENCH_MATERIALIZE=1: additionally time each query with
+    # SPARK_GRAFT_BENCH_MATERIALIZE: additionally time each query with
     # a forced full-output materialization (bit_xor of xxhash64 over all
     # output columns). The default count() action lets Catalyst prune
     # work a real consumer pays for — e.g. a count prunes the fanout
     # as-of's argmax but not the merge form's window, so count-only
     # numbers can invert the true ranking of two strategies
-    # (BENCH_NOTES_r7.md). Opt-in because it ~doubles bench wall time;
-    # recorded as `queries_materialized` in the detail JSON only.
-    materialize = os.environ.get("SPARK_GRAFT_BENCH_MATERIALIZE", "") == "1"
+    # (BENCH_NOTES_r7.md). ON by default since round 8 (the summary line
+    # carries materialized_total_wall so the round artifact records the
+    # honest number); set =0 to skip and roughly halve bench wall time.
+    materialize = os.environ.get("SPARK_GRAFT_BENCH_MATERIALIZE", "1") != "0"
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     materialized: dict[str, float] = {}
@@ -220,9 +233,20 @@ def main() -> None:
     # queries and read as a round-over-round speedup — null it out and
     # flag the run partial so cross-round comparisons can't be fooled
     total = round(sum(timings.values()), 3) if not errors else None
+    # materialized total is labeled with its coverage (materialized_n):
+    # queries with non-hashable output types skip the materialize metric,
+    # so the sum covers materialized_n of n_queries — recorded explicitly
+    # so a partial-coverage sum can never masquerade as the full total
+    mat_total = (
+        round(sum(materialized.values()), 3)
+        if materialize and not errors and materialized
+        else None
+    )
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        "materialized_total_wall": mat_total,
+        "materialized_n": len(materialized),
         "unit": "sec",
         "partial": bool(errors),
         "queries": timings,

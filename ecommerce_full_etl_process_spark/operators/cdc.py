@@ -22,7 +22,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["apply_cdc"]
+__all__ = [
+    "apply_cdc",
+    "apply_cdc_versioned",
+    "compact_tombstones",
+    "strip_versioned",
+    "to_versioned",
+]
+
+#: metadata columns carried by a VERSIONED snapshot (see to_versioned)
+SEQ_META = "__seq"
+DELETED_META = "__deleted"
 
 
 def apply_cdc(
@@ -59,3 +69,103 @@ def apply_cdc(
     untouched = snapshot.join(changed_keys, key_cols, "left_anti")
     upserts = last.where(F.col(op_col) != "D").select(*payload_cols)
     return untouched.unionByName(upserts)
+
+
+def to_versioned(snapshot: DataFrame, seq: int = 0) -> DataFrame:
+    """Lift a plain snapshot into the VERSIONED format consumed by
+    :func:`apply_cdc_versioned`: payload columns plus ``__seq`` (the log
+    sequence whose apply produced each row — ``seq`` for the initial
+    load) and ``__deleted`` (tombstone flag, False for live rows)."""
+    return snapshot.withColumn(
+        SEQ_META, F.lit(seq).cast("long")
+    ).withColumn(DELETED_META, F.lit(False))
+
+
+def strip_versioned(snapshot: DataFrame) -> DataFrame:
+    """Consumer view of a versioned snapshot: live rows, payload only."""
+    return snapshot.where(~F.col(DELETED_META)).drop(SEQ_META, DELETED_META)
+
+
+def compact_tombstones(snapshot: DataFrame, min_seq_to_keep: int) -> DataFrame:
+    """Tombstone retention: drop delete markers whose sequence is below
+    ``min_seq_to_keep`` (the lateness horizon — e.g. the log's low
+    watermark). A tombstone must outlive the latest out-of-order change
+    that could try to resurrect its key; once the source guarantees no
+    change below ``min_seq_to_keep`` can still arrive, the marker is
+    dead weight and compaction reclaims it. Live rows always pass
+    through. Compacting too eagerly re-opens the resurrection hazard —
+    this is the caller's watermark contract, same as a Debezium
+    consumer's tombstone retention window."""
+    return snapshot.where(
+        (~F.col(DELETED_META)) | (F.col(SEQ_META) >= min_seq_to_keep)
+    )
+
+
+def apply_cdc_versioned(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply one BATCH of a CDC log to a versioned snapshot, correct
+    under out-of-order delivery ACROSS batches: applying a log split
+    into arbitrary batches (any interleaving — late sequences arriving
+    in later batches included) yields exactly the same snapshot as one
+    whole-log :func:`apply_cdc`, because every row remembers the
+    sequence that produced it and deletes persist as tombstones.
+
+    Plain per-batch ``apply_cdc`` is last-writer-wins WITHIN the batch
+    only: a late change (lower ``seq`` than one already applied) arriving
+    in a later batch would clobber the newer row, and a late update
+    would resurrect a deleted key. Here a change wins against the stored
+    row only by the SAME total order the whole-log form uses — higher
+    sequence, delete-first at equal sequence:
+
+    - ``c.seq > row.__seq``               → change applies
+    - ``c.seq == row.__seq`` and ``c`` is a delete against a live row
+      → delete applies (the D > U tie-break)
+    - anything else (late or replayed)    → stored row kept (idempotent)
+
+    Scale shape (identical to ``apply_cdc``): ONE exchange of the change
+    log (window winner per key), one key-join against the snapshot, one
+    union — O(changes + snapshot), never a history rescan. Tombstones
+    add |deletes-in-horizon| rows; reclaim with
+    :func:`compact_tombstones` once the source's low watermark passes.
+    """
+    payload_cols = [
+        c for c in snapshot.columns if c not in (SEQ_META, DELETED_META)
+    ]
+    win = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), (F.col(op_col) == "D").desc()
+    )
+    last = (
+        changes.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # resolve each batch winner against the stored row for its key
+    cur = snapshot.select(
+        *key_cols,
+        F.col(SEQ_META).alias("__cur_seq"),
+        F.col(DELETED_META).alias("__cur_deleted"),
+    )
+    joined = last.join(cur, key_cols, "left")
+    change_wins = (
+        F.col("__cur_seq").isNull()
+        | (F.col(seq_col) > F.col("__cur_seq"))
+        | (
+            (F.col(seq_col) == F.col("__cur_seq"))
+            & (F.col(op_col) == "D")
+            & (~F.col("__cur_deleted"))
+        )
+    )
+    applied = joined.where(change_wins).select(
+        *payload_cols,
+        F.col(seq_col).cast("long").alias(SEQ_META),
+        (F.col(op_col) == "D").alias(DELETED_META),
+    )
+    # stored rows survive when unchallenged OR when they beat the winner
+    challenged_and_lost = joined.where(change_wins).select(*key_cols)
+    kept = snapshot.join(challenged_and_lost, key_cols, "left_anti")
+    return kept.unionByName(applied)

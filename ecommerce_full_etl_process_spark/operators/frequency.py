@@ -61,6 +61,10 @@ def misra_gries_candidates(
     values are MG lower bounds — diagnostics only, never the final
     answer (the caller rescores exactly).
     """
+    if k < 1:
+        # k=0 would silently yield an empty counter set → empty result,
+        # a silent wrong answer instead of a loud contract violation
+        raise ValueError(f"misra_gries_candidates requires k >= 1, got {k}")
 
     def _mg(batches: Iterator) -> Iterator:
         import pandas as pd

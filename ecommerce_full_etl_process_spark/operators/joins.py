@@ -205,8 +205,12 @@ def bloom_semi_join(
             might_contain = might_contain & c
         candidates = tmp.where(might_contain).drop(*probe_cols)
     else:
+        # Spark delivers the bitmap words as SIGNED 64-bit longs (bit 63
+        # set => negative). Reinterpret the bits explicitly: np.array(...,
+        # dtype=np.uint64) on negative ints is deprecated on NumPy 1.26
+        # and raises OverflowError on NumPy >= 2.0.
         bc_bitmap = facts.sparkSession.sparkContext.broadcast(
-            np.array(bitmap, dtype=np.uint64)
+            np.array(bitmap, dtype=np.int64).view(np.uint64)
         )
 
         @F.pandas_udf("boolean")

@@ -42,22 +42,22 @@ _REGISTRY: dict[
 ] = {
     # ------------------------------------------------------------------
     # Tier 1 — one entry per unique operator family (graded window).
-    # Round-7 rotation: 13 never-driver-graded families promoted
-    # (bloom_filtered_orders, dedup_keep_best_quality, hopping_event_rates,
-    # order_priority_counts, customer_order_distribution,
-    # promo_revenue_share, local_supplier_volume, table_stats_orders,
-    # suppliers_who_kept_waiting, discount_band_revenue,
-    # repeat_purchases_within_90d, snapshot_diff_orders,
-    # data_quality_expectations); 13 same-family-redundant slots demoted
-    # to tier 2 (each already driver-graded green in r01-r06 and still
-    # locally oracle-checked every run).
+    # Round-8 rotation: 16 never-driver-graded families promoted — the
+    # whole advanced-streaming family (stream-stream interval join,
+    # stateful sessionize, stream-static enrichment, streaming hopping
+    # windows, streaming MV maintenance), the IVF + int8-quantized ANN
+    # variants, trigram LM scoring, star-contraction connected
+    # components, the skew-safe as-of merge, TPC-H Q20/Q7 shapes, exact
+    # heavy hitters, incremental aggregate maintenance, CDC apply and
+    # Z-order pruned reads. 16 same-family-redundant slots demoted to
+    # tier 2 (each driver-graded green 2-7 rounds running and still
+    # locally oracle-checked every pytest run).
     # ------------------------------------------------------------------
     "flagship_revenue_by_nation": (
         analytics.flagship_revenue_by_nation,
         analytics.FLAGSHIP_ORACLE,
     ),
-    # SURVEY §2.1 scans (covers scan+filter+projection; the plain
-    # projection_filter variant graded r06, now tier 2)
+    # SURVEY §2.1 scans (covers scan+filter+projection+pushdown)
     "filtered_incremental_scan": (
         oq.filtered_incremental_scan,
         oq.FILTERED_INCREMENTAL_SCAN_ORACLE,
@@ -68,95 +68,48 @@ _REGISTRY: dict[
         oq.price_tolerance_check,
         oq.PRICE_TOLERANCE_CHECK_ORACLE,
     ),
-    # §2.4 joins
-    "semi_join_customers_with_orders": (
-        oq.semi_join_customers_with_orders,
-        oq.SEMI_JOIN_ORACLE,
-    ),
-    "anti_join_customers_without_orders": (
-        oq.anti_join_customers_without_orders,
-        oq.ANTI_JOIN_ORACLE,
-    ),
-    "latest_order_per_customer": (
-        oq.latest_order_per_customer,
-        oq.LATEST_ORDER_PER_CUSTOMER_ORACLE,
-    ),
-    "asof_events_to_orders": (
-        oq.asof_events_to_orders,
+    # §2.4 J3 as-of — the skew-safe two-phase merge strategy takes the
+    # graded slot this round (same oracle as the default merge strategy,
+    # which graded green r01-r07 and moves to tier 2)
+    "asof_events_to_orders_skewsafe": (
+        oq.asof_events_to_orders_skewsafe,
         oq.ASOF_EVENTS_TO_ORDERS_ORACLE,
     ),
-    # §2.6 SCD2 (merge = the centerpiece; the interval-construction
-    # variant graded r06, now tier 2)
+    # §2.6 SCD2 merge (centerpiece)
     "scd2_merge_customers": (
         sq.scd2_merge_customers,
         sq.SCD2_MERGE_CUSTOMERS_ORACLE,
     ),
-    # §2.4 J7 change-comparison join / §2.7 change detection
-    "change_comparison_join": (
-        sq.change_comparison_join,
-        sq.CHANGE_COMPARISON_JOIN_ORACLE,
-    ),
-    "change_detect_events": (
-        oq.change_detect_events,
-        oq.CHANGE_DETECT_EVENTS_ORACLE,
-    ),
-    # §2.5 aggregations / distinct / dedup
-    "first_occurrence_dedup": (
-        oq.first_occurrence_dedup,
-        oq.FIRST_OCCURRENCE_DEDUP_ORACLE,
-    ),
-    "conditional_counters": (
-        oq.conditional_counters,
-        oq.CONDITIONAL_COUNTERS_ORACLE,
-    ),
-    # §2.10 set ops
-    "union_split_streams": (oq.union_split_streams, oq.UNION_SPLIT_STREAMS_ORACLE),
-    # §2.8 scalar functions (ISO-calendar variant graded r06, now tier 2)
-    "multiformat_date_parse": (
-        oq.multiformat_date_parse,
-        oq.MULTIFORMAT_DATE_PARSE_ORACLE,
-    ),
-    "string_functions": (oq.string_functions, oq.STRING_FUNCTIONS_ORACLE),
-    # §2.3 validation pattern
-    "validation_rule_counts": (
-        oq.validation_rule_counts,
-        oq.VALIDATION_RULE_COUNTS_ORACLE,
-    ),
-    # §2.9 sorts / top-k (deterministic_sample graded r06, now tier 2)
-    "top_orders_by_value": (oq.top_orders_by_value, oq.TOP_ORDERS_BY_VALUE_ORACLE),
-    "pivot_status_by_priority": (
-        oq.pivot_status_by_priority,
-        oq.PIVOT_STATUS_BY_PRIORITY_ORACLE,
-    ),
-    "array_stats_embeddings": (
-        oq.array_stats_embeddings,
-        oq.ARRAY_STATS_EMBEDDINGS_ORACLE,
-    ),
-    # late-round-7 rotation: four NEW never-driver-graded families promoted
-    # (TPC-H Q6 pure-pushdown scan, interval×point range join, keyed
-    # snapshot reconciliation diff, deequ-style expectation suite);
-    # rollup_revenue / approx_distinct_counts / null_aware_aggregates /
-    # sessionize_events demoted — each driver-graded green 5-6 rounds
-    # running (r01-r06) and still locally oracle-checked every run.
-    "discount_band_revenue": (
-        oq.discount_band_revenue,
-        oq.DISCOUNT_BAND_REVENUE_ORACLE,
-    ),
-    "repeat_purchases_within_90d": (
-        oq.repeat_purchases_within_90d,
-        oq.REPEAT_PURCHASES_WITHIN_90D_ORACLE,
-    ),
+    # §2.7 change detection (keyed snapshot reconciliation diff)
     "snapshot_diff_orders": (
         oq.snapshot_diff_orders,
         oq.SNAPSHOT_DIFF_ORDERS_ORACLE,
     ),
+    # §2.3 validation / expectation suites
     "data_quality_expectations": (
         oq.data_quality_expectations,
         oq.DATA_QUALITY_EXPECTATIONS_ORACLE,
     ),
-    # LLM-data-pipeline: deduplication (round-6 rotation: the three
-    # fingerprint planted-pair variants collapsed to simhash in tier 1;
-    # n-gram-jaccard and winnowing grade locally in tier 2)
+    "validation_rule_counts": (
+        oq.validation_rule_counts,
+        oq.VALIDATION_RULE_COUNTS_ORACLE,
+    ),
+    # §2.1/§2.5 pure-pushdown aggregate scan (TPC-H Q6 shape)
+    "discount_band_revenue": (
+        oq.discount_band_revenue,
+        oq.DISCOUNT_BAND_REVENUE_ORACLE,
+    ),
+    # interval×point range join (bucketed equi-join rewrite)
+    "repeat_purchases_within_90d": (
+        oq.repeat_purchases_within_90d,
+        oq.REPEAT_PURCHASES_WITHIN_90D_ORACLE,
+    ),
+    # §2.8 scalar functions (4-format tolerant date parse)
+    "multiformat_date_parse": (
+        oq.multiformat_date_parse,
+        oq.MULTIFORMAT_DATE_PARSE_ORACLE,
+    ),
+    # LLM-data-pipeline: deduplication
     "dedup_exact_summary": (lq.dedup_exact_summary, lq.DEDUP_EXACT_SUMMARY_ORACLE),
     "minhash_lsh_neardups": (
         lq.minhash_lsh_neardups,
@@ -170,6 +123,17 @@ _REGISTRY: dict[
         lq.corpus_dedup_components,
         lq.CORPUS_DEDUP_COMPONENTS_ORACLE,
     ),
+    # round-8 promotion: O(log d) star-contraction CC variant (the 100 TB
+    # path when components outgrow the driver DSU) — never driver-graded
+    "corpus_dedup_components_star": (
+        lq.corpus_dedup_components_star,
+        lq.CORPUS_DEDUP_COMPONENTS_STAR_ORACLE,
+    ),
+    "dedup_keep_best_quality": (
+        lq.dedup_keep_best_quality,
+        lq.DEDUP_KEEP_BEST_QUALITY_ORACLE,
+    ),
+    # LLM-data-pipeline: curation
     "corpus_curation_stats": (
         lq.corpus_curation_stats,
         lq.CORPUS_CURATION_STATS_ORACLE,
@@ -178,10 +142,19 @@ _REGISTRY: dict[
         lq.token_budget_packing,
         lq.TOKEN_BUDGET_PACKING_ORACLE,
     ),
-    # LLM-data-pipeline: similarity search
+    # LLM-data-pipeline: similarity search (all three physical
+    # strategies graded this round: bucketed, IVF, int8-quantized)
     "similarity_topk_bucketed": (
         lq.similarity_topk_bucketed,
         lq.SIMILARITY_TOPK_BUCKETED_ORACLE,
+    ),
+    "similarity_topk_ivf": (
+        lq.similarity_topk_ivf,
+        lq.SIMILARITY_TOPK_IVF_ORACLE,
+    ),
+    "similarity_topk_quantized": (
+        lq.similarity_topk_quantized,
+        lq.SIMILARITY_TOPK_QUANTIZED_ORACLE,
     ),
     "embedding_neardup_pairs": (
         lq.embedding_neardup_pairs,
@@ -194,44 +167,79 @@ _REGISTRY: dict[
         lq.LANGUAGE_ID_HEURISTIC_ORACLE,
     ),
     "token_count_bpe": (lq.token_count_bpe, lq.TOKEN_COUNT_BPE_ORACLE),
+    # round-8 promotion: self-trained char-trigram LM quality scoring
+    "trigram_lm_scores": (
+        lq.trigram_lm_scores,
+        lq.TRIGRAM_LM_SCORES_ORACLE,
+    ),
+    # round-8 promotion: exact heavy hitters via bounded-state
+    # Misra-Gries candidates + exact rescore (operators/frequency.py)
+    "heavy_hitter_bigrams": (
+        lq.heavy_hitter_bigrams,
+        lq.HEAVY_HITTER_BIGRAMS_ORACLE,
+    ),
     # §2.11 multimodal: Arrow mapInPandas feature extraction vs SQL oracle
     "multimodal_features": (sq.multimodal_features, sq.MULTIMODAL_FEATURES_ORACLE),
-    # §2.12 streaming: real Structured Streaming query (AvailableNow → memory)
+    # §2.12 streaming — the WHOLE family takes graded slots this round
+    # (windowed counts graded r01-r07; the other four never graded):
+    # stream-stream interval join, custom stateful sessionization,
+    # stream-static broadcast enrichment, streaming hopping windows and
+    # the foreachBatch materialized-view maintenance loop
     "streaming_event_counts": (
         sp.streaming_event_counts,
         sp.STREAMING_EVENT_COUNTS_ORACLE,
     ),
-    # round-6 rotation promotions — four families previously stranded in
-    # tier 2 now graded: VARIANT semi-structured access, mergeable
-    # quantile sketches, time-range window frames, and incremental dedup
-    # against a persisted archive index
-    "variant_extract_events": (
-        oq.variant_extract_events,
-        oq.VARIANT_EXTRACT_EVENTS_ORACLE,
+    "streaming_click_purchase_join": (
+        sp.streaming_click_purchase_join,
+        sp.STREAMING_CLICK_PURCHASE_JOIN_ORACLE,
     ),
-    "order_value_quantiles": (
-        oq.order_value_quantiles,
-        oq.ORDER_VALUE_QUANTILES_ORACLE,
+    "stateful_sessionize": (
+        sp.stateful_sessionize,
+        sp.STATEFUL_SESSIONIZE_ORACLE,
     ),
-    "rolling_hourly_user_value": (
-        oq.rolling_hourly_user_value,
-        oq.ROLLING_HOURLY_USER_VALUE_ORACLE,
+    "streaming_enriched_segment_counts": (
+        sp.streaming_enriched_segment_counts,
+        sp.STREAMING_ENRICHED_SEGMENT_COUNTS_ORACLE,
     ),
-    "minhash_incremental_pairs": (
-        lq.minhash_incremental_pairs,
-        lq.MINHASH_INCREMENTAL_PAIRS_ORACLE,
+    "streaming_hopping_rates": (
+        sp.streaming_hopping_rates,
+        sp.STREAMING_HOPPING_RATES_ORACLE,
     ),
-    # round-7 rotation promotions — nine families never driver-graded
-    # before this round: Bloom-prefiltered semi join, quality-aware dedup
-    # retention, hopping windows, per-column table stats, and the TPC-H
-    # Q4/Q5/Q13/Q14/Q21 join-shape family
+    "streaming_agg_maintenance_state": (
+        sp.streaming_agg_maintenance_state,
+        sp.STREAMING_AGG_MAINTENANCE_STATE_ORACLE,
+    ),
+    # round-8 promotion: incremental aggregate maintenance — partial-state
+    # merge refresh (operators/incremental.py); oracle is the full rescan
+    "incremental_monthly_revenue": (
+        oq.incremental_monthly_revenue,
+        oq.INCREMENTAL_MONTHLY_REVENUE_ORACLE,
+    ),
+    # round-8 promotion: CDC apply — last-writer-wins upserts + delete
+    # tombstones folded into a snapshot (operators/cdc.py)
+    "cdc_apply_orders": (
+        oq.cdc_apply_orders,
+        oq.CDC_APPLY_ORDERS_ORACLE,
+    ),
+    # round-8 NEW: CDC × MV composition — one foreachBatch loop maintains
+    # the versioned snapshot (out-of-order-safe apply_cdc_versioned) AND
+    # its group aggregate (bounded affected-group re-aggregate with
+    # retraction), exactly-once across BOTH tables
+    "cdc_mv_maintenance_state": (
+        sp.cdc_mv_maintenance_state,
+        sp.CDC_MV_MAINTENANCE_STATE_ORACLE,
+    ),
+    # round-8 promotion: Z-order clustering + stats-pruned reads
+    # end-to-end (sources/io.py cluster_by_zorder/read_where)
+    "zorder_pruned_scan": (
+        oq.zorder_pruned_scan,
+        oq.ZORDER_PRUNED_SCAN_ORACLE,
+    ),
+    # §2.4 J1 semi join at fact scale (Bloom-prefiltered variant; the
+    # plain left_semi form graded r01-r07, now tier 2)
     "bloom_filtered_orders": (
         oq.bloom_filtered_orders,
         oq.BLOOM_FILTERED_ORDERS_ORACLE,
-    ),
-    "dedup_keep_best_quality": (
-        lq.dedup_keep_best_quality,
-        lq.DEDUP_KEEP_BEST_QUALITY_ORACLE,
     ),
     "hopping_event_rates": (
         oq.hopping_event_rates,
@@ -261,19 +269,99 @@ _REGISTRY: dict[
         oq.suppliers_who_kept_waiting,
         oq.SUPPLIERS_WHO_KEPT_WAITING_ORACLE,
     ),
+    # round-8 promotion: TPC-H Q20 shape — nested semi-join chain with a
+    # correlated-aggregate threshold (part → supply pairs → supplier)
+    "surplus_part_suppliers": (
+        oq.surplus_part_suppliers,
+        oq.SURPLUS_PART_SUPPLIERS_ORACLE,
+    ),
+    # round-8 promotion: TPC-H Q7 shape — two-nation disjunctive join
+    "bilateral_trade_volume": (
+        oq.bilateral_trade_volume,
+        oq.BILATERAL_TRADE_VOLUME_ORACLE,
+    ),
     # ------------------------------------------------------------------
     # Tier 2 — same-family variants (past the graded window)
     # ------------------------------------------------------------------
-    # round-7 rotation demotions (all driver-graded green in r05/r06;
-    # their families remain represented in tier 1 by
-    # filtered_incremental_scan, conditional_counters /
-    # customer_order_distribution, table_stats_orders,
-    # multiformat_date_parse, top_orders_by_value, variant_extract_events,
-    # rolling_hourly_user_value and scd2_merge_customers)
+    # round-8 rotation demotions (each driver-graded green 2-7 rounds:
+    # semi/anti join r01-r07, default as-of merge r07, change-comparison
+    # r07, change-detect r01-r07, first-occurrence dedup r07, conditional
+    # counters r07, union split r07, string functions r07, top-k r07,
+    # pivot r07, array stats r07, variant/quantile/window-frame/
+    # incremental-minhash r06+r07). Families remain represented in
+    # tier 1 by bloom_filtered_orders (semi), part-diversity/Q22-style
+    # anti joins in the long-tail shapes, asof_events_to_orders_skewsafe
+    # (same oracle), scd2_merge_customers, snapshot_diff_orders,
+    # dedup_exact_summary/dedup_keep_best_quality,
+    # customer_order_distribution (aggregates), multiformat_date_parse
+    # (scalar fns), suppliers_who_kept_waiting (sorts/top-k via its
+    # ordered output), hopping_event_rates (window frames) and
+    # minhash_lsh_neardups.
+    "semi_join_customers_with_orders": (
+        oq.semi_join_customers_with_orders,
+        oq.SEMI_JOIN_ORACLE,
+    ),
+    # J2 current-version lookup (graded r01-r07; per-key-winner family
+    # represented in tier 1 by dedup_keep_best_quality)
+    "latest_order_per_customer": (
+        oq.latest_order_per_customer,
+        oq.LATEST_ORDER_PER_CUSTOMER_ORACLE,
+    ),
+    "anti_join_customers_without_orders": (
+        oq.anti_join_customers_without_orders,
+        oq.ANTI_JOIN_ORACLE,
+    ),
+    # J3 default physical strategy (fanout-free merged timeline; graded
+    # r01-r07, same oracle as the graded skew-safe variant)
+    "asof_events_to_orders": (
+        oq.asof_events_to_orders,
+        oq.ASOF_EVENTS_TO_ORDERS_ORACLE,
+    ),
+    "change_comparison_join": (
+        sq.change_comparison_join,
+        sq.CHANGE_COMPARISON_JOIN_ORACLE,
+    ),
+    "change_detect_events": (
+        oq.change_detect_events,
+        oq.CHANGE_DETECT_EVENTS_ORACLE,
+    ),
+    "first_occurrence_dedup": (
+        oq.first_occurrence_dedup,
+        oq.FIRST_OCCURRENCE_DEDUP_ORACLE,
+    ),
+    "conditional_counters": (
+        oq.conditional_counters,
+        oq.CONDITIONAL_COUNTERS_ORACLE,
+    ),
+    "union_split_streams": (oq.union_split_streams, oq.UNION_SPLIT_STREAMS_ORACLE),
+    "string_functions": (oq.string_functions, oq.STRING_FUNCTIONS_ORACLE),
+    "top_orders_by_value": (oq.top_orders_by_value, oq.TOP_ORDERS_BY_VALUE_ORACLE),
+    "pivot_status_by_priority": (
+        oq.pivot_status_by_priority,
+        oq.PIVOT_STATUS_BY_PRIORITY_ORACLE,
+    ),
+    "array_stats_embeddings": (
+        oq.array_stats_embeddings,
+        oq.ARRAY_STATS_EMBEDDINGS_ORACLE,
+    ),
+    "variant_extract_events": (
+        oq.variant_extract_events,
+        oq.VARIANT_EXTRACT_EVENTS_ORACLE,
+    ),
+    "order_value_quantiles": (
+        oq.order_value_quantiles,
+        oq.ORDER_VALUE_QUANTILES_ORACLE,
+    ),
+    "rolling_hourly_user_value": (
+        oq.rolling_hourly_user_value,
+        oq.ROLLING_HOURLY_USER_VALUE_ORACLE,
+    ),
+    "minhash_incremental_pairs": (
+        lq.minhash_incremental_pairs,
+        lq.MINHASH_INCREMENTAL_PAIRS_ORACLE,
+    ),
+    # round-7 rotation demotions (all driver-graded green in r05/r06)
     "projection_filter": (oq.projection_filter, oq.PROJECTION_FILTER_ORACLE),
-    # late-round-7 rotation demotions (driver-graded green r01-r06;
-    # aggregate/window families remain in tier 1 via conditional_counters,
-    # order_value_quantiles, table_stats_orders and hopping_event_rates)
     "rollup_revenue": (oq.rollup_revenue, oq.ROLLUP_REVENUE_ORACLE),
     "approx_distinct_counts": (
         oq.approx_distinct_counts,
@@ -287,34 +375,20 @@ _REGISTRY: dict[
         analytics.sessionize_events,
         analytics.SESSIONIZE_EVENTS_ORACLE,
     ),
-    # J3 alternate physical strategy: the candidate-join (fanout) form —
-    # same oracle as the graded entry, whose default is now the
-    # merged-timeline strategy (measured 2-3× faster at every scale)
+    # J3 alternate physical strategy: the candidate-join (fanout) form
     "asof_events_to_orders_fanout": (
         oq.asof_events_to_orders_fanout,
         oq.ASOF_EVENTS_TO_ORDERS_ORACLE,
     ),
-    # J3 skew-safe two-phase merge: hot keys split by (key, day-bucket)
-    "asof_events_to_orders_skewsafe": (
-        oq.asof_events_to_orders_skewsafe,
-        oq.ASOF_EVENTS_TO_ORDERS_ORACLE,
-    ),
-    # round-7 TPC-H long-tail shapes (Q2/Q7/Q8/Q9/Q12/Q15/Q16/Q17/Q19
-    # analogues — join-order, conditional-agg, decorrelation and
-    # disjunctive-pushdown stress; families already represented in the
-    # graded window by flagship/promo/suppliers_who_kept_waiting).
-    # Round-8 rotation candidates (never driver-graded, first in line
-    # for tier-1 slots next round): bilateral_trade_volume,
-    # product_type_profit, part_supplier_diversity, top_revenue_supplier,
-    # best_price_supplier_per_part, asof_events_to_orders_fanout,
-    # gap_filled_daily_order_counts, returned_item_revenue,
-    # heavy_hitter_bigrams, incremental_monthly_revenue,
-    # asof_events_to_orders_skewsafe, grouping_sets_revenue,
-    # interpolated_daily_values.
-    "bilateral_trade_volume": (
-        oq.bilateral_trade_volume,
-        oq.BILATERAL_TRADE_VOLUME_ORACLE,
-    ),
+    # round-7 TPC-H long-tail shapes (Q2/Q8/Q9/Q12/Q15/Q16/Q17/Q19
+    # analogues). Round-9 rotation candidates (never driver-graded):
+    # nation_market_share, product_type_profit, part_supplier_diversity,
+    # top_revenue_supplier, shipping_delay_priority_mix,
+    # small_quantity_revenue, disjunctive_promo_revenue,
+    # best_price_supplier_per_part, grouping_sets_revenue,
+    # interpolated_daily_values, gap_filled_daily_order_counts,
+    # returned_item_revenue, important_part_revenue,
+    # lapsed_high_balance_customers, customer_revenue_deciles.
     "nation_market_share": (
         oq.nation_market_share,
         oq.NATION_MARKET_SHARE_ORACLE,
@@ -382,8 +456,6 @@ _REGISTRY: dict[
         analytics.pricing_summary,
         analytics.PRICING_SUMMARY_ORACLE,
     ),
-    # round-6 rotation demotions (families already represented in tier 1
-    # by regex_predicate / simhash_planted_pairs)
     "domain_predicate": (oq.domain_predicate, oq.DOMAIN_PREDICATE_ORACLE),
     "null_blank_predicate": (
         oq.null_blank_predicate,
@@ -451,10 +523,6 @@ _REGISTRY: dict[
         lq.embedding_dimension_stats,
         lq.EMBEDDING_DIMENSION_STATS_ORACLE,
     ),
-    "similarity_topk_ivf": (
-        lq.similarity_topk_ivf,
-        lq.SIMILARITY_TOPK_IVF_ORACLE,
-    ),
     "salted_join_revenue": (
         oq.salted_join_revenue,
         oq.SALTED_JOIN_REVENUE_ORACLE,
@@ -503,43 +571,10 @@ _REGISTRY: dict[
         lq.corpus_prep_pipeline,
         lq.CORPUS_PREP_PIPELINE_ORACLE,
     ),
-    # round-5: stream-stream interval join (click→purchase attribution)
-    "streaming_click_purchase_join": (
-        sp.streaming_click_purchase_join,
-        sp.STREAMING_CLICK_PURCHASE_JOIN_ORACLE,
-    ),
-    # round-5: custom stateful streaming sessionization (applyInPandasWithState
-    # + event-time timeout) — emitted rows = batch sessions minus each user's
-    # still-open trailing session
-    "stateful_sessionize": (
-        sp.stateful_sessionize,
-        sp.STATEFUL_SESSIONIZE_ORACLE,
-    ),
-    # round-5: two-stage quantized ANN (int8 shortlist → float rescore)
-    "similarity_topk_quantized": (
-        lq.similarity_topk_quantized,
-        lq.SIMILARITY_TOPK_QUANTIZED_ORACLE,
-    ),
-    # round-5: stream-static dimension enrichment (broadcast, stateless)
-    "streaming_enriched_segment_counts": (
-        sp.streaming_enriched_segment_counts,
-        sp.STREAMING_ENRICHED_SEGMENT_COUNTS_ORACLE,
-    ),
     # round-5: ExactSubstr-style cross-doc repeated-span signal
     "repeated_ngram_spans": (
         lq.repeated_ngram_spans,
         lq.REPEATED_NGRAM_SPANS_ORACLE,
-    ),
-    # round-5: O(log d) star-contraction CC variant, same oracle as the
-    # adaptive DSU/min-label path
-    "corpus_dedup_components_star": (
-        lq.corpus_dedup_components_star,
-        lq.CORPUS_DEDUP_COMPONENTS_STAR_ORACLE,
-    ),
-    # round-5: self-trained char-trigram LM quality scoring (CCNet-style)
-    "trigram_lm_scores": (
-        lq.trigram_lm_scores,
-        lq.TRIGRAM_LM_SCORES_ORACLE,
     ),
     # round-5: blocked Levenshtein entity resolution
     "fuzzy_name_match": (
@@ -584,18 +619,6 @@ _REGISTRY: dict[
         oq.customer_revenue_deciles,
         oq.CUSTOMER_REVENUE_DECILES_ORACLE,
     ),
-    # round-6: hopping windows in their STREAMING form (4 state rows per
-    # event, AvailableNow drain ≡ the batch hopping aggregate)
-    "streaming_hopping_rates": (
-        sp.streaming_hopping_rates,
-        sp.STREAMING_HOPPING_RATES_ORACLE,
-    ),
-    # round-7: TPC-H Q20 shape — nested semi-join chain with a
-    # correlated-aggregate threshold (part → supply pairs → supplier)
-    "surplus_part_suppliers": (
-        oq.surplus_part_suppliers,
-        oq.SURPLUS_PART_SUPPLIERS_ORACLE,
-    ),
     # round-7: TPC-H Q11 shape — per-group aggregate vs a global-scalar
     # threshold derived from the SAME aggregate (no second fact scan)
     "important_part_revenue": (
@@ -607,39 +630,6 @@ _REGISTRY: dict[
         oq.lapsed_high_balance_customers,
         oq.LAPSED_HIGH_BALANCE_CUSTOMERS_ORACLE,
     ),
-    # round-7: exact heavy hitters via bounded-state Misra-Gries
-    # candidates + exact rescore (operators/frequency.py) — the oracle
-    # is the brute-force full-vocabulary groupBy the sketch replaces
-    "heavy_hitter_bigrams": (
-        lq.heavy_hitter_bigrams,
-        lq.HEAVY_HITTER_BIGRAMS_ORACLE,
-    ),
-    # round-7: incremental aggregate maintenance — partial-state merge
-    # refresh (operators/incremental.py); oracle is the full rescan
-    "incremental_monthly_revenue": (
-        oq.incremental_monthly_revenue,
-        oq.INCREMENTAL_MONTHLY_REVENUE_ORACLE,
-    ),
-    # round-7: CDC apply — last-writer-wins upserts + delete tombstones
-    # folded into a snapshot (operators/cdc.py)
-    "cdc_apply_orders": (
-        oq.cdc_apply_orders,
-        oq.CDC_APPLY_ORDERS_ORACLE,
-    ),
-    # round-7: streaming materialized-view maintenance end-to-end — the
-    # foreachBatch state-merge loop with the state-embedded exactly-once
-    # marker, drained and finalized against the full-scan oracle
-    "streaming_agg_maintenance_state": (
-        sp.streaming_agg_maintenance_state,
-        sp.STREAMING_AGG_MAINTENANCE_STATE_ORACLE,
-    ),
-    # round-7: Z-order clustering + stats-pruned reads end-to-end —
-    # pruned file-skipping scans on both interleaved axes vs the plain
-    # full-scan oracle (sources/io.py cluster_by_zorder/read_where)
-    "zorder_pruned_scan": (
-        oq.zorder_pruned_scan,
-        oq.ZORDER_PRUNED_SCAN_ORACLE,
-    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).
@@ -649,31 +639,18 @@ TIER1_REQUIRED = frozenset(
         "filtered_incremental_scan",
         "regex_predicate",
         "price_tolerance_check",
-        "semi_join_customers_with_orders",
-        "anti_join_customers_without_orders",
-        "latest_order_per_customer",
-        "asof_events_to_orders",
         "scd2_merge_customers",
-        "change_comparison_join",
-        "change_detect_events",
-        "first_occurrence_dedup",
-        "conditional_counters",
-        "union_split_streams",
-        "multiformat_date_parse",
-        "string_functions",
-        "validation_rule_counts",
-        "top_orders_by_value",
-        "pivot_status_by_priority",
-        "array_stats_embeddings",
-        # late-round-7 rotation promotions (first driver grading r07)
-        "discount_band_revenue",
-        "repeat_purchases_within_90d",
         "snapshot_diff_orders",
         "data_quality_expectations",
+        "validation_rule_counts",
+        "discount_band_revenue",
+        "repeat_purchases_within_90d",
+        "multiformat_date_parse",
         "dedup_exact_summary",
         "minhash_lsh_neardups",
         "simhash_planted_pairs",
         "corpus_dedup_components",
+        "dedup_keep_best_quality",
         "corpus_curation_stats",
         "token_budget_packing",
         "similarity_topk_bucketed",
@@ -683,14 +660,7 @@ TIER1_REQUIRED = frozenset(
         "token_count_bpe",
         "multimodal_features",
         "streaming_event_counts",
-        # round-6 rotation promotions
-        "variant_extract_events",
-        "order_value_quantiles",
-        "rolling_hourly_user_value",
-        "minhash_incremental_pairs",
-        # round-7 rotation promotions (first driver grading this round)
         "bloom_filtered_orders",
-        "dedup_keep_best_quality",
         "hopping_event_rates",
         "table_stats_orders",
         "order_priority_counts",
@@ -698,6 +668,24 @@ TIER1_REQUIRED = frozenset(
         "customer_order_distribution",
         "promo_revenue_share",
         "suppliers_who_kept_waiting",
+        # round-8 rotation promotions (first driver grading this round)
+        "asof_events_to_orders_skewsafe",
+        "corpus_dedup_components_star",
+        "similarity_topk_ivf",
+        "similarity_topk_quantized",
+        "trigram_lm_scores",
+        "heavy_hitter_bigrams",
+        "streaming_click_purchase_join",
+        "stateful_sessionize",
+        "streaming_enriched_segment_counts",
+        "streaming_hopping_rates",
+        "streaming_agg_maintenance_state",
+        "incremental_monthly_revenue",
+        "cdc_apply_orders",
+        "cdc_mv_maintenance_state",
+        "zorder_pruned_scan",
+        "surplus_part_suppliers",
+        "bilateral_trade_volume",
     }
 )
 

@@ -2037,16 +2037,23 @@ def important_part_revenue(spark, sf_dir):
     part-bounded) instead of re-scanning the fact table, and joined back
     as a broadcast 1-row frame. ``localCheckpoint`` pins the per-part
     aggregate so its two consumers (threshold + filter) don't recompute
-    the fact scan (multi-consumer recompute hazard). Both engines compare
-    cent-rounded values so an FP tail in the float sum can't flip a
-    boundary part's membership between Spark and the oracle.
+    the fact scan (multi-consumer recompute hazard). Accumulation is in
+    decimal(18,4): exact decimal sums are associative, so the per-part
+    values AND the re-summed total are bit-identical to the oracle's
+    direct lineitem sum regardless of association order, and the strict
+    ``>`` threshold (an exact decimal × decimal product) can never flip
+    a boundary part between engines (round-7 advice: the previous
+    cent-rounded double comparison only pinned each side's
+    representation, not the shared threshold).
 
     At 100 TB: per-part is |parts|-bounded (dimension-sized), the only
     fact-scale work is the one map-side-combined groupBy.
     """
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("v"),
     )
     per_part = (
         li.groupBy("l_partkey")
@@ -2057,22 +2064,31 @@ def important_part_revenue(spark, sf_dir):
     return (
         per_part.crossJoin(F.broadcast(total))
         .where(
-            F.round("part_value", 2)
-            > F.round(F.col("__total") * 0.00065, 2)
+            F.col("part_value")
+            > F.col("__total") * F.expr("CAST(0.00065 AS DECIMAL(10,8))")
         )
-        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+        .select(
+            "l_partkey",
+            F.round("part_value", 2).cast("double").alias("part_value"),
+        )
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
 
 
 IMPORTANT_PART_REVENUE_ORACLE = """
-SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
-         AS part_value
-FROM lineitem
-GROUP BY l_partkey
-HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) >
-       (SELECT round(sum(l_extendedprice * (1 - l_discount)) * 0.00065, 2)
-        FROM lineitem)
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS part_value
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(round(part_value, 2) AS DOUBLE) AS part_value
+FROM per_part
+WHERE part_value >
+      (SELECT sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4))) * CAST(0.00065 AS DECIMAL(10,8))
+       FROM lineitem)
 ORDER BY part_value DESC, l_partkey ASC
 """
 
@@ -3320,24 +3336,34 @@ def zorder_pruned_scan(spark, sf_dir):
     lets BOTH predicates skip files from one rewrite; the oracle only
     checks correctness (pruning effectiveness is pinned by
     tests/test_scale_tools.py)."""
-    import os
+    import shutil
     import tempfile
 
     from ..sources.io import TableStore
 
-    store = TableStore(spark, tempfile.mkdtemp(prefix="zorder_q_"))
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    store.overwrite("orders_z", o.repartition(8))
-    store.cluster_by_zorder("orders_z", ["o_totalprice", "o_custkey"], 16)
-    by_price = store.read_where(
-        "orders_z", "o_totalprice", 50_000.0, 100_000.0
-    ).select("o_orderkey", F.lit("price_band").alias("probe"))
-    by_cust = store.read_where("orders_z", "o_custkey", 100, 499).select(
-        "o_orderkey", F.lit("cust_band").alias("probe")
-    )
-    return by_price.unionByName(by_cust).localCheckpoint(eager=True)
+    root = tempfile.mkdtemp(prefix="zorder_q_")
+    try:
+        store = TableStore(spark, root)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        store.overwrite("orders_z", o.repartition(8))
+        store.cluster_by_zorder(
+            "orders_z", ["o_totalprice", "o_custkey"], 16
+        )
+        by_price = store.read_where(
+            "orders_z", "o_totalprice", 50_000.0, 100_000.0
+        ).select("o_orderkey", F.lit("price_band").alias("probe"))
+        by_cust = store.read_where("orders_z", "o_custkey", 100, 499).select(
+            "o_orderkey", F.lit("cust_band").alias("probe")
+        )
+        return by_price.unionByName(by_cust).localCheckpoint(eager=True)
+    finally:
+        # the eager localCheckpoint pins the result in the block manager;
+        # the parquet files are no longer needed — without this, every
+        # invocation (bench runs each query >= 3x) leaked a full
+        # clustered copy of orders to disk
+        shutil.rmtree(root, ignore_errors=True)
 
 
 ZORDER_PRUNED_SCAN_ORACLE = """

@@ -483,8 +483,49 @@ class TableStore:
         self.overwrite(table, df)
         self.collect_stats(table)
 
+    @staticmethod
+    def _with_rank_bucket(
+        df: DataFrame, out_col: str, col: str, edges: list[float], bits: int
+    ) -> DataFrame:
+        """Add ``out_col``: the equi-depth bucket id = count of quantile
+        ``edges`` <= value, found by a ``bits``-step binary search
+        (find-last-true over the monotone prefix ``edges[i] <= value``,
+        duplicate-edge safe). Each step is STAGED as its own column —
+        one ``element_at`` + compare + conditional add referencing the
+        PREVIOUS step's column, never its expression tree. Inlining the
+        steps instead multiplies the tree ~3× per step (the candidate
+        index appears in the condition, the branch value and the
+        otherwise), i.e. 3^bits copies of the edge-array literal — which
+        OOMs the JVM at plan time before a single row moves. NULL values
+        land in bucket 0 (the WHEN chain never fires on NULL compares)."""
+        if not edges:
+            return df.withColumn(out_col, F.lit(0).cast("long"))
+        edges = sorted(float(e) for e in edges)
+        arr = F.array(*[F.lit(e) for e in edges])
+        n = len(edges)
+        v = F.col(col).cast("double")
+        df = df.withColumn(out_col, F.lit(0).cast("long"))
+        for step in reversed(range(bits)):
+            cand = F.col(out_col) + F.lit(1 << step)
+            # clamp the probe index: SQL AND does not short-circuit, so
+            # element_at(arr, cand) with cand > n would raise under ANSI
+            # mode even though the guard is false
+            probe = F.element_at(arr, F.least(cand, F.lit(n)).cast("int"))
+            df = df.withColumn(
+                out_col,
+                F.when((cand <= F.lit(n)) & (v >= probe), cand)
+                .otherwise(F.col(out_col))
+                .cast("long"),
+            )
+        return df
+
     def cluster_by_zorder(
-        self, table: str, cols: list[str], num_files: int, bits: int = 10
+        self,
+        table: str,
+        cols: list[str],
+        num_files: int,
+        bits: int = 10,
+        bucketing: str = "linear",
     ) -> None:
         """Multi-column layout rewrite (the Delta OPTIMIZE ZORDER
         analogue): interleave the bits of each column's scaled bucket id
@@ -496,46 +537,79 @@ class TableStore:
         them — the property that makes a single layout serve several
         query predicates at 100 TB.
 
-        Mechanics: each numeric column is linearly scaled into a
-        ``bits``-wide bucket from table-level min/max collected in one
-        tiny aggregate (k scalars to the driver); the Morton key is a
-        pure JVM column expression (``bits × k`` shift/mask terms inside
-        whole-stage codegen), so the rewrite is scan → map → one range
-        exchange — identical cost shape to linear clustering. Linear
-        min/max scaling keeps interleaving cheap; a heavily skewed
-        column wants a rank-based bucketing instead (the classic
-        z-order caveat, left to the caller's judgment).
+        ``bucketing`` picks how values map to the ``bits``-wide bucket:
+
+        - ``"linear"``: scale between table min/max, collected in one
+          tiny aggregate (k scalars to the driver). Cheapest, but ONE
+          outlier stretches the range until every real value collapses
+          into a single bucket and pruning dies — the classic z-order
+          caveat.
+        - ``"rank"``: equi-DEPTH buckets from ``percentile_approx``
+          edges (one aggregate, ``k × (2^bits - 1)`` doubles to the
+          driver). Each bucket holds ~1/2^bits of the ROWS no matter
+          how skewed the values, so outliers cost one bucket, not the
+          whole layout. The per-row bucket id is a ``bits``-step binary
+          search over the literal edge array (element_at + compare per
+          step, all inside whole-stage codegen) — O(bits) per row, NOT
+          a 2^bits-element scan.
+
+        Either way the Morton key is a pure JVM column expression
+        (``bits × k`` shift/mask terms), so the rewrite is scan → map →
+        one range exchange — identical cost shape to linear clustering.
         """
+        if bucketing not in ("linear", "rank"):
+            raise ValueError(
+                f"bucketing must be 'linear' or 'rank', got {bucketing!r}"
+            )
         df = self.read(table)
-        stats = df.agg(
-            *[F.min(c).alias(f"mn_{c}") for c in cols],
-            *[F.max(c).alias(f"mx_{c}") for c in cols],
-        ).collect()[0]
         top = (1 << bits) - 1
-        bucket_cols = []
-        for c in cols:
-            mn = float(stats[f"mn_{c}"])
-            mx = float(stats[f"mx_{c}"])
-            if mx > mn:
-                scaled = (F.col(c).cast("double") - mn) * top / (mx - mn)
-                b = F.least(
-                    F.greatest(F.floor(scaled), F.lit(0)), F.lit(top)
-                ).cast("long")
-            else:
-                b = F.lit(0).cast("long")
-            bucket_cols.append(b)
+        # bucket ids are STAGED as columns: the Morton interleave below
+        # references each bucket ``bits`` times, and the rank-mode bucket
+        # is itself a deep WHEN chain — inlining either multiplies the
+        # expression tree until planning OOMs (see _with_rank_bucket)
+        bnames = [f"__zb_{i}" for i in range(len(cols))]
+        if bucketing == "rank":
+            probs = [i / (1 << bits) for i in range(1, (1 << bits))]
+            edge_rows = df.agg(
+                *[
+                    F.percentile_approx(
+                        F.col(c).cast("double"), probs, 10_000
+                    ).alias(c)
+                    for c in cols
+                ]
+            ).collect()[0]
+            for i, c in enumerate(cols):
+                df = self._with_rank_bucket(
+                    df, bnames[i], c, list(edge_rows[c] or []), bits
+                )
+        else:
+            stats = df.agg(
+                *[F.min(c).alias(f"mn_{c}") for c in cols],
+                *[F.max(c).alias(f"mx_{c}") for c in cols],
+            ).collect()[0]
+            for i, c in enumerate(cols):
+                mn = float(stats[f"mn_{c}"])
+                mx = float(stats[f"mx_{c}"])
+                if mx > mn:
+                    scaled = (F.col(c).cast("double") - mn) * top / (mx - mn)
+                    b = F.least(
+                        F.greatest(F.floor(scaled), F.lit(0)), F.lit(top)
+                    ).cast("long")
+                else:
+                    b = F.lit(0).cast("long")
+                df = df.withColumn(bnames[i], b)
         zkey = F.lit(0).cast("long")
         for bit in range(bits):
-            for i, b in enumerate(bucket_cols):
+            for i, name in enumerate(bnames):
                 zkey = zkey + F.shiftleft(
-                    F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                    F.shiftright(F.col(name), bit).bitwiseAND(F.lit(1)),
                     bit * len(cols) + i,
                 )
         out = (
             df.withColumn("__zkey", zkey)
             .repartitionByRange(num_files, F.col("__zkey"))
             .sortWithinPartitions("__zkey")
-            .drop("__zkey")
+            .drop("__zkey", *bnames)
         )
         self.overwrite(table, out)
         self.collect_stats(table)

@@ -354,6 +354,93 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — isolate the section
         errors["asof_decomposition"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # ---- skew-safe as-of: 90%-hot-key timeline (round-8) ----------------
+    # The plain merge strategy partitions by key, so a hot key's ENTIRE
+    # timeline is one task — the canonical fact×fact straggler. The claim
+    # for asof_merge_join_skewed: on a 90%-hot timeline it stays within a
+    # small factor of ITSELF on a uniform timeline of the same size
+    # (skew ≈ no-skew wall), while the plain form degrades with the hot
+    # key's share. Synthetic deterministic timelines; forced full-output
+    # materialization (bit_xor of xxhash64) so no component prunes away.
+    asof_skew: dict[str, dict[str, float]] = {}
+    try:
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from ecommerce_full_etl_process_spark.operators.joins import (
+            asof_merge_join,
+            asof_merge_join_skewed,
+        )
+
+        EPOCH = 1_600_000_000
+        SPAN = 86_400 * 30  # 30-day timeline → ~30 day-buckets
+
+        def _timeline(n_left: int, n_right: int, hot: bool):
+            def keyed(df):
+                if hot:  # 90% of rows on key 0, rest spread over 1..999
+                    k = F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(
+                        F.col("id") % 1000
+                    )
+                else:
+                    k = F.col("id") % 1000
+                return df.withColumn("user_id", k.cast("long"))
+
+            ts = F.timestamp_seconds(
+                F.lit(EPOCH) + (F.col("id") * 37) % SPAN
+            )
+            lft = keyed(spark.range(n_left)).select(
+                F.col("id").alias("event_id"), "user_id", ts.alias("ts")
+            )
+            rgt = keyed(spark.range(n_right)).select(
+                F.col("id").alias("o_orderkey"),
+                "user_id",
+                ts.alias("o_ts"),
+            )
+            return lft, rgt
+
+        def _time_hash(df) -> float:
+            t0 = time.perf_counter()
+            df.select(
+                F.bit_xor(
+                    F.xxhash64("event_id", "user_id", "o_orderkey")
+                )
+            ).collect()
+            return time.perf_counter() - t0
+
+        for m in mults:
+            n_l, n_r = 100_000 * m, 20_000 * m
+            hot_l, hot_r = _timeline(n_l, n_r, hot=True)
+            uni_l, uni_r = _timeline(n_l, n_r, hot=False)
+            comp = {}
+            for label, (ll, rr, fn) in {
+                "plain_hot": (hot_l, hot_r, asof_merge_join),
+                "skewsafe_hot": (hot_l, hot_r, asof_merge_join_skewed),
+                "skewsafe_uniform": (uni_l, uni_r, asof_merge_join_skewed),
+            }.items():
+                samples = [
+                    _time_hash(
+                        fn(ll, rr, "user_id", "ts", "o_ts", ["o_orderkey"])
+                    )
+                    for _ in range(args.repeats)
+                ]
+                comp[label] = round(min(samples), 3)
+            comp["skew_penalty"] = round(
+                comp["skewsafe_hot"] / comp["skewsafe_uniform"], 2
+            )
+            comp["vs_plain"] = round(
+                comp["plain_hot"] / comp["skewsafe_hot"], 2
+            )
+            asof_skew[f"x{m}"] = comp
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        b = asof_skew[f"x{mults[0]}"]
+        for m in mults[1:]:
+            cur = asof_skew[f"x{m}"]
+            for kk in ("plain_hot", "skewsafe_hot", "skewsafe_uniform"):
+                if b.get(kk):
+                    cur[f"growth_{kk}"] = round(cur[kk] / b[kk], 2)
+    except Exception as exc:  # noqa: BLE001 — isolate the section
+        errors["asof_skew"] = f"{type(exc).__name__}: {exc}"[:500]
+
     base = mults[0]
     for table in (timings, rel_timings):
         for name in table:
@@ -379,6 +466,7 @@ def main() -> None:
         "relational_queries": rel_timings,
         "incremental_dedup": incremental,
         "asof_decomposition": asof_decomp,
+        "asof_skew": asof_skew,
         "result_rows": {n: {f"x{m}": c for m, c in v.items()} for n, v in rows.items()},
         "repeats_min": args.repeats,
         "partial": bool(errors),

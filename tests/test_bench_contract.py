@@ -26,6 +26,8 @@ def _fake_full(n_queries: int) -> dict:
     return {
         "metric": "headline_queries_total_wall",
         "value": 99999.999,
+        "materialized_total_wall": 88888.888,
+        "materialized_n": n_queries - 2,
         "unit": "sec",
         "partial": False,
         "queries": qs,
@@ -43,6 +45,21 @@ def test_summary_line_under_500_chars_even_at_500_queries():
     assert parsed["metric"] == "headline_queries_total_wall"
     assert parsed["value"] == 99999.999
     assert parsed["n_queries"] == 500
+    # round-8: the honest full-materialization total rides in the
+    # summary, labeled with its coverage
+    assert parsed["materialized_total_wall"] == 88888.888
+    assert parsed["materialized_n"] == 498
+
+
+def test_summary_line_materialized_keys_survive_absence():
+    """A materialize-disabled run must still emit the keys (null/0) so
+    the driver artifact's schema is stable across modes."""
+    full = _fake_full(10)
+    del full["materialized_total_wall"]
+    del full["materialized_n"]
+    parsed = json.loads(bench.summary_line(full))
+    assert parsed["materialized_total_wall"] is None
+    assert parsed["materialized_n"] == 0
 
 
 def test_summary_line_is_parseable_with_errors_and_null_total():

@@ -164,6 +164,7 @@ SHUFFLE_BUDGET = {
     # returns the finalized checkpointed state frame (the stream runs
     # during construction, like the other foreachBatch entries)
     "streaming_agg_maintenance_state": 0,
+    "cdc_mv_maintenance_state": 0,
     # returns a checkpointed union of two pruned reads
     "zorder_pruned_scan": 0,
 }

@@ -99,3 +99,130 @@ def test_untouched_keys_pass_through(spark):
         r["k"]: r["v"] for r in apply_cdc(snap, chg, ["k"], "seq").collect()
     }
     assert got == {1: 1.0, 2: 5.0}
+
+
+# ---------------------------------------------------------------------------
+# Versioned (cross-batch) apply — round-8: out-of-order sequences across
+# batches + tombstone retention (verdict item 5)
+# ---------------------------------------------------------------------------
+
+from ecommerce_full_etl_process_spark.operators.cdc import (  # noqa: E402
+    apply_cdc_versioned,
+    compact_tombstones,
+    strip_versioned,
+    to_versioned,
+)
+
+
+def _rand_log(rng, n_changes=120, n_keys=60, n_seqs=8):
+    changes = []
+    for _ in range(n_changes):
+        key = rng.randrange(n_keys)
+        seq = rng.randrange(1, n_seqs)
+        op = rng.choice(["U", "U", "I", "D"])
+        changes.append((key, float(rng.randrange(1000)), seq, op))
+    # force same-seq D/U ties
+    changes.append((0, 111.0, 99, "U"))
+    changes.append((0, 222.0, 99, "D"))
+    # well-defined winners: one non-D value and at most one D per (key, seq)
+    byks = {}
+    for c in changes:
+        byks.setdefault((c[0], c[2], c[3] == "D"), c)
+    return list(byks.values())
+
+
+def test_split_log_equals_whole_log_property(spark):
+    """THE versioned-apply contract: for random logs randomly split into
+    batches — assignment independent of sequence, so late/out-of-order
+    arrivals are the norm — folding batch-by-batch through
+    apply_cdc_versioned equals one whole-log apply_cdc, which equals the
+    Python fold. Plain apply_cdc would fail this split (a late lower-seq
+    change clobbers a newer row; a late update resurrects a delete)."""
+    rng = random.Random(8)
+    chg_schema = "k long, v double, seq long, op string"
+    for trial in range(4):
+        snapshot = {k: float(k * 10) for k in range(40)}
+        log = _rand_log(rng)
+        n_batches = rng.choice([2, 3, 4])
+        batches = [[] for _ in range(n_batches)]
+        for c in log:
+            batches[rng.randrange(n_batches)].append(c)
+
+        snap_df = spark.createDataFrame(
+            list(snapshot.items()), "k long, v double"
+        )
+        vsnap = to_versioned(snap_df)
+        for b in batches:
+            if not b:
+                continue
+            chg_df = spark.createDataFrame(b, chg_schema)
+            vsnap = apply_cdc_versioned(
+                vsnap, chg_df, ["k"], "seq"
+            ).localCheckpoint(eager=True)
+        got = {
+            r["k"]: r["v"] for r in strip_versioned(vsnap).collect()
+        }
+        whole = apply_cdc(
+            snap_df, spark.createDataFrame(log, chg_schema), ["k"], "seq"
+        )
+        want_whole = {r["k"]: r["v"] for r in whole.collect()}
+        want_fold = _python_fold(snapshot, log)
+        assert want_whole == want_fold, trial  # oracle agreement
+        assert got == want_fold, trial
+
+
+def test_late_update_does_not_resurrect_delete(spark):
+    vsnap = to_versioned(
+        spark.createDataFrame([(1, 1.0)], "k long, v double")
+    )
+    d = spark.createDataFrame(
+        [(1, 0.0, 5, "D")], "k long, v double, seq long, op string"
+    )
+    vsnap = apply_cdc_versioned(vsnap, d, ["k"], "seq")
+    late_u = spark.createDataFrame(
+        [(1, 9.0, 3, "U")], "k long, v double, seq long, op string"
+    )
+    vsnap = apply_cdc_versioned(vsnap, late_u, ["k"], "seq")
+    assert strip_versioned(vsnap).collect() == []
+    # the tombstone itself survives, carrying the delete's sequence
+    tomb = vsnap.where("__deleted").collect()
+    assert [(r["k"], r["__seq"]) for r in tomb] == [(1, 5)]
+
+
+def test_replay_is_idempotent(spark):
+    vsnap = to_versioned(
+        spark.createDataFrame([(1, 1.0)], "k long, v double")
+    )
+    chg = spark.createDataFrame(
+        [(1, 7.0, 4, "U")], "k long, v double, seq long, op string"
+    )
+    once = apply_cdc_versioned(vsnap, chg, ["k"], "seq")
+    twice = apply_cdc_versioned(once, chg, ["k"], "seq")
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+def test_tombstone_compaction_respects_horizon(spark):
+    vsnap = to_versioned(
+        spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], "k long, v double")
+    )
+    chg = spark.createDataFrame(
+        [(1, 0.0, 3, "D"), (2, 0.0, 8, "D")],
+        "k long, v double, seq long, op string",
+    )
+    vsnap = apply_cdc_versioned(vsnap, chg, ["k"], "seq")
+    # horizon 5: seq-3 tombstone reclaimed, seq-8 retained, live rows kept
+    compacted = compact_tombstones(vsnap, min_seq_to_keep=5)
+    got = sorted(
+        (r["k"], r["__deleted"]) for r in compacted.collect()
+    )
+    assert got == [(2, True), (3, False)]
+    # post-compaction, an in-horizon late update still cannot resurrect 2
+    late = spark.createDataFrame(
+        [(2, 9.9, 6, "U")], "k long, v double, seq long, op string"
+    )
+    after = apply_cdc_versioned(compacted, late, ["k"], "seq")
+    assert sorted(
+        (r["k"], r["v"]) for r in strip_versioned(after).collect()
+    ) == [(3, 3.0)]

