@@ -24,8 +24,10 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "apply_cdc",
+    "apply_cdc_patch",
     "apply_cdc_versioned",
     "compact_tombstones",
+    "evolve_snapshot_schema",
     "strip_versioned",
     "to_versioned",
 ]
@@ -69,6 +71,128 @@ def apply_cdc(
     untouched = snapshot.join(changed_keys, key_cols, "left_anti")
     upserts = last.where(F.col(op_col) != "D").select(*payload_cols)
     return untouched.unionByName(upserts)
+
+
+def evolve_snapshot_schema(
+    snapshot: DataFrame, changes: DataFrame, meta_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution for a CDC consumer; returns the aligned
+    ``(snapshot, changes)`` pair ready for any apply below.
+
+    - Columns the change feed ADDED (upstream ALTER TABLE ADD COLUMN):
+      the snapshot widens with nulls for existing rows — exactly what
+      the DDL means for history.
+    - Columns the feed DROPPED: the snapshot keeps them; change rows
+      widen with nulls there, so whole-row upserts null the dropped
+      column going forward (the binlog no longer carries a value) while
+      untouched rows keep theirs.
+    - Column TYPE changes are rejected loudly — silently casting a
+      binlog type drift is how consumers corrupt warehouses.
+
+    ``meta_cols`` are the change-log-only columns (seq/op/...) that must
+    never leak into the snapshot schema.
+    """
+    snap_types = {c: t for c, t in snapshot.dtypes}
+    chg_types = {c: t for c, t in changes.dtypes if c not in meta_cols}
+    for c in set(snap_types) & set(chg_types):
+        if snap_types[c] != chg_types[c]:
+            raise TypeError(
+                f"CDC schema evolution: column {c!r} changed type "
+                f"{snap_types[c]} -> {chg_types[c]}; cast explicitly "
+                "upstream instead of letting apply guess"
+            )
+    for c in (c for c in chg_types if c not in snap_types):
+        snapshot = snapshot.withColumn(c, F.lit(None).cast(chg_types[c]))
+    for c in (c for c in snap_types if c not in chg_types):
+        changes = changes.withColumn(c, F.lit(None).cast(snap_types[c]))
+    return snapshot, changes
+
+
+def apply_cdc_patch(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    set_cols_col: str = "set_cols",
+) -> DataFrame:
+    """Apply a PARTIAL-COLUMN (patch) CDC log: each ``U``/``I`` change
+    sets only the payload columns named in its ``set_cols_col`` array
+    (DynamoDB-stream / JSON-merge-patch style feeds; explicit set-lists
+    rather than null-means-unset, so a patch can set a column TO null).
+    Semantics are the per-key sequence-order fold:
+
+    - ``D`` removes the row (and wipes the snapshot contribution);
+    - a patch at a higher sequence than the last delete (re-)creates or
+      updates the row, overriding exactly its set columns;
+    - each column's final value comes from the HIGHEST-sequence
+      surviving patch that sets it, else the snapshot (if the key was
+      never deleted), else null.
+
+    Closed form per key (what the plan computes): with
+    ``dseq = max(seq of D changes)``, a patch survives iff
+    ``seq > dseq`` (same-seq delete wins, matching ``apply_cdc``); the
+    key is present iff a surviving patch exists, or the key was never
+    deleted and existed before (or has no changes at all).
+
+    Scale shape: ONE exchange of the change log (a per-key window for
+    ``dseq``, then a groupBy on the SAME key — no second exchange) with
+    one struct-argmax per payload column, then a full-outer key-join
+    against the snapshot. O(changes + snapshot), like ``apply_cdc``.
+    """
+    payload_cols = [c for c in snapshot.columns if c not in key_cols]
+    w = Window.partitionBy(*key_cols)
+    chg = changes.withColumn(
+        "__dseq",
+        F.max(F.when(F.col(op_col) == "D", F.col(seq_col))).over(w),
+    )
+    surviving = (F.col(op_col) != "D") & (
+        F.col("__dseq").isNull() | (F.col(seq_col) > F.col("__dseq"))
+    )
+    # per column: argmax over surviving patches that set it, encoded as
+    # max(struct(seq, value)) — struct comparison is lexicographic, so
+    # the highest sequence wins (value tie-breaks equal sequences)
+    aggs = [
+        F.max(
+            F.when(
+                surviving
+                & F.array_contains(F.col(set_cols_col), F.lit(c)),
+                F.struct(F.col(seq_col).alias("s"), F.col(c).alias("v")),
+            )
+        ).alias(f"__w_{c}")
+        for c in payload_cols
+    ]
+    per_key = chg.groupBy(*key_cols).agg(
+        *aggs,
+        F.max(F.when(surviving, F.lit(True))).alias("__has_surviving"),
+        F.max(F.col("__dseq").isNotNull()).alias("__had_delete"),
+    )
+    joined = snapshot.withColumn("__in_snap", F.lit(True)).join(
+        per_key.withColumn("__in_chg", F.lit(True)),
+        key_cols,
+        "full_outer",
+    )
+    # flags are NULL on the unmatched side of the outer join (untouched
+    # snapshot keys / insert-only keys) — coalesce BEFORE negating, or
+    # three-valued logic silently nulls the snapshot contribution
+    in_snap = F.coalesce(F.col("__in_snap"), F.lit(False))
+    has_surviving = F.coalesce(F.col("__has_surviving"), F.lit(False))
+    had_delete = F.coalesce(F.col("__had_delete"), F.lit(False))
+    present = (
+        F.col("__in_chg").isNull()  # untouched snapshot row
+        | has_surviving
+        | (in_snap & ~had_delete)
+    )
+    snap_ok = in_snap & ~had_delete
+    out_cols = []
+    for c in payload_cols:
+        winner = F.col(f"__w_{c}")
+        out_cols.append(
+            F.when(winner.isNotNull(), winner["v"])
+            .otherwise(F.when(snap_ok, F.col(c)))
+            .alias(c)
+        )
+    return joined.where(present).select(*key_cols, *out_cols)
 
 
 def to_versioned(snapshot: DataFrame, seq: int = 0) -> DataFrame:

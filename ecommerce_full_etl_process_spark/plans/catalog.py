@@ -630,6 +630,13 @@ _REGISTRY: dict[
         oq.lapsed_high_balance_customers,
         oq.LAPSED_HIGH_BALANCE_CUSTOMERS_ORACLE,
     ),
+    # round-8: partial-column (patch) CDC apply — per-column argmax over
+    # surviving patches with delete-horizon semantics (operators/cdc.py
+    # apply_cdc_patch). Round-9 rotation candidate (never driver-graded).
+    "cdc_patch_orders": (
+        oq.cdc_patch_orders,
+        oq.CDC_PATCH_ORDERS_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -3322,6 +3322,122 @@ FROM last WHERE op <> 'D'
 """
 
 
+def cdc_patch_orders(spark, sf_dir):
+    """Partial-column (patch) CDC apply end-to-end (round-8,
+    operators/cdc.py apply_cdc_patch): a deterministic log where seq 1
+    patches ONLY the price (%89 keys), seq 2 deletes (%97), seq 3
+    patches ONLY the priority (%89) and seq 3 empty-set patches (%83)
+    resurrect deleted keys as all-null-payload rows. The per-column
+    merge must weave price-from-seq-1 with priority-from-seq-3 on the
+    same row, wipe snapshot contributions behind a delete, and keep
+    untouched rows byte-identical; the oracle recomputes the same
+    closed form declaratively (per-column arg_max over surviving
+    patches + delete horizon)."""
+    from ..operators.cdc import apply_cdc_patch
+
+    o = _t(spark, sf_dir, "orders")
+    snap = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    k = F.col("o_orderkey")
+
+    def ch(df, seq, op, price, prio, sets):
+        return df.select(
+            "o_orderkey",
+            price.cast("double").alias("o_totalprice"),
+            prio.alias("o_orderpriority"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+            F.array(*[F.lit(s) for s in sets])
+            .cast("array<string>")
+            .alias("set_cols"),
+        )
+
+    p, pr = F.col("o_totalprice"), F.col("o_orderpriority")
+    changes = (
+        ch(o.where(k % 89 == 0), 1, "U", p + 1.5, pr, ["o_totalprice"])
+        .unionByName(ch(o.where(k % 97 == 0), 2, "D", p, pr, []))
+        .unionByName(
+            ch(
+                o.where(k % 89 == 0),
+                3,
+                "U",
+                p,
+                F.lit("9-PATCHED"),
+                ["o_orderpriority"],
+            )
+        )
+        .unionByName(ch(o.where(k % 83 == 0), 3, "U", p, pr, []))
+    )
+    out = apply_cdc_patch(snap, changes, ["o_orderkey"], "seq")
+    return out.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+
+
+CDC_PATCH_ORDERS_ORACLE = """
+WITH changes AS (
+  SELECT o_orderkey, CAST(o_totalprice + 1.5 AS DOUBLE) AS o_totalprice,
+         o_orderpriority, 1 AS seq, 'U' AS op,
+         ['o_totalprice'] AS set_cols
+  FROM orders WHERE o_orderkey % 89 = 0
+  UNION ALL
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority,
+         2, 'D', []::VARCHAR[]
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), '9-PATCHED',
+         3, 'U', ['o_orderpriority']
+  FROM orders WHERE o_orderkey % 89 = 0
+  UNION ALL
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority,
+         3, 'U', []::VARCHAR[]
+  FROM orders WHERE o_orderkey % 83 = 0
+),
+d AS (
+  SELECT o_orderkey AS k, max(seq) AS dseq
+  FROM changes WHERE op = 'D' GROUP BY 1
+),
+surv AS (
+  SELECT c.* FROM changes c LEFT JOIN d ON c.o_orderkey = d.k
+  WHERE c.op <> 'D' AND (d.dseq IS NULL OR c.seq > d.dseq)
+),
+per_key AS (
+  SELECT o_orderkey,
+         arg_max(o_totalprice, seq)
+           FILTER (WHERE list_contains(set_cols, 'o_totalprice'))
+           AS w_price,
+         count(*) FILTER (WHERE list_contains(set_cols, 'o_totalprice'))
+           > 0 AS has_price,
+         arg_max(o_orderpriority, seq)
+           FILTER (WHERE list_contains(set_cols, 'o_orderpriority'))
+           AS w_prio,
+         count(*) FILTER (WHERE list_contains(set_cols, 'o_orderpriority'))
+           > 0 AS has_prio
+  FROM surv GROUP BY 1
+)
+SELECT o.o_orderkey,
+       round(CASE WHEN pk.has_price THEN pk.w_price
+                  WHEN d.dseq IS NULL THEN o.o_totalprice END, 2)
+         AS o_totalprice,
+       CASE WHEN pk.has_prio THEN pk.w_prio
+            WHEN d.dseq IS NULL THEN o.o_orderpriority END
+         AS o_orderpriority
+FROM orders o
+LEFT JOIN per_key pk ON pk.o_orderkey = o.o_orderkey
+LEFT JOIN d ON d.k = o.o_orderkey
+WHERE pk.o_orderkey IS NOT NULL OR d.k IS NULL
+UNION ALL
+SELECT pk.o_orderkey, round(pk.w_price, 2), pk.w_prio
+FROM per_key pk
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = pk.o_orderkey)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Z-order pruned scan — the file-skipping storage path end-to-end under
 # the oracle gate (sources/io.py cluster_by_zorder + read_where).

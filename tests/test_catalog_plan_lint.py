@@ -161,6 +161,9 @@ SHUFFLE_BUDGET = {
     "incremental_monthly_revenue": 2,
     # one change-log exchange (window winner) + anti-join side
     "cdc_apply_orders": 2,
+    # one change-log exchange (window + same-key groupBy) + the
+    # full-outer snapshot join's two sides
+    "cdc_patch_orders": 4,
     # returns the finalized checkpointed state frame (the stream runs
     # during construction, like the other foreachBatch entries)
     "streaming_agg_maintenance_state": 0,

@@ -203,6 +203,121 @@ def test_replay_is_idempotent(spark):
     )
 
 
+# ---------------------------------------------------------------------------
+# Partial-column (patch) apply — round-8
+# ---------------------------------------------------------------------------
+
+from ecommerce_full_etl_process_spark.operators.cdc import (  # noqa: E402
+    apply_cdc_patch,
+    evolve_snapshot_schema,
+)
+
+
+def _python_patch_fold(snapshot: dict, changes: list[tuple]) -> dict:
+    """Definitionally-correct fold: per key ascending (seq, D-last),
+    D removes, patches override exactly their set columns.
+    snapshot: key -> (a, b); changes: (key, a, b, seq, op, set_cols)."""
+    state = {k: dict(zip(("a", "b"), v)) for k, v in snapshot.items()}
+    for key, a, b, seq, op, set_cols in sorted(
+        changes, key=lambda c: (c[0], c[3], c[4] == "D")
+    ):
+        if op == "D":
+            state.pop(key, None)
+            continue
+        row = state.setdefault(key, {"a": None, "b": None})
+        vals = {"a": a, "b": b}
+        for c in set_cols:
+            row[c] = vals[c]
+    return {k: (v["a"], v["b"]) for k, v in state.items()}
+
+
+def test_patch_randomized_differential_vs_python_fold(spark):
+    rng = random.Random(88)
+    schema = "k long, a double, b double, seq long, op string, set_cols array<string>"
+    for trial in range(4):
+        snapshot = {k: (float(k), float(k * 100)) for k in range(30)}
+        changes = []
+        for _ in range(150):
+            key = rng.randrange(45)
+            seq = rng.randrange(1, 7)
+            op = rng.choice(["U", "U", "U", "D"])
+            sets = rng.choice([["a"], ["b"], ["a", "b"], []])
+            changes.append(
+                (key, float(rng.randrange(100)), float(rng.randrange(100)),
+                 seq, op, sets)
+            )
+        # well-defined winners: one change per (key, seq, op) — and for
+        # patches, at most one setter of a column per (key, seq)
+        byks, taken = [], set()
+        for c in changes:
+            sig = (c[0], c[3], c[4] == "D")
+            col_sigs = {(c[0], c[3], col) for col in c[5]}
+            if sig in taken or (col_sigs & taken):
+                continue
+            taken.add(sig)
+            taken.update(col_sigs)
+            byks.append(c)
+        chg_df = spark.createDataFrame(byks, schema)
+        snap_df = spark.createDataFrame(
+            [(k, a, b) for k, (a, b) in snapshot.items()],
+            "k long, a double, b double",
+        )
+        got = {
+            r["k"]: (r["a"], r["b"])
+            for r in apply_cdc_patch(snap_df, chg_df, ["k"], "seq").collect()
+        }
+        want = _python_patch_fold(snapshot, byks)
+        assert got == want, trial
+
+
+def test_patch_sets_column_to_null_explicitly(spark):
+    snap = spark.createDataFrame([(1, 5.0, 6.0)], "k long, a double, b double")
+    chg = spark.createDataFrame(
+        [(1, None, 9.0, 2, "U", ["a", "b"])],
+        "k long, a double, b double, seq long, op string, set_cols array<string>",
+    )
+    rows = apply_cdc_patch(snap, chg, ["k"], "seq").collect()
+    assert [(r["k"], r["a"], r["b"]) for r in rows] == [(1, None, 9.0)]
+
+
+def test_patch_after_delete_recreates_partial_row(spark):
+    snap = spark.createDataFrame([(1, 5.0, 6.0)], "k long, a double, b double")
+    chg = spark.createDataFrame(
+        [(1, 0.0, 0.0, 3, "D", []), (1, 7.0, 0.0, 4, "U", ["a"])],
+        "k long, a double, b double, seq long, op string, set_cols array<string>",
+    )
+    rows = apply_cdc_patch(snap, chg, ["k"], "seq").collect()
+    # b's snapshot value was wiped by the delete; only a was re-set
+    assert [(r["k"], r["a"], r["b"]) for r in rows] == [(1, 7.0, None)]
+
+
+def test_schema_evolution_adds_and_drops_columns(spark):
+    snap = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    # feed adds column 'w' and drops 'v'
+    chg = spark.createDataFrame(
+        [(2, 9.5, 1, "U"), (3, 3.5, 1, "I")],
+        "k long, w double, seq long, op string",
+    )
+    snap2, chg2 = evolve_snapshot_schema(snap, chg, ["seq", "op"])
+    assert set(snap2.columns) == {"k", "v", "w"}
+    out = {
+        r["k"]: (r["v"], r["w"])
+        for r in apply_cdc(snap2, chg2, ["k"], "seq").collect()
+    }
+    # untouched key 1 keeps v; upserted key 2 nulls the dropped v and
+    # gains w; inserted key 3 has only w
+    assert out == {1: (1.0, None), 2: (None, 9.5), 3: (None, 3.5)}
+
+
+def test_schema_evolution_rejects_type_change(spark):
+    import pytest
+
+    snap = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    chg = spark.createDataFrame([(1, "x", 1, "U")], "k long, v string, seq long, op string")
+    with pytest.raises(TypeError, match="changed type"):
+        evolve_snapshot_schema(snap, chg, ["seq", "op"])
+
+
 def test_tombstone_compaction_respects_horizon(spark):
     vsnap = to_versioned(
         spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], "k long, v double")
