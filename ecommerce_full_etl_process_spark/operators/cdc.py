@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "apply_cdc",
+    "apply_cdc_partitioned",
     "apply_cdc_patch",
     "apply_cdc_versioned",
     "compact_tombstones",
@@ -193,6 +194,56 @@ def apply_cdc_patch(
             .alias(c)
         )
     return joined.where(present).select(*key_cols, *out_cols)
+
+
+def apply_cdc_partitioned(
+    store,
+    table: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    partition_col: str,
+    op_col: str = "op",
+) -> list:
+    """Apply a CDC log to a HIVE-PARTITIONED TableStore snapshot,
+    rewriting only the AFFECTED partitions — the 100 TB shape the
+    in-memory :func:`apply_cdc` (whole-snapshot output) cannot give a
+    multi-year table where a day's changes touch a handful of
+    ``date_id=`` partitions.
+
+    Affected = partitions the changed keys currently live in (rows may
+    leave) ∪ partitions the surviving change rows land in (rows may
+    arrive — an update CAN move a row across partitions). Both sets are
+    change-bounded. The fold itself is :func:`apply_cdc` restricted to
+    the affected-partition slice of the snapshot (a partition-pruned
+    read), and the write is ``TableStore.overwrite_partitions`` with the
+    affected list passed explicitly so a partition whose rows were ALL
+    deleted is dropped rather than carried over. Untouched partitions
+    ride into the new version as hardlinks — zero bytes copied.
+
+    Cost: O(changes + rows-in-affected-partitions) read,
+    O(affected partitions) write. Returns the replaced partition dirs.
+    """
+    snapshot = store.read(table)
+    changed_keys = changes.select(*key_cols).distinct()
+    old_parts = (
+        snapshot.join(changed_keys, key_cols, "left_semi")
+        .select(partition_col)
+        .distinct()
+    )
+    new_parts = changes.where(F.col(op_col) != "D").select(
+        partition_col
+    ).distinct()
+    affected = [
+        r[0] for r in old_parts.unionByName(new_parts).distinct().collect()
+    ]
+    if not affected:
+        return []
+    snap_slice = snapshot.where(F.col(partition_col).isin(affected))
+    next_slice = apply_cdc(snap_slice, changes, key_cols, seq_col, op_col)
+    return store.overwrite_partitions(
+        table, next_slice, partition_col, also_replace=affected
+    )
 
 
 def to_versioned(snapshot: DataFrame, seq: int = 0) -> DataFrame:

@@ -302,6 +302,117 @@ class TableStore:
         writer.parquet(self._data_dir(table, new_version))
         self._set_version(table, new_version)
 
+    def overwrite_partitions(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_col: str,
+        also_replace: list | None = None,
+    ) -> list[str]:
+        """Dynamic partition overwrite (Delta ``replaceWhere`` / Spark
+        ``partitionOverwriteMode=dynamic`` analogue): replace ONLY the
+        hive partitions present in ``df``, carrying every untouched
+        partition into the new version by HARDLINK — zero data copied,
+        zero rows rewritten outside the touched partitions. Returns the
+        replaced partition directory names.
+
+        This is the 100 TB upsert shape the full :meth:`overwrite`
+        cannot provide: a day's late fact corrections touch one
+        ``date_id=...`` partition of a multi-year table, so the write
+        cost must be O(changed partitions), not O(table). The versioned
+        layout is preserved — the new version is a complete directory
+        (readers never see a partial table), time travel to the prior
+        version still works, and vacuum reclaims old versions without
+        breaking the links (hardlinks keep the shared file bytes alive
+        until the LAST version referencing them is removed).
+
+        The table must already be hive-partitioned on ``partition_col``
+        (written via ``overwrite(..., partition_by=[partition_col])`` or
+        a prior call here); an unpartitioned layout raises. The
+        incoming frame must carry the partition column.
+
+        ``also_replace``: partition VALUES to replace even when ``df``
+        carries no rows for them — i.e. delete the partition. A
+        partition whose rows were all removed upstream (every key
+        deleted by a CDC fold, a retention purge) never appears in the
+        replacement frame, so without an explicit list it would wrongly
+        carry over.
+        """
+        if partition_col not in df.columns:
+            raise ValueError(
+                f"overwrite_partitions: frame lacks partition column "
+                f"{partition_col!r}"
+            )
+        with self._writer_lock(table):
+            current = self._current_version(table)
+            if current is None:
+                raise FileNotFoundError(
+                    f"table {table!r} not found in {self.root}"
+                )
+            cur_dir = self._data_dir(table, current)
+            prefix = f"{partition_col}="
+            existing = {
+                name
+                for name in os.listdir(cur_dir)
+                if name.startswith(prefix)
+                and os.path.isdir(os.path.join(cur_dir, name))
+            }
+            if not existing and any(
+                f.endswith(".parquet") for f in os.listdir(cur_dir)
+            ):
+                raise ValueError(
+                    f"table {table!r} is not hive-partitioned on "
+                    f"{partition_col!r} — rewrite it with overwrite("
+                    f"..., partition_by=[{partition_col!r}]) first"
+                )
+            new_version = current + 1
+            new_dir = self._data_dir(table, new_version)
+            # 1. write the replacement partitions
+            df.write.mode("overwrite").partitionBy(partition_col).parquet(
+                new_dir
+            )
+            written = {
+                name
+                for name in os.listdir(new_dir)
+                if name.startswith(prefix)
+            }
+            # hive-encode explicit replacements so set arithmetic lines
+            # up with Spark's written dir names: add both the plain and
+            # the percent-encoded form (a form matching no actual dir
+            # subtracts nothing — only the one that matches matters)
+            from urllib.parse import quote
+
+            replaced = set(written)
+            for v in also_replace or []:
+                replaced.add(f"{prefix}{v}")
+                replaced.add(f"{prefix}{quote(str(v), safe='')}")
+            # 2. carry untouched partitions over by hardlink (same bytes,
+            #    no copy; falls back to copy on filesystems without links)
+            import shutil
+
+            for name in existing - replaced:
+                src = os.path.join(cur_dir, name)
+                dst = os.path.join(new_dir, name)
+                os.makedirs(dst, exist_ok=True)
+                for fn in os.listdir(src):
+                    if not (
+                        fn.endswith(".parquet") or fn.startswith("part-")
+                    ):
+                        continue
+                    try:
+                        os.link(
+                            os.path.join(src, fn), os.path.join(dst, fn)
+                        )
+                    except OSError:
+                        shutil.copy2(
+                            os.path.join(src, fn), os.path.join(dst, fn)
+                        )
+            # 3. atomic flip — readers switch whole-version, never partial
+            self._set_version(table, new_version)
+            # report real replacements: written dirs plus existing dirs
+            # the explicit list removed (phantom encodings excluded)
+            return sorted(written | (replaced & existing))
+
     def append(
         self, table: str, df: DataFrame, partition_by: list[str] | None = None
     ) -> None:

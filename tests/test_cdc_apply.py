@@ -318,6 +318,89 @@ def test_schema_evolution_rejects_type_change(spark):
         evolve_snapshot_schema(snap, chg, ["seq", "op"])
 
 
+# ---------------------------------------------------------------------------
+# Partition-scoped apply (round-8): rewrite only affected partitions
+# ---------------------------------------------------------------------------
+
+from ecommerce_full_etl_process_spark.operators.cdc import (  # noqa: E402
+    apply_cdc_partitioned,
+)
+
+
+def test_partitioned_apply_rewrites_only_affected(spark, tmp_path):
+    import os
+
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(k, k % 4, float(k)) for k in range(40)], "k long, p long, v double"
+    )
+    store.overwrite("snap", base, partition_by=["p"])
+    v1 = store._current_version("snap")
+
+    chg = spark.createDataFrame(
+        [
+            (1, 1, 999.0, 1, "U"),   # update in place (partition 1)
+            (2, 3, 222.0, 1, "U"),   # MOVES from partition 2 to partition 3
+            (100, 1, 100.0, 1, "I"), # insert into partition 1
+        ],
+        "k long, p long, v double, seq long, op string",
+    )
+    replaced = apply_cdc_partitioned(store, "snap", chg, ["k"], "seq", "p")
+    # partitions 1 (update+insert), 2 (row left), 3 (row arrived)
+    assert replaced == ["p=1", "p=2", "p=3"]
+    got = {r["k"]: (r["p"], r["v"]) for r in store.read("snap").collect()}
+    want = {k: (k % 4, float(k)) for k in range(40)}
+    want[1] = (1, 999.0)
+    want[2] = (3, 222.0)
+    want[100] = (1, 100.0)
+    assert got == want
+    # partition 0 was untouched: its files are hardlinks of v1's
+    d1, d2 = store._data_dir("snap", v1), store._data_dir("snap", v1 + 1)
+    i1 = {os.stat(os.path.join(d1, "p=0", f)).st_ino
+          for f in os.listdir(os.path.join(d1, "p=0")) if f.endswith(".parquet")}
+    i2 = {os.stat(os.path.join(d2, "p=0", f)).st_ino
+          for f in os.listdir(os.path.join(d2, "p=0")) if f.endswith(".parquet")}
+    assert i1 and i1 == i2
+
+
+def test_partitioned_apply_drops_fully_deleted_partition(spark, tmp_path):
+    import os
+
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, 0, 1.0), (2, 0, 2.0), (3, 1, 3.0)], "k long, p long, v double"
+    )
+    store.overwrite("snap", base, partition_by=["p"])
+    # delete EVERY row of partition 0: the partition must vanish, not
+    # carry over (the also_replace path)
+    chg = spark.createDataFrame(
+        [(1, 0, 0.0, 1, "D"), (2, 0, 0.0, 1, "D")],
+        "k long, p long, v double, seq long, op string",
+    )
+    replaced = apply_cdc_partitioned(store, "snap", chg, ["k"], "seq", "p")
+    assert "p=0" in replaced
+    got = sorted((r["k"], r["p"], r["v"]) for r in store.read("snap").collect())
+    assert got == [(3, 1, 3.0)]
+    d2 = store._data_dir("snap", store._current_version("snap"))
+    assert not os.path.exists(os.path.join(d2, "p=0"))
+
+
+def test_partitioned_apply_no_changes_is_noop(spark, tmp_path):
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame([(1, 0, 1.0)], "k long, p long, v double")
+    store.overwrite("snap", base, partition_by=["p"])
+    v1 = store._current_version("snap")
+    empty = spark.createDataFrame([], "k long, p long, v double, seq long, op string")
+    assert apply_cdc_partitioned(store, "snap", empty, ["k"], "seq", "p") == []
+    assert store._current_version("snap") == v1  # no version churn
+
+
 def test_tombstone_compaction_respects_horizon(spark):
     vsnap = to_versioned(
         spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], "k long, v double")

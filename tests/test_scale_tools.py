@@ -419,6 +419,82 @@ def test_zorder_constant_and_skewed_columns(spark, tmp_path):
     assert skipped >= 2
 
 
+def test_overwrite_partitions_dynamic(spark, tmp_path):
+    """Round-8: dynamic partition overwrite — replacing one hive
+    partition rewrites O(changed partition) bytes, hardlinks the rest
+    into the new version (same inode, zero copy), keeps whole-version
+    atomicity and time travel, and equals a full overwrite row-wise."""
+    import os
+
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = spark.range(0, 400).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("v")
+    )
+    store.overwrite("t", base, partition_by=["g"])
+    v1 = store._current_version("t")
+
+    patch = spark.range(1000, 1010).select(
+        F.lit(1).alias("g"), F.col("id").alias("v")
+    )
+    replaced = store.overwrite_partitions("t", patch, "g")
+    assert replaced == ["g=1"]
+
+    got = sorted((r["g"], r["v"]) for r in store.read("t").collect())
+    want = sorted(
+        (r["g"], r["v"])
+        for r in base.where(F.col("g") != 1).unionByName(patch).collect()
+    )
+    assert got == want
+    # time travel: the prior version still reads the old content
+    old = sorted((r["g"], r["v"]) for r in store.read("t", v1).collect())
+    assert old == sorted((r["g"], r["v"]) for r in base.collect())
+    # hardlink evidence: untouched partitions share inodes across versions
+    d1 = store._data_dir("t", v1)
+    d2 = store._data_dir("t", v1 + 1)
+    for part in ("g=0", "g=2", "g=3"):
+        old_inodes = {
+            os.stat(os.path.join(d1, part, f)).st_ino
+            for f in os.listdir(os.path.join(d1, part))
+            if f.endswith(".parquet")
+        }
+        new_inodes = {
+            os.stat(os.path.join(d2, part, f)).st_ino
+            for f in os.listdir(os.path.join(d2, part))
+            if f.endswith(".parquet")
+        }
+        assert old_inodes and old_inodes == new_inodes, part
+    # replaced partition must NOT share inodes (fresh bytes)
+    ino1 = {
+        os.stat(os.path.join(d1, "g=1", f)).st_ino
+        for f in os.listdir(os.path.join(d1, "g=1"))
+        if f.endswith(".parquet")
+    }
+    ino2 = {
+        os.stat(os.path.join(d2, "g=1", f)).st_ino
+        for f in os.listdir(os.path.join(d2, "g=1"))
+        if f.endswith(".parquet")
+    }
+    assert not (ino1 & ino2)
+    # vacuuming the old version must not corrupt the linked bytes
+    store.vacuum("t", keep_versions=1)
+    assert sorted(
+        (r["g"], r["v"]) for r in store.read("t").collect()
+    ) == want
+
+    # guard rails: unpartitioned table / missing partition column
+    import pytest
+
+    store.overwrite("flat", spark.range(5).select(F.col("id").alias("v")))
+    with pytest.raises(ValueError, match="not hive-partitioned"):
+        store.overwrite_partitions(
+            "flat", patch.withColumnRenamed("g", "p"), "p"
+        )
+    with pytest.raises(ValueError, match="lacks partition column"):
+        store.overwrite_partitions("t", patch.drop("g"), "g")
+
+
 def test_zorder_rank_bucketing_survives_outliers(spark, tmp_path):
     """Round-8 (verdict item 3): ONE outlier collapses linear min/max
     bucketing — every real value lands in bucket 0 and pruning dies —
