@@ -637,6 +637,15 @@ _REGISTRY: dict[
         oq.cdc_patch_orders,
         oq.CDC_PATCH_ORDERS_ORACLE,
     ),
+    # round-8: partition-scoped CDC apply against a hive-partitioned
+    # TableStore snapshot — only affected partitions rewritten, untouched
+    # ones hardlinked into the new version (operators/cdc.py
+    # apply_cdc_partitioned + io.py overwrite_partitions). Round-9
+    # rotation candidate (never driver-graded).
+    "cdc_partitioned_apply_orders": (
+        oq.cdc_partitioned_apply_orders,
+        oq.CDC_PARTITIONED_APPLY_ORDERS_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

@@ -3322,6 +3322,110 @@ FROM last WHERE op <> 'D'
 """
 
 
+def cdc_partitioned_apply_orders(spark, sf_dir):
+    """Partition-scoped CDC apply end-to-end (round-8,
+    operators/cdc.py apply_cdc_partitioned + TableStore.
+    overwrite_partitions): orders land in a hive-partitioned TableStore
+    snapshot (p = o_orderkey % 8), the SAME deterministic log as
+    cdc_apply_orders folds in — but only the affected partitions are
+    rewritten (untouched ones hardlink into the new version) — and the
+    full resulting snapshot reads back for the hash gate. The oracle is
+    the whole-log declarative replay, so partition pruning, the
+    affected-partition union (rows move partitions only if the key
+    expression changed — here p is key-derived, so moves don't occur;
+    cross-partition moves are pinned by tests/test_cdc_apply.py) and the
+    hardlink carry-over must be invisible to the result."""
+    import shutil
+    import tempfile
+
+    from ..operators.cdc import apply_cdc_partitioned
+    from ..sources.io import TableStore
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    snap = o.select(
+        "o_orderkey",
+        (k % 8).alias("p"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+
+    def ch(df, seq, op, price):
+        kk = F.col("o_orderkey")
+        return df.select(
+            "o_orderkey",
+            (kk % 8).alias("p"),
+            price.cast("double").alias("o_totalprice"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    p = F.col("o_totalprice")
+    changes = (
+        ch(o.where(k % 89 == 0), 1, "U", p + 1.5)
+        .unionByName(ch(o.where(k % 97 == 0), 2, "D", p))
+        .unionByName(
+            ch(o.where((k % 89 == 0) & (k % 2 == 1)), 3, "U", p + 2.5)
+        )
+        .unionByName(
+            ch(
+                o.where(k % 101 == 0).withColumn(
+                    "o_orderkey", k + 10_000_000
+                ),
+                1,
+                "I",
+                p,
+            )
+        )
+    )
+    root = tempfile.mkdtemp(prefix="cdc_part_")
+    try:
+        store = TableStore(spark, root)
+        store.overwrite("snap", snap, partition_by=["p"])
+        apply_cdc_partitioned(
+            store, "snap", changes, ["o_orderkey"], "seq", "p"
+        )
+        out = store.read("snap").select(
+            "o_orderkey",
+            F.col("p").cast("int").alias("p"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+CDC_PARTITIONED_APPLY_ORDERS_ORACLE = """
+WITH changes AS (
+  SELECT o_orderkey, o_totalprice + 1.5 AS o_totalprice,
+         1 AS seq, 'U' AS op
+  FROM orders WHERE o_orderkey % 89 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 2, 'D'
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 2.5, 3, 'U'
+  FROM orders WHERE o_orderkey % 89 = 0 AND o_orderkey % 2 = 1
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, 1, 'I'
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY seq DESC, (op = 'D') DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+)
+SELECT o.o_orderkey, CAST(o.o_orderkey % 8 AS INT) AS p,
+       round(o.o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM last l WHERE l.o_orderkey = o.o_orderkey)
+UNION ALL
+SELECT o_orderkey, CAST(o_orderkey % 8 AS INT), round(o_totalprice, 2)
+FROM last WHERE op <> 'D'
+"""
+
+
 def cdc_patch_orders(spark, sf_dir):
     """Partial-column (patch) CDC apply end-to-end (round-8,
     operators/cdc.py apply_cdc_patch): a deterministic log where seq 1

@@ -164,6 +164,8 @@ SHUFFLE_BUDGET = {
     # one change-log exchange (window + same-key groupBy) + the
     # full-outer snapshot join's two sides
     "cdc_patch_orders": 4,
+    # returns a checkpointed read of the rewritten store
+    "cdc_partitioned_apply_orders": 0,
     # returns the finalized checkpointed state frame (the stream runs
     # during construction, like the other foreachBatch entries)
     "streaming_agg_maintenance_state": 0,
