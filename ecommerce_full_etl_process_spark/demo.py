@@ -174,8 +174,136 @@ def stream_dedup_report(spark, workdir: str) -> int:
     return 0 if ok else 1
 
 
+def cdc_report(spark, workdir: str) -> int:
+    """Drive the CDC consumer end-to-end on a synthetic feed: a
+    partitioned snapshot, an out-of-order two-batch log through the
+    versioned apply, a patch log, and the CDC × MV maintenance loop.
+    PASS iff every surface converges to its whole-log fold."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators.cdc import (
+        apply_cdc,
+        apply_cdc_partitioned,
+        apply_cdc_patch,
+        apply_cdc_versioned,
+        strip_versioned,
+        to_versioned,
+    )
+    from .operators.incremental import finalize_aggs
+    from .streaming.stream_pipeline import (
+        init_cdc_mv,
+        run_cdc_mv_maintenance,
+    )
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    print(f"== CDC consumer report under {workdir} ==")
+    ok = True
+    chg_schema = "k long, g string, v double, seq long, op string"
+    snap = spark.createDataFrame(
+        [(k, "ab"[k % 2], float(k)) for k in range(20)],
+        "k long, g string, v double",
+    )
+    log = [
+        (1, "a", 11.0, 5, "U"), (2, "a", 0.0, 2, "D"),
+        (1, "a", 7.0, 3, "U"),  # late: must lose to seq 5
+        (25, "b", 25.0, 1, "I"), (3, "b", 0.0, 4, "D"),
+    ]
+    whole = apply_cdc(
+        snap, spark.createDataFrame(log, chg_schema), ["k"], "seq"
+    )
+    want = sorted(map(tuple, whole.collect()))
+
+    # 1. versioned apply over an out-of-order split
+    vs = to_versioned(snap)
+    for batch in ([log[0], log[4]], [log[1], log[2], log[3]]):
+        vs = apply_cdc_versioned(
+            vs, spark.createDataFrame(batch, chg_schema), ["k"], "seq"
+        ).localCheckpoint(eager=True)
+    mark = sorted(map(tuple, strip_versioned(vs).collect())) == want
+    ok = ok and mark
+    print(f"  [{'PASS' if mark else 'FAIL'}] out-of-order split apply == whole-log fold")
+
+    # 2. partition-scoped apply on a hive-partitioned store
+    store = TableStore(spark, os.path.join(workdir, "wh_part"))
+    store.overwrite("snap", snap, partition_by=["g"])
+    replaced = apply_cdc_partitioned(
+        store,
+        "snap",
+        spark.createDataFrame(log, chg_schema),
+        ["k"],
+        "seq",
+        "g",
+    )
+    got = sorted(map(tuple, store.read("snap").select("k", "g", "v").collect()))
+    mark = got == want
+    ok = ok and mark
+    print(f"  [{'PASS' if mark else 'FAIL'}] partition-scoped apply == whole-log fold "
+          f"(replaced {replaced})")
+
+    # 3. patch apply: per-column weave
+    patch_schema = chg_schema + ", set_cols array<string>"
+    patches = [
+        (1, "a", 99.0, 1, "U", ["v"]),   # sets v only
+        (1, "zz", 0.0, 2, "U", ["g"]),   # sets g only — same row weaves both
+    ]
+    patched = apply_cdc_patch(
+        snap, spark.createDataFrame(patches, patch_schema), ["k"], "seq"
+    )
+    row = patched.where(F.col("k") == 1).collect()[0]
+    mark = (row["g"], row["v"]) == ("zz", 99.0)
+    ok = ok and mark
+    print(f"  [{'PASS' if mark else 'FAIL'}] patch apply weaves v@seq1 + g@seq2 into one row")
+
+    # 4. CDC × MV loop: snapshot + aggregate maintained exactly-once
+    src = os.path.join(workdir, "feed")
+    os.makedirs(src)
+    for batch in ([log[0], log[4]], [log[1], log[2], log[3]]):
+        spark.createDataFrame(batch, chg_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    mv_store = TableStore(spark, os.path.join(workdir, "wh_mv"))
+    init_cdc_mv(mv_store, snap, ["g"], "v")
+    q = run_cdc_mv_maintenance(
+        spark, src, os.path.join(workdir, "ckpt"),
+        os.path.join(workdir, "wh_mv"), chg_schema,
+        ["k"], "seq", ["g"], "v",
+    )
+    q.awaitTermination(120)
+    got_agg = {
+        r["g"]: (r["n_rows"], r["value_sum"])
+        for r in finalize_aggs(
+            mv_store.read("agg_state").drop("last_batch")
+        ).collect()
+    }
+    want_agg = {
+        r["g"]: (r["n_rows"], r["value_sum"])
+        for r in finalize_aggs(
+            whole.groupBy("g").agg(
+                F.count("v").alias("cnt"), F.sum("v").alias("sum"),
+                F.min("v").alias("min"), F.max("v").alias("max"),
+            )
+        ).collect()
+    }
+    mark = got_agg == want_agg
+    ok = ok and mark
+    print(f"  [{'PASS' if mark else 'FAIL'}] CDC x MV loop aggregate == whole-log recompute")
+    print("RESULT:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--cdc",
+        metavar="WORKDIR",
+        help="drive the CDC consumer (versioned/partitioned/patch apply "
+        "+ the CDC x MV loop) end-to-end in this scratch directory and "
+        "print its PASS/FAIL report",
+    )
     ap.add_argument(
         "--corpus",
         metavar="SF_DIR",
@@ -200,6 +328,8 @@ def main(argv: list[str] | None = None) -> int:
     today = datetime.strptime(args.today, "%Y-%m-%d").date()
     spark = get_spark(app_name="etl-demo")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.cdc:
+        return cdc_report(spark, args.cdc)
     if args.corpus:
         return corpus_report(spark, args.corpus)
     if args.stream_dedup:

@@ -26,3 +26,8 @@ def test_demo_main_passes(spark, tmp_path):
 def test_demo_stream_dedup_passes(spark, tmp_path):
     rc = demo.main(["--stream-dedup", str(tmp_path / "sd")])
     assert rc == 0
+
+
+def test_demo_cdc_report_passes(spark, tmp_path):
+    rc = demo.main(["--cdc", str(tmp_path / "cdc")])
+    assert rc == 0
