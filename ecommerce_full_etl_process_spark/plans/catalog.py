@@ -646,6 +646,13 @@ _REGISTRY: dict[
         oq.cdc_partitioned_apply_orders,
         oq.CDC_PARTITIONED_APPLY_ORDERS_ORACLE,
     ),
+    # round-8: reproducible training-epoch shuffle + sharding (md5 sort
+    # key, shard-local positions — no global sort). Round-9 rotation
+    # candidate (never driver-graded).
+    "epoch_shuffle_docs": (
+        lq.epoch_shuffle_docs,
+        lq.EPOCH_SHUFFLE_DOCS_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

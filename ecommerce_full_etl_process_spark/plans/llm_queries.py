@@ -2032,3 +2032,57 @@ FROM grams, tot
 GROUP BY term, tot.n_total
 HAVING count(*) * 801 > tot.n_total
 """
+
+
+def epoch_shuffle_docs(spark, sf_dir):
+    """Reproducible training-epoch shuffle + sharding (round-8): every
+    document gets a deterministic pseudo-random sort key from
+    ``md5(doc_id || ':' || epoch)`` (md5 — not xxhash64 — because both
+    engines compute the identical digest, making the shuffle itself
+    oracle-checkable), a shard by key-prefix mod, and its 0-based
+    position WITHIN the shard. This is the data-order reproducibility
+    contract an LLM training run needs: same corpus + same epoch ⇒ the
+    same global order on every rerun and every cluster size, different
+    epochs ⇒ decorrelated orders, and resuming mid-epoch = a position
+    range predicate.
+
+    Scale shape: the shard-local ``row_number`` windows by shard — 16
+    parallel sorts of |corpus|/16 rows — NEVER a global single-partition
+    sort; shard assignment and the sort key are row-local column
+    expressions inside codegen. At 100 TB: one hash exchange on shard,
+    per-shard external sorts.
+    """
+    d = _docs(spark, sf_dir).select("doc_id")
+    epoch = 3
+    key = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(str(epoch))))
+    # first 8 hex chars → int for the shard; full digest orders rows
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(16)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            key.alias("sort_key"),
+            shard.alias("shard"),
+        )
+        .withColumn(
+            "pos", (F.row_number().over(w) - F.lit(1)).cast("long")
+        )
+    )
+
+
+EPOCH_SHUFFLE_DOCS_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || ':' || '3') AS sort_key,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '3'),
+                                   1, 8)) AS BIGINT) % 16 AS INT) AS shard
+  FROM documents
+)
+SELECT doc_id, sort_key, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY sort_key, doc_id) - 1 AS BIGINT)
+         AS pos
+FROM keyed
+"""

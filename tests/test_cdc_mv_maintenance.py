@@ -129,6 +129,46 @@ def test_split_log_stream_equals_whole_log_apply(spark, tmp_path):
     assert _state_agg(store) == _agg_of(whole3)
 
 
+def test_thirty_batch_soak_converges_every_checkpoint(spark, tmp_path):
+    """30 sequential random batches (inserts/updates/deletes/group
+    moves, out-of-order sequences) through apply_cdc_mv_batch; at three
+    checkpoints the aggregate state and live snapshot must equal a
+    whole-log apply_cdc + recompute of everything folded so far — the
+    long-haul drift check for the two-table exactly-once machinery."""
+    import random
+
+    rng = random.Random(30)
+    store, snap = _store(spark, tmp_path)
+    folded = []
+    seen = set()
+    for b in range(30):
+        batch = []
+        for _ in range(rng.randrange(1, 6)):
+            k = rng.randrange(12)
+            seq = rng.randrange(1, 40)
+            op = rng.choice(["U", "U", "U", "I", "D"])
+            sig = (k, seq, op == "D")
+            if sig in seen:
+                continue
+            seen.add(sig)
+            g = rng.choice(["a", "b", "c"])
+            batch.append((k, g, float(rng.randrange(100)), seq, op))
+        if not batch:
+            continue
+        bdf = spark.createDataFrame(batch, CHG_SCHEMA)
+        apply_cdc_mv_batch(spark, store, bdf, b, ["k"], "seq", ["g"], "v")
+        folded.extend(batch)
+        if b in (9, 19, 29):
+            whole = apply_cdc(
+                snap, spark.createDataFrame(folded, CHG_SCHEMA), ["k"], "seq"
+            )
+            assert _state_agg(store) == _agg_of(whole), f"batch {b}"
+            live = strip_versioned(store.read("snapshot").drop("last_batch"))
+            assert sorted(map(tuple, live.collect())) == sorted(
+                map(tuple, whole.collect())
+            ), f"batch {b}"
+
+
 def test_torn_batch_agg_ahead_of_snapshot_heals(spark, tmp_path):
     """Simulate the only reachable tear: batch N's aggregate committed,
     snapshot crash before its overwrite. The replay must skip the
