@@ -128,9 +128,10 @@ def summary_line(full: dict) -> str:
             # round-8: the count-action total lets Catalyst prune work a
             # real consumer pays for (BENCH_NOTES_r7.md), so the honest
             # full-output-materialized total rides in the summary too —
-            # null when the materialize pass was disabled or any query
-            # skipped it (non-hashable output), so a partial sum can
-            # never masquerade as the real total
+            # null when the pass was disabled or any query errored, and
+            # LABELED with materialized_n (queries with non-hashable
+            # output skip the metric, so coverage is explicit rather
+            # than a silently-partial sum)
             "materialized_total_wall": full.get("materialized_total_wall"),
             "materialized_n": full.get("materialized_n", 0),
             "unit": full["unit"],

@@ -272,7 +272,11 @@ def cdc_report(spark, workdir: str) -> int:
         os.path.join(workdir, "wh_mv"), chg_schema,
         ["k"], "seq", ["g"], "v",
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        print("  [FAIL] CDC x MV stream did not drain within 120s")
+        print("RESULT: FAIL")
+        return 1
     got_agg = {
         r["g"]: (r["n_rows"], r["value_sum"])
         for r in finalize_aggs(

@@ -94,6 +94,16 @@ def evolve_snapshot_schema(
     never leak into the snapshot schema.
     """
     snap_types = {c: t for c, t in snapshot.dtypes}
+    clash = set(snap_types) & set(meta_cols)
+    if clash:
+        # a snapshot payload column named like a log meta column (op/
+        # seq/...) is unresolvable: the dropped-column pass would
+        # null-overwrite the feed's REAL meta column and every change
+        # would silently misapply — refuse instead
+        raise ValueError(
+            f"snapshot payload columns collide with change-log meta "
+            f"columns: {sorted(clash)} — rename one side"
+        )
     chg_types = {c: t for c, t in changes.dtypes if c not in meta_cols}
     for c in set(snap_types) & set(chg_types):
         if snap_types[c] != chg_types[c]:
@@ -221,13 +231,24 @@ def apply_cdc_partitioned(
     deleted is dropped rather than carried over. Untouched partitions
     ride into the new version as hardlinks — zero bytes copied.
 
-    Cost: O(changes + rows-in-affected-partitions) read,
-    O(affected partitions) write. Returns the replaced partition dirs.
+    NULL partition values are first-class (they live in Spark's
+    ``__HIVE_DEFAULT_PARTITION__`` dir): the affected-partition
+    predicate is null-safe, so changes to null-partition keys replace
+    exactly that partition instead of being invisibly skipped.
+
+    Cost: the old-homes lookup is one column-pruned scan of the
+    snapshot's (key, partition) columns — no shuffle (broadcast semi
+    join), but it IS a table-length scan, since a changed key may live
+    anywhere; the FOLD then reads only affected partitions
+    (partition-pruned) and the write is O(affected partitions). If the
+    partition value is derivable from the key (date-keyed facts, hash
+    partitions), derive old homes from the changes instead and skip the
+    lookup scan entirely. Returns the replaced partition dirs.
     """
     snapshot = store.read(table)
     changed_keys = changes.select(*key_cols).distinct()
     old_parts = (
-        snapshot.join(changed_keys, key_cols, "left_semi")
+        snapshot.join(F.broadcast(changed_keys), key_cols, "left_semi")
         .select(partition_col)
         .distinct()
     )
@@ -239,7 +260,14 @@ def apply_cdc_partitioned(
     ]
     if not affected:
         return []
-    snap_slice = snapshot.where(F.col(partition_col).isin(affected))
+    non_null = [v for v in affected if v is not None]
+    pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in affected):
+        # isin() never matches NULL (three-valued logic) — without this
+        # the null partition's untouched rows would be dropped by the
+        # rewrite while its changes landed in a fresh dir
+        pred = pred | F.col(partition_col).isNull()
+    snap_slice = snapshot.where(pred)
     next_slice = apply_cdc(snap_slice, changes, key_cols, seq_col, op_col)
     return store.overwrite_partitions(
         table, next_slice, partition_col, also_replace=affected

@@ -3243,12 +3243,50 @@ GROUP BY date_trunc('month', o_orderdate)
 # (operators/cdc.py).
 # ---------------------------------------------------------------------------
 
+def _orders_cdc_changes(o, extra_cols=()):
+    """THE deterministic orders CDC log shared by cdc_apply_orders and
+    cdc_partitioned_apply_orders (one builder, so the two entries'
+    'same log' claim cannot drift): seq 1 updates price +1.5 for keys
+    %89==0, seq 2 deletes keys %97==0, seq 3 re-updates price +2.5 for
+    keys %89==0 AND %2==1 (last-writer-wins over seq 1), plus seq 1
+    inserts of cloned keys (+10M) for keys %101==0. ``extra_cols``:
+    (name, builder) pairs appended per change row (e.g. a partition
+    column derived from the key)."""
+    k = F.col("o_orderkey")
+
+    def ch(df, seq, op, price):
+        kk = F.col("o_orderkey")
+        return df.select(
+            "o_orderkey",
+            *[expr(kk).alias(name) for name, expr in extra_cols],
+            price.alias("o_totalprice"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    p = F.col("o_totalprice")
+    return (
+        ch(o.where(k % 89 == 0), 1, "U", p + 1.5)
+        .unionByName(ch(o.where(k % 97 == 0), 2, "D", p))
+        .unionByName(
+            ch(o.where((k % 89 == 0) & (k % 2 == 1)), 3, "U", p + 2.5)
+        )
+        .unionByName(
+            ch(
+                o.where(k % 101 == 0).withColumn(
+                    "o_orderkey", k + 10_000_000
+                ),
+                1,
+                "I",
+                p,
+            )
+        )
+    )
+
+
 def cdc_apply_orders(spark, sf_dir):
-    """Next orders snapshot from a deterministic 3-sequence CDC log:
-    seq 1 updates price +1.5 for keys %89==0, seq 2 deletes keys
-    %97==0, seq 3 re-updates price +2.5 for keys %89==0 AND %2==1
-    (last-writer-wins over seq 1), plus seq 1 inserts of cloned keys
-    (+10M) for keys %101==0. Keys divisible by both 89 and 97 exercise
+    """Next orders snapshot from the deterministic 3-sequence CDC log
+    (``_orders_cdc_changes``). Keys divisible by both 89 and 97 exercise
     delete-after-update; the oracle replays the same log with window
     SQL, so the operator's anti-join + union plan is cross-checked
     against the declarative row_number semantics. Output is the full
@@ -3257,35 +3295,7 @@ def cdc_apply_orders(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     snap = o.select("o_orderkey", "o_totalprice")
-    k = F.col("o_orderkey")
-
-    def ch(df, seq, op, price):
-        return df.select(
-            "o_orderkey",
-            price.alias("o_totalprice"),
-            F.lit(seq).cast("long").alias("seq"),
-            F.lit(op).alias("op"),
-        )
-
-    upd1 = ch(
-        o.where(k % 89 == 0), 1, "U", F.col("o_totalprice") + 1.5
-    )
-    dels = ch(o.where(k % 97 == 0), 2, "D", F.col("o_totalprice"))
-    upd3 = ch(
-        o.where((k % 89 == 0) & (k % 2 == 1)),
-        3,
-        "U",
-        F.col("o_totalprice") + 2.5,
-    )
-    ins = ch(
-        o.where(k % 101 == 0).withColumn(
-            "o_orderkey", k + 10_000_000
-        ),
-        1,
-        "I",
-        F.col("o_totalprice"),
-    )
-    changes = upd1.unionByName(dels).unionByName(upd3).unionByName(ins)
+    changes = _orders_cdc_changes(o)
     return apply_cdc(
         snap, changes, ["o_orderkey"], "seq"
     ).select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
@@ -3341,41 +3351,13 @@ def cdc_partitioned_apply_orders(spark, sf_dir):
     from ..operators.cdc import apply_cdc_partitioned
     from ..sources.io import TableStore
 
-    o = _t(spark, sf_dir, "orders")
-    k = F.col("o_orderkey")
-    snap = o.select(
-        "o_orderkey",
-        (k % 8).alias("p"),
-        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
     )
-
-    def ch(df, seq, op, price):
-        kk = F.col("o_orderkey")
-        return df.select(
-            "o_orderkey",
-            (kk % 8).alias("p"),
-            price.cast("double").alias("o_totalprice"),
-            F.lit(seq).cast("long").alias("seq"),
-            F.lit(op).alias("op"),
-        )
-
-    p = F.col("o_totalprice")
-    changes = (
-        ch(o.where(k % 89 == 0), 1, "U", p + 1.5)
-        .unionByName(ch(o.where(k % 97 == 0), 2, "D", p))
-        .unionByName(
-            ch(o.where((k % 89 == 0) & (k % 2 == 1)), 3, "U", p + 2.5)
-        )
-        .unionByName(
-            ch(
-                o.where(k % 101 == 0).withColumn(
-                    "o_orderkey", k + 10_000_000
-                ),
-                1,
-                "I",
-                p,
-            )
-        )
+    k = F.col("o_orderkey")
+    snap = o.select("o_orderkey", (k % 8).alias("p"), "o_totalprice")
+    changes = _orders_cdc_changes(
+        o, extra_cols=[("p", lambda kk: kk % 8)]
     )
     root = tempfile.mkdtemp(prefix="cdc_part_")
     try:

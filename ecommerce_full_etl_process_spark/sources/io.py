@@ -357,60 +357,121 @@ class TableStore:
                 if name.startswith(prefix)
                 and os.path.isdir(os.path.join(cur_dir, name))
             }
-            if not existing and any(
-                f.endswith(".parquet") for f in os.listdir(cur_dir)
-            ):
+            # the guard must catch BOTH a flat table (top-level parquet)
+            # and a table partitioned on a DIFFERENT column (foo=* dirs):
+            # either way, writing df's partitions as the complete new
+            # version would silently drop every existing row
+            stray = [
+                name
+                for name in os.listdir(cur_dir)
+                if (
+                    "=" in name
+                    and not name.startswith(prefix)
+                    and os.path.isdir(os.path.join(cur_dir, name))
+                )
+                or name.endswith(".parquet")
+            ]
+            if not existing and stray:
                 raise ValueError(
                     f"table {table!r} is not hive-partitioned on "
-                    f"{partition_col!r} — rewrite it with overwrite("
-                    f"..., partition_by=[{partition_col!r}]) first"
+                    f"{partition_col!r} (found {stray[:3]}) — rewrite it "
+                    f"with overwrite(..., partition_by=[{partition_col!r}"
+                    "]) first"
+                )
+            # a multi-level-partitioned table nests further key=value
+            # dirs inside each first-level partition; the replacement
+            # MUST be written with the same full partitioning or the
+            # new version mixes layouts (partition column in one dir,
+            # data column in another) and becomes unreadable
+            nested_cols: list[str] = []
+            probe = (
+                os.path.join(cur_dir, next(iter(existing)))
+                if existing
+                else None
+            )
+            while probe:
+                subs = [
+                    n
+                    for n in os.listdir(probe)
+                    if "=" in n and os.path.isdir(os.path.join(probe, n))
+                ]
+                if not subs:
+                    break
+                col = subs[0].split("=", 1)[0]
+                nested_cols.append(col)
+                probe = os.path.join(probe, subs[0])
+            missing = [c for c in nested_cols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"table {table!r} is also partitioned on "
+                    f"{nested_cols} — the replacement frame lacks "
+                    f"{missing}"
                 )
             new_version = current + 1
             new_dir = self._data_dir(table, new_version)
             # 1. write the replacement partitions
-            df.write.mode("overwrite").partitionBy(partition_col).parquet(
-                new_dir
-            )
+            df.write.mode("overwrite").partitionBy(
+                partition_col, *nested_cols
+            ).parquet(new_dir)
             written = {
                 name
                 for name in os.listdir(new_dir)
                 if name.startswith(prefix)
             }
-            # hive-encode explicit replacements so set arithmetic lines
-            # up with Spark's written dir names: add both the plain and
-            # the percent-encoded form (a form matching no actual dir
-            # subtracts nothing — only the one that matches matters)
-            from urllib.parse import quote
+            # 1b. explicit replacements (partitions deleted to empty):
+            # match by decoded VALUE, not by re-encoding — Spark's dir
+            # encoding (percent-escapes, lowercase booleans, the
+            # __HIVE_DEFAULT_PARTITION__ null sentinel) does not
+            # round-trip through str()/quote() for every type
+            from urllib.parse import unquote
 
-            replaced = set(written)
+            def _wanted(v) -> set[str]:
+                if v is None:
+                    return {"__HIVE_DEFAULT_PARTITION__"}
+                s = str(v)
+                out = {s}
+                if isinstance(v, bool):
+                    out.add(s.lower())
+                return out
+
+            targets: set[str] = set()
             for v in also_replace or []:
-                replaced.add(f"{prefix}{v}")
-                replaced.add(f"{prefix}{quote(str(v), safe='')}")
+                targets |= _wanted(v)
+            replaced = set(written)
+            for name in existing:
+                if unquote(name[len(prefix):]) in targets:
+                    replaced.add(name)
             # 2. carry untouched partitions over by hardlink (same bytes,
-            #    no copy; falls back to copy on filesystems without links)
+            #    no copy; falls back to copy on filesystems without
+            #    links). os.walk, not a flat listdir: a multi-level
+            #    partitioned table nests further key=value dirs inside,
+            #    and skipping them would silently drop their data.
             import shutil
 
             for name in existing - replaced:
                 src = os.path.join(cur_dir, name)
                 dst = os.path.join(new_dir, name)
-                os.makedirs(dst, exist_ok=True)
-                for fn in os.listdir(src):
-                    if not (
-                        fn.endswith(".parquet") or fn.startswith("part-")
-                    ):
-                        continue
-                    try:
-                        os.link(
-                            os.path.join(src, fn), os.path.join(dst, fn)
-                        )
-                    except OSError:
-                        shutil.copy2(
-                            os.path.join(src, fn), os.path.join(dst, fn)
-                        )
+                for dirpath, _dirs, files in os.walk(src):
+                    rel = os.path.relpath(dirpath, src)
+                    ddir = dst if rel == "." else os.path.join(dst, rel)
+                    os.makedirs(ddir, exist_ok=True)
+                    for fn in files:
+                        if fn.startswith((".", "_")):
+                            continue  # _SUCCESS / checksums / hidden
+                        try:
+                            os.link(
+                                os.path.join(dirpath, fn),
+                                os.path.join(ddir, fn),
+                            )
+                        except OSError:
+                            shutil.copy2(
+                                os.path.join(dirpath, fn),
+                                os.path.join(ddir, fn),
+                            )
             # 3. atomic flip — readers switch whole-version, never partial
             self._set_version(table, new_version)
             # report real replacements: written dirs plus existing dirs
-            # the explicit list removed (phantom encodings excluded)
+            # the explicit list removed
             return sorted(written | (replaced & existing))
 
     def append(

@@ -1066,15 +1066,27 @@ def apply_cdc_mv_batch(
             .distinct()
         )
         affected = old_groups.unionByName(new_groups).distinct()
+
+        # group keys can be NULL (a dirty dimension value is still a
+        # group) — plain column-equality joins silently drop them, which
+        # would leave the null group's aggregate stale forever. Null-safe
+        # equality keeps the retraction exact for every group.
+        def _null_safe(left: DataFrame, how: str) -> DataFrame:
+            aff = affected.alias("__aff")
+            l = left.alias("__l")
+            cond = None
+            for c in group_cols:
+                term = F.col(f"__l.{c}").eqNullSafe(F.col(f"__aff.{c}"))
+                cond = term if cond is None else (cond & term)
+            return l.join(F.broadcast(aff), cond, how)
+
         recomputed = partial_agg(
-            strip_versioned(new_vsnap).join(
-                F.broadcast(affected), group_cols, "left_semi"
-            ),
+            _null_safe(strip_versioned(new_vsnap), "left_semi"),
             group_cols,
             value_col,
         )
-        untouched = store.read(state_table).drop("last_batch").join(
-            F.broadcast(affected), group_cols, "left_anti"
+        untouched = _null_safe(
+            store.read(state_table).drop("last_batch"), "left_anti"
         )
         new_state = untouched.unionByName(recomputed).withColumn(
             "last_batch", F.lit(batch_id).cast("long")

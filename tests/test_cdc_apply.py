@@ -389,6 +389,75 @@ def test_partitioned_apply_drops_fully_deleted_partition(spark, tmp_path):
     assert not os.path.exists(os.path.join(d2, "p=0"))
 
 
+def test_partitioned_apply_null_partition_values(spark, tmp_path):
+    """Round-8 review: NULL partition values live in Spark's
+    __HIVE_DEFAULT_PARTITION__ dir; isin() never matches NULL, so
+    without null-safe affected predicates an update to one null-
+    partition key would drop the partition's OTHER rows, and a delete
+    of a null-partition key would silently not happen."""
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, 1, 3.0)],
+        "k long, p int, v double",
+    )
+    store.overwrite("snap", base, partition_by=["p"])
+    # update k=1 (null partition): k=2 must survive
+    chg = spark.createDataFrame(
+        [(1, None, 99.0, 1, "U")], "k long, p int, v double, seq long, op string"
+    )
+    apply_cdc_partitioned(store, "snap", chg, ["k"], "seq", "p")
+    got = {r["k"]: (r["p"], r["v"]) for r in store.read("snap").collect()}
+    assert got == {1: (None, 99.0), 2: (None, 2.0), 3: (1, 3.0)}
+    # delete k=2 (null partition): the delete must actually apply
+    chg2 = spark.createDataFrame(
+        [(2, None, 0.0, 2, "D")], "k long, p int, v double, seq long, op string"
+    )
+    apply_cdc_partitioned(store, "snap", chg2, ["k"], "seq", "p")
+    got = {r["k"]: (r["p"], r["v"]) for r in store.read("snap").collect()}
+    assert got == {1: (None, 99.0), 3: (1, 3.0)}
+
+
+def test_overwrite_partitions_multilevel_carryover(spark, tmp_path):
+    """Round-8 review: a table partitioned on TWO levels nests further
+    key=value dirs inside each first-level partition; the carry-over
+    must walk them (a flat listdir silently dropped every untouched
+    first-level partition's data)."""
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(d, r, float(d * 10 + r)) for d in range(3) for r in range(2)],
+        "d int, r int, v double",
+    )
+    store.overwrite("t", base, partition_by=["d", "r"])
+    patch = spark.createDataFrame([(0, 0, 999.0), (0, 1, 888.0)], "d int, r int, v double")
+    store.overwrite_partitions("t", patch, "d")
+    got = sorted((r["d"], r["r"], r["v"]) for r in store.read("t").collect())
+    want = sorted(
+        [(0, 0, 999.0), (0, 1, 888.0)]
+        + [(d, r, float(d * 10 + r)) for d in (1, 2) for r in range(2)]
+    )
+    assert got == want
+
+
+def test_overwrite_partitions_wrong_column_guard(spark, tmp_path):
+    """Round-8 review: a table partitioned on a DIFFERENT column must be
+    rejected — writing df's partitions as the complete new version
+    would silently drop every existing row."""
+    import pytest
+
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame([(1, 0, 1.0)], "k long, q int, v double")
+    store.overwrite("t", base, partition_by=["q"])
+    patch = spark.createDataFrame([(2, 0, 2.0)], "k long, g int, v double")
+    with pytest.raises(ValueError, match="not hive-partitioned on 'g'"):
+        store.overwrite_partitions("t", patch, "g")
+
+
 def test_partitioned_apply_no_changes_is_noop(spark, tmp_path):
     from ecommerce_full_etl_process_spark.sources.io import TableStore
 

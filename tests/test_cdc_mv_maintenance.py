@@ -129,6 +129,32 @@ def test_split_log_stream_equals_whole_log_apply(spark, tmp_path):
     assert _state_agg(store) == _agg_of(whole3)
 
 
+def test_null_group_key_retracts_correctly(spark, tmp_path):
+    """Round-8 review: a NULL group key is still a group; plain
+    column-equality joins drop it from both the recompute (semi) and
+    the state swap (anti), leaving its aggregate permanently stale.
+    The null-safe joins must retract and recompute it like any other."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    snap = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "b", 30.0)],
+        "k long, g string, v double",
+    )
+    init_cdc_mv(store, snap, ["g"], "v")
+    assert _state_agg(store)[None] == (2, 30.0, 10.0, 20.0)
+    chg = spark.createDataFrame(
+        [(1, None, 100.0, 1, "U"), (2, None, 0.0, 1, "D")], CHG_SCHEMA
+    )
+    apply_cdc_mv_batch(spark, store, chg, 0, ["k"], "seq", ["g"], "v")
+    assert _state_agg(store) == {
+        None: (1, 100.0, 100.0, 100.0),
+        "b": (1, 30.0, 30.0, 30.0),
+    }
+    # move the last null-group row to a real group: null group vanishes
+    chg2 = spark.createDataFrame([(1, "b", 5.0, 2, "U")], CHG_SCHEMA)
+    apply_cdc_mv_batch(spark, store, chg2, 1, ["k"], "seq", ["g"], "v")
+    assert _state_agg(store) == {"b": (2, 35.0, 5.0, 30.0)}
+
+
 def test_thirty_batch_soak_converges_every_checkpoint(spark, tmp_path):
     """30 sequential random batches (inserts/updates/deletes/group
     moves, out-of-order sequences) through apply_cdc_mv_batch; at three
