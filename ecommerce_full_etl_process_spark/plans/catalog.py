@@ -653,6 +653,12 @@ _REGISTRY: dict[
         lq.epoch_shuffle_docs,
         lq.EPOCH_SHUFFLE_DOCS_ORACLE,
     ),
+    # round-8: the RANK-bucketed (equi-depth) Z-order layout path under
+    # the oracle gate. Round-9 rotation candidate (never driver-graded).
+    "zorder_rank_pruned_scan": (
+        oq.zorder_rank_pruned_scan,
+        oq.ZORDER_RANK_PRUNED_SCAN_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).

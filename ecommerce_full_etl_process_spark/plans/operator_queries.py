@@ -3575,3 +3575,50 @@ UNION ALL
 SELECT o_orderkey, 'cust_band' FROM orders
 WHERE o_custkey BETWEEN 100 AND 499
 """
+
+
+def zorder_rank_pruned_scan(spark, sf_dir):
+    """The RANK-bucketed (equi-depth percentile) Z-order path end-to-end
+    under the oracle gate (round-8, sources/io.py cluster_by_zorder
+    bucketing="rank"): same rewrite-then-pruned-read shape as
+    zorder_pruned_scan but with quantile-edge bucket ids and different
+    probe bands, so the binary-search bucket kernel, the staged-column
+    plan construction and the stats-pruned reads over the rank layout
+    are all regression-gated on correctness (outlier-robust pruning
+    effectiveness is pinned by tests/test_scale_tools.py)."""
+    import shutil
+    import tempfile
+
+    from ..sources.io import TableStore
+
+    root = tempfile.mkdtemp(prefix="zorder_rank_q_")
+    try:
+        store = TableStore(spark, root)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        store.overwrite("orders_zr", o.repartition(8))
+        store.cluster_by_zorder(
+            "orders_zr",
+            ["o_totalprice", "o_custkey"],
+            16,
+            bucketing="rank",
+        )
+        by_price = store.read_where(
+            "orders_zr", "o_totalprice", 120_000.0, 180_000.0
+        ).select("o_orderkey", F.lit("price_band").alias("probe"))
+        by_cust = store.read_where(
+            "orders_zr", "o_custkey", 600, 899
+        ).select("o_orderkey", F.lit("cust_band").alias("probe"))
+        return by_price.unionByName(by_cust).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ZORDER_RANK_PRUNED_SCAN_ORACLE = """
+SELECT o_orderkey, 'price_band' AS probe FROM orders
+WHERE o_totalprice BETWEEN 120000.0 AND 180000.0
+UNION ALL
+SELECT o_orderkey, 'cust_band' FROM orders
+WHERE o_custkey BETWEEN 600 AND 899
+"""

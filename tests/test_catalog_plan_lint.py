@@ -174,6 +174,7 @@ SHUFFLE_BUDGET = {
     "cdc_mv_maintenance_state": 0,
     # returns a checkpointed union of two pruned reads
     "zorder_pruned_scan": 0,
+    "zorder_rank_pruned_scan": 0,
 }
 DEFAULT_SHUFFLE_CAP = 8
 SHUFFLE_SLACK = 1
