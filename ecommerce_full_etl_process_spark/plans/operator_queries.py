@@ -2040,11 +2040,15 @@ def important_part_revenue(spark, sf_dir):
     the fact scan (multi-consumer recompute hazard). Accumulation is in
     decimal(18,4): exact decimal sums are associative, so the per-part
     values AND the re-summed total are bit-identical to the oracle's
-    direct lineitem sum regardless of association order, and the strict
-    ``>`` threshold (an exact decimal × decimal product) can never flip
-    a boundary part between engines (round-7 advice: the previous
-    cent-rounded double comparison only pinned each side's
-    representation, not the shared threshold).
+    direct lineitem sum regardless of association order. The threshold
+    product is NOT fully exact: decimal(28,4) total × decimal(10,8)
+    fraction formally needs precision 39, one over Spark's 38-digit
+    cap, so ``allowPrecisionLoss`` trims the product scale (~11 digits
+    survive) while DuckDB resolves the same product at full scale — the
+    two engines' thresholds can differ by < 5e-12, and a boundary flip
+    would need a part_value within that sliver of the threshold
+    (round-8 advice: stated as a bound, not "can never flip"; the real
+    round-7 hazard — each side cent-rounding in double — stays fixed).
 
     At 100 TB: per-part is |parts|-bounded (dimension-sized), the only
     fact-scale work is the one map-side-combined groupBy.

@@ -428,6 +428,19 @@ class TableStore:
             def _wanted(v) -> set[str]:
                 if v is None:
                     return {"__HIVE_DEFAULT_PARTITION__"}
+                if isinstance(v, float):
+                    # float partition values don't round-trip Spark's
+                    # dir encoding (Python str(1e-07) = '1e-07' vs
+                    # Java's '1.0E-7'), so a value-match could silently
+                    # no-op and carry a stale partition into the new
+                    # version — refuse loudly; int/string/date/bool/None
+                    # are the supported (and round-trippable) types
+                    raise TypeError(
+                        "overwrite_partitions: float partition values in "
+                        "also_replace don't round-trip Spark's partition-"
+                        "path encoding; partition on int/string/date/bool "
+                        f"instead (got {v!r})"
+                    )
                 s = str(v)
                 out = {s}
                 if isinstance(v, bool):
