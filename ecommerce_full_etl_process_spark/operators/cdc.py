@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "apply_cdc",
     "apply_cdc_partitioned",
+    "apply_cdc_partitioned_versioned",
     "apply_cdc_patch",
     "apply_cdc_versioned",
     "compact_tombstones",
@@ -237,8 +238,10 @@ def apply_cdc_partitioned(
     exactly that partition instead of being invisibly skipped.
 
     Cost: the old-homes lookup is one column-pruned scan of the
-    snapshot's (key, partition) columns — no shuffle (broadcast semi
-    join), but it IS a table-length scan, since a changed key may live
+    snapshot's (key, partition) columns — AQE broadcasts the change-key
+    set when it's day-batch-sized (the common case) and falls back to a
+    shuffle semi-join for bulk backfills; either way it IS a
+    table-length scan, since a changed key may live
     anywhere; the FOLD then reads only affected partitions
     (partition-pruned) and the write is O(affected partitions). If the
     partition value is derivable from the key (date-keyed facts, hash
@@ -247,8 +250,12 @@ def apply_cdc_partitioned(
     """
     snapshot = store.read(table)
     changed_keys = changes.select(*key_cols).distinct()
+    # no broadcast hint on changed_keys: a day-sized change batch will be
+    # broadcast by AQE anyway (it sees the post-distinct size at runtime),
+    # while a bulk backfill's unbounded key set degrades to a shuffle
+    # semi-join instead of OOMing on a forced broadcast
     old_parts = (
-        snapshot.join(F.broadcast(changed_keys), key_cols, "left_semi")
+        snapshot.join(changed_keys, key_cols, "left_semi")
         .select(partition_col)
         .distinct()
     )
@@ -269,6 +276,74 @@ def apply_cdc_partitioned(
         pred = pred | F.col(partition_col).isNull()
     snap_slice = snapshot.where(pred)
     next_slice = apply_cdc(snap_slice, changes, key_cols, seq_col, op_col)
+    return store.overwrite_partitions(
+        table, next_slice, partition_col, also_replace=affected
+    )
+
+
+def apply_cdc_partitioned_versioned(
+    store,
+    table: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    partition_col: str,
+    op_col: str = "op",
+) -> list:
+    """Compose the two 100 TB CDC properties (round-8 verdict item 4):
+    out-of-order-safe folding ACROSS batches (:func:`apply_cdc_versioned`
+    semantics — split-log == whole-log, tombstones block resurrection)
+    AND O(affected-partitions) writes (:func:`apply_cdc_partitioned`'s
+    pruned rewrite with hardlinked carry-over). This is the real
+    Debezium-consumer shape: a partitioned warehouse fed by a log whose
+    batching is independent of sequence order.
+
+    ``store``'s ``table`` must hold a VERSIONED snapshot (payload +
+    ``__seq``/``__deleted``, see :func:`to_versioned`) hive-partitioned
+    on ``partition_col``. Affected = partitions where changed keys'
+    stored rows (live OR tombstone) sit ∪ partitions any change row
+    lands in — tombstones are written rows, so delete changes count as
+    landings too. The fold is ``apply_cdc_versioned`` restricted to the
+    affected-partition slice (partition-pruned read): old-homes
+    membership guarantees the slice carries every stored row a change
+    could challenge, so the restriction is semantics-preserving. A late
+    lower-sequence change whose target partition was already rewritten
+    in an earlier batch only challenges (and loses to) the stored
+    row/tombstone — its landing partition is rewritten idempotently,
+    never resurrected or misordered (property-pinned in
+    tests/test_cdc_apply.py against the whole-log fold).
+
+    Cost mirrors ``apply_cdc_partitioned``: one column-pruned
+    (key, partition) scan for old homes (AQE broadcasts day-sized key
+    sets), a partition-pruned fold, and an O(affected) write; untouched
+    partitions hardlink into the new version. Returns the replaced
+    partition dirs.
+    """
+    snapshot = store.read(table)
+    changed_keys = changes.select(*key_cols).distinct()
+    old_parts = (
+        snapshot.join(changed_keys, key_cols, "left_semi")
+        .select(partition_col)
+        .distinct()
+    )
+    # unlike the plain form, D rows are landings here (tombstones are
+    # written), so every change row's partition is affected
+    new_parts = changes.select(partition_col).distinct()
+    affected = [
+        r[0] for r in old_parts.unionByName(new_parts).distinct().collect()
+    ]
+    if not affected:
+        return []
+    non_null = [v for v in affected if v is not None]
+    pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in affected):
+        # isin() never matches NULL (three-valued logic) — see
+        # apply_cdc_partitioned
+        pred = pred | F.col(partition_col).isNull()
+    snap_slice = snapshot.where(pred)
+    next_slice = apply_cdc_versioned(
+        snap_slice, changes, key_cols, seq_col, op_col
+    )
     return store.overwrite_partitions(
         table, next_slice, partition_col, also_replace=affected
     )

@@ -493,3 +493,171 @@ def test_tombstone_compaction_respects_horizon(spark):
     assert sorted(
         (r["k"], r["v"]) for r in strip_versioned(after).collect()
     ) == [(3, 3.0)]
+
+
+# ---------------------------------------------------------------------------
+# Partitioned × versioned composition — round-9 (round-8 verdict item 4):
+# split-log == whole-log safety AT the O(affected-partitions) write layer
+# ---------------------------------------------------------------------------
+
+from ecommerce_full_etl_process_spark.operators.cdc import (  # noqa: E402
+    apply_cdc_partitioned_versioned,
+)
+
+
+def _vp(v: float) -> int:
+    """Partition derived from the VALUE, so updates move rows across
+    partitions — the adversarial case for partition-scoped rewrites."""
+    return int(v) % 3
+
+
+def test_partitioned_versioned_split_log_property(spark, tmp_path):
+    """THE composition contract: folding a random log split into random
+    batches (assignment independent of sequence — late/out-of-order
+    arrivals land in partitions earlier batches already rewrote) through
+    apply_cdc_partitioned_versioned yields exactly the whole-log
+    apply_cdc state, live rows AND partition homes, mirroring
+    test_split_log_equals_whole_log_property at the partitioned layer."""
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    rng = random.Random(91)
+    chg_schema = "k long, v double, p int, seq long, op string"
+    for trial in range(3):
+        snapshot = {k: float(k * 10) for k in range(40)}
+        log = _rand_log(rng)
+        n_batches = rng.choice([2, 3, 4])
+        batches = [[] for _ in range(n_batches)]
+        for c in log:
+            batches[rng.randrange(n_batches)].append(c)
+
+        snap_df = spark.createDataFrame(
+            [(k, v, _vp(v)) for k, v in snapshot.items()],
+            "k long, v double, p int",
+        )
+        store = TableStore(spark, str(tmp_path / f"wh{trial}"))
+        store.overwrite("snap", to_versioned(snap_df), partition_by=["p"])
+        for b in batches:
+            if not b:
+                continue
+            chg_df = spark.createDataFrame(
+                [(k, v, _vp(v), s, o) for k, v, s, o in b], chg_schema
+            )
+            apply_cdc_partitioned_versioned(
+                store, "snap", chg_df, ["k"], "seq", "p"
+            )
+        got = {
+            r["k"]: (r["v"], r["p"])
+            for r in strip_versioned(store.read("snap")).collect()
+        }
+        whole = apply_cdc(
+            snap_df,
+            spark.createDataFrame(
+                [(k, v, _vp(v), s, o) for k, v, s, o in log], chg_schema
+            ),
+            ["k"],
+            "seq",
+        )
+        want = {r["k"]: (r["v"], r["p"]) for r in whole.collect()}
+        assert got == want, trial
+
+
+def test_partitioned_versioned_late_change_cannot_resurrect(spark, tmp_path):
+    """A late lower-seq update arriving AFTER its key's delete — and
+    landing in a partition the delete's rewrite never touched — must
+    lose to the tombstone, not materialize a zombie row there."""
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    snap = spark.createDataFrame([(1, 1.0, 0)], "k long, v double, p int")
+    store.overwrite("snap", to_versioned(snap), partition_by=["p"])
+    schema = "k long, v double, p int, seq long, op string"
+    apply_cdc_partitioned_versioned(
+        store, "snap",
+        spark.createDataFrame([(1, 0.0, 0, 5, "D")], schema),
+        ["k"], "seq", "p",
+    )
+    apply_cdc_partitioned_versioned(
+        store, "snap",
+        spark.createDataFrame([(1, 9.0, 2, 3, "U")], schema),
+        ["k"], "seq", "p",
+    )
+    cur = store.read("snap")
+    assert strip_versioned(cur).collect() == []
+    tomb = cur.where("__deleted").collect()
+    assert [(r["k"], r["__seq"]) for r in tomb] == [(1, 5)]
+
+
+def test_partitioned_versioned_row_move_vacates_old_partition(
+    spark, tmp_path
+):
+    """An update that moves a row p=0 → p=2 must vacate the old
+    partition in the SAME apply — and a later lower-seq update aimed
+    back at p=0 must not re-materialize it there."""
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    snap = spark.createDataFrame(
+        [(1, 0.0, 0), (2, 0.0, 0)], "k long, v double, p int"
+    )
+    store.overwrite("snap", to_versioned(snap), partition_by=["p"])
+    schema = "k long, v double, p int, seq long, op string"
+    apply_cdc_partitioned_versioned(
+        store, "snap",
+        spark.createDataFrame([(1, 5.0, 2, 4, "U")], schema),
+        ["k"], "seq", "p",
+    )
+    got = sorted(
+        (r["k"], r["v"], r["p"])
+        for r in strip_versioned(store.read("snap")).collect()
+    )
+    assert got == [(1, 5.0, 2), (2, 0.0, 0)]
+    # late lower-seq change targeting the vacated partition: loses
+    apply_cdc_partitioned_versioned(
+        store, "snap",
+        spark.createDataFrame([(1, 7.0, 0, 2, "U")], schema),
+        ["k"], "seq", "p",
+    )
+    got = sorted(
+        (r["k"], r["v"], r["p"])
+        for r in strip_versioned(store.read("snap")).collect()
+    )
+    assert got == [(1, 5.0, 2), (2, 0.0, 0)]
+
+
+def test_partitioned_versioned_untouched_partitions_hardlinked(
+    spark, tmp_path
+):
+    """Write-cost contract: a batch touching only p=1 must leave the
+    other partitions' data files hardlinked (same inode), not copied."""
+    import os
+
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    snap = spark.createDataFrame(
+        [(k, float(k), k % 4) for k in range(40)], "k long, v double, p int"
+    )
+    store.overwrite("snap", to_versioned(snap), partition_by=["p"])
+    v1 = store._current_version("snap")
+    schema = "k long, v double, p int, seq long, op string"
+    replaced = apply_cdc_partitioned_versioned(
+        store, "snap",
+        spark.createDataFrame([(1, 99.0, 1, 1, "U")], schema),
+        ["k"], "seq", "p",
+    )
+    assert replaced == ["p=1"]
+    v2 = store._current_version("snap")
+    for part in ("p=0", "p=2", "p=3"):
+        old_dir = os.path.join(store._data_dir("snap", v1), part)
+        new_dir = os.path.join(store._data_dir("snap", v2), part)
+        old_inodes = {
+            os.stat(os.path.join(old_dir, f)).st_ino
+            for f in os.listdir(old_dir)
+            if f.endswith(".parquet")
+        }
+        new_inodes = {
+            os.stat(os.path.join(new_dir, f)).st_ino
+            for f in os.listdir(new_dir)
+            if f.endswith(".parquet")
+        }
+        assert new_inodes == old_inodes, part
