@@ -42,16 +42,15 @@ _REGISTRY: dict[
 ] = {
     # ------------------------------------------------------------------
     # Tier 1 — one entry per unique operator family (graded window).
-    # Round-8 rotation: 16 never-driver-graded families promoted — the
-    # whole advanced-streaming family (stream-stream interval join,
-    # stateful sessionize, stream-static enrichment, streaming hopping
-    # windows, streaming MV maintenance), the IVF + int8-quantized ANN
-    # variants, trigram LM scoring, star-contraction connected
-    # components, the skew-safe as-of merge, TPC-H Q20/Q7 shapes, exact
-    # heavy hitters, incremental aggregate maintenance, CDC apply and
-    # Z-order pruned reads. 16 same-family-redundant slots demoted to
-    # tier 2 (each driver-graded green 2-7 rounds running and still
-    # locally oracle-checked every pytest run).
+    # Round-9 rotation: 12 never-driver-graded entries promoted — the
+    # four round-8 builds the catalog queued (patch CDC, partitioned
+    # CDC, rank-bucketed Z-order, epoch shuffle), the as-of fanout
+    # strategy, the Q11 decimal-threshold fix (important_part_revenue),
+    # contamination screening, GROUPING SETS, the Q8 market-share shape,
+    # date-spine interpolation, PMI collocations and int8 embedding
+    # quantization. 12 slots demoted to tier 2 (each driver-graded green
+    # at least once — most r08 — with their family still represented in
+    # the window, and still locally oracle-checked every pytest run).
     # ------------------------------------------------------------------
     "flagship_revenue_by_nation": (
         analytics.flagship_revenue_by_nation,
@@ -68,11 +67,11 @@ _REGISTRY: dict[
         oq.price_tolerance_check,
         oq.PRICE_TOLERANCE_CHECK_ORACLE,
     ),
-    # §2.4 J3 as-of — the skew-safe two-phase merge strategy takes the
-    # graded slot this round (same oracle as the default merge strategy,
-    # which graded green r01-r07 and moves to tier 2)
-    "asof_events_to_orders_skewsafe": (
-        oq.asof_events_to_orders_skewsafe,
+    # §2.4 J3 as-of — the candidate-join (fanout) physical strategy takes
+    # the graded slot this round (never driver-graded; same oracle as the
+    # merge form graded r01-r07 and the skew-safe form graded r08)
+    "asof_events_to_orders_fanout": (
+        oq.asof_events_to_orders_fanout,
         oq.ASOF_EVENTS_TO_ORDERS_ORACLE,
     ),
     # §2.6 SCD2 merge (centerpiece)
@@ -119,12 +118,15 @@ _REGISTRY: dict[
         lq.simhash_planted_pairs,
         lq.SIMHASH_PLANTED_PAIRS_ORACLE,
     ),
-    "corpus_dedup_components": (
-        lq.corpus_dedup_components,
-        lq.CORPUS_DEDUP_COMPONENTS_ORACLE,
+    # round-9 promotion: verbatim contamination screening (broadcast
+    # probe index) — never driver-graded; the adaptive-DSU connected
+    # components it displaces graded green r05-r08 (star variant stays)
+    "contamination_screen": (
+        lq.contamination_screen,
+        lq.CONTAMINATION_SCREEN_ORACLE,
     ),
-    # round-8 promotion: O(log d) star-contraction CC variant (the 100 TB
-    # path when components outgrow the driver DSU) — never driver-graded
+    # O(log d) star-contraction CC variant (the 100 TB
+    # path when components outgrow the driver DSU) — first graded r08
     "corpus_dedup_components_star": (
         lq.corpus_dedup_components_star,
         lq.CORPUS_DEDUP_COMPONENTS_STAR_ORACLE,
@@ -142,20 +144,21 @@ _REGISTRY: dict[
         lq.token_budget_packing,
         lq.TOKEN_BUDGET_PACKING_ORACLE,
     ),
-    # LLM-data-pipeline: similarity search (all three physical
-    # strategies graded this round: bucketed, IVF, int8-quantized)
-    "similarity_topk_bucketed": (
-        lq.similarity_topk_bucketed,
-        lq.SIMILARITY_TOPK_BUCKETED_ORACLE,
-    ),
+    # LLM-data-pipeline: similarity search — IVF holds the family's
+    # graded slot (bucketed + quantized variants graded green r08, now
+    # tier 2); the freed slots go to two never-graded embedding ops
     "similarity_topk_ivf": (
         lq.similarity_topk_ivf,
         lq.SIMILARITY_TOPK_IVF_ORACLE,
     ),
-    "similarity_topk_quantized": (
-        lq.similarity_topk_quantized,
-        lq.SIMILARITY_TOPK_QUANTIZED_ORACLE,
+    # round-9 promotion: int8 embedding quantization (scale/zero-point
+    # codec + reconstruction error bounds) — never driver-graded
+    "embedding_quantization": (
+        lq.embedding_quantization,
+        lq.EMBEDDING_QUANTIZATION_ORACLE,
     ),
+    # round-9 promotion: PMI collocation mining — never driver-graded
+    "bigram_pmi": (lq.bigram_pmi, lq.BIGRAM_PMI_ORACLE),
     "embedding_neardup_pairs": (
         lq.embedding_neardup_pairs,
         lq.EMBEDDING_NEARDUP_PAIRS_ORACLE,
@@ -180,15 +183,11 @@ _REGISTRY: dict[
     ),
     # §2.11 multimodal: Arrow mapInPandas feature extraction vs SQL oracle
     "multimodal_features": (sq.multimodal_features, sq.MULTIMODAL_FEATURES_ORACLE),
-    # §2.12 streaming — the WHOLE family takes graded slots this round
-    # (windowed counts graded r01-r07; the other four never graded):
-    # stream-stream interval join, custom stateful sessionization,
-    # stream-static broadcast enrichment, streaming hopping windows and
-    # the foreachBatch materialized-view maintenance loop
-    "streaming_event_counts": (
-        sp.streaming_event_counts,
-        sp.STREAMING_EVENT_COUNTS_ORACLE,
-    ),
+    # §2.12 streaming — whole family graded green r08; the stream-stream
+    # interval join, stateful sessionization and the two foreachBatch
+    # exactly-once maintenance loops keep the slots (hardest-to-regress
+    # state machinery); windowed counts / enrichment / hopping rates
+    # rotate to tier 2 and their slots go to never-graded promotions
     "streaming_click_purchase_join": (
         sp.streaming_click_purchase_join,
         sp.STREAMING_CLICK_PURCHASE_JOIN_ORACLE,
@@ -197,17 +196,25 @@ _REGISTRY: dict[
         sp.stateful_sessionize,
         sp.STATEFUL_SESSIONIZE_ORACLE,
     ),
-    "streaming_enriched_segment_counts": (
-        sp.streaming_enriched_segment_counts,
-        sp.STREAMING_ENRICHED_SEGMENT_COUNTS_ORACLE,
-    ),
-    "streaming_hopping_rates": (
-        sp.streaming_hopping_rates,
-        sp.STREAMING_HOPPING_RATES_ORACLE,
-    ),
     "streaming_agg_maintenance_state": (
         sp.streaming_agg_maintenance_state,
         sp.STREAMING_AGG_MAINTENANCE_STATE_ORACLE,
+    ),
+    # round-9 promotion: reproducible training-epoch shuffle + sharding
+    # (md5 sort key, shard-local positions) — never driver-graded
+    "epoch_shuffle_docs": (
+        lq.epoch_shuffle_docs,
+        lq.EPOCH_SHUFFLE_DOCS_ORACLE,
+    ),
+    # round-9 promotion: explicit GROUPING SETS — never driver-graded
+    "grouping_sets_revenue": (
+        oq.grouping_sets_revenue,
+        oq.GROUPING_SETS_REVENUE_ORACLE,
+    ),
+    # round-9 promotion: date-spine linear interpolation — never graded
+    "interpolated_daily_values": (
+        oq.interpolated_daily_values,
+        oq.INTERPOLATED_DAILY_VALUES_ORACLE,
     ),
     # round-8 promotion: incremental aggregate maintenance — partial-state
     # merge refresh (operators/incremental.py); oracle is the full rescan
@@ -215,11 +222,20 @@ _REGISTRY: dict[
         oq.incremental_monthly_revenue,
         oq.INCREMENTAL_MONTHLY_REVENUE_ORACLE,
     ),
-    # round-8 promotion: CDC apply — last-writer-wins upserts + delete
-    # tombstones folded into a snapshot (operators/cdc.py)
-    "cdc_apply_orders": (
-        oq.cdc_apply_orders,
-        oq.CDC_APPLY_ORDERS_ORACLE,
+    # round-9 promotion: partial-column (patch) CDC apply — per-column
+    # argmax over surviving patches with delete-horizon semantics
+    # (operators/cdc.py apply_cdc_patch) — never driver-graded; the
+    # whole-row LWW apply it displaces graded green r08
+    "cdc_patch_orders": (
+        oq.cdc_patch_orders,
+        oq.CDC_PATCH_ORDERS_ORACLE,
+    ),
+    # round-9 promotion: partition-scoped CDC apply — only affected
+    # partitions rewritten, untouched ones hardlinked (operators/cdc.py
+    # apply_cdc_partitioned + io.py overwrite_partitions) — never graded
+    "cdc_partitioned_apply_orders": (
+        oq.cdc_partitioned_apply_orders,
+        oq.CDC_PARTITIONED_APPLY_ORDERS_ORACLE,
     ),
     # round-8 NEW: CDC × MV composition — one foreachBatch loop maintains
     # the versioned snapshot (out-of-order-safe apply_cdc_versioned) AND
@@ -229,11 +245,12 @@ _REGISTRY: dict[
         sp.cdc_mv_maintenance_state,
         sp.CDC_MV_MAINTENANCE_STATE_ORACLE,
     ),
-    # round-8 promotion: Z-order clustering + stats-pruned reads
-    # end-to-end (sources/io.py cluster_by_zorder/read_where)
-    "zorder_pruned_scan": (
-        oq.zorder_pruned_scan,
-        oq.ZORDER_PRUNED_SCAN_ORACLE,
+    # round-9 promotion: RANK-bucketed (equi-depth) Z-order layout +
+    # stats-pruned reads — skew/outlier-robust file skipping — never
+    # driver-graded; the linear-bucketed path it displaces graded r08
+    "zorder_rank_pruned_scan": (
+        oq.zorder_rank_pruned_scan,
+        oq.ZORDER_RANK_PRUNED_SCAN_ORACLE,
     ),
     # §2.4 J1 semi join at fact scale (Bloom-prefiltered variant; the
     # plain left_semi form graded r01-r07, now tier 2)
@@ -241,21 +258,21 @@ _REGISTRY: dict[
         oq.bloom_filtered_orders,
         oq.BLOOM_FILTERED_ORDERS_ORACLE,
     ),
-    "hopping_event_rates": (
-        oq.hopping_event_rates,
-        oq.HOPPING_EVENT_RATES_ORACLE,
-    ),
-    "table_stats_orders": (
-        oq.table_stats_orders,
-        oq.TABLE_STATS_ORDERS_ORACLE,
+    # round-9 promotion: TPC-H Q8 market-share shape — never graded
+    "nation_market_share": (
+        oq.nation_market_share,
+        oq.NATION_MARKET_SHARE_ORACLE,
     ),
     "order_priority_counts": (
         oq.order_priority_counts,
         oq.ORDER_PRIORITY_COUNTS_ORACLE,
     ),
-    "local_supplier_volume": (
-        oq.local_supplier_volume,
-        oq.LOCAL_SUPPLIER_VOLUME_ORACLE,
+    # round-9 promotion: TPC-H Q11 scalar-subquery-HAVING shape — never
+    # driver-graded (validates the round-7 decimal-threshold fix under
+    # the driver gate, per the round-8 verdict)
+    "important_part_revenue": (
+        oq.important_part_revenue,
+        oq.IMPORTANT_PART_REVENUE_ORACLE,
     ),
     "customer_order_distribution": (
         oq.customer_order_distribution,
@@ -375,9 +392,10 @@ _REGISTRY: dict[
         analytics.sessionize_events,
         analytics.SESSIONIZE_EVENTS_ORACLE,
     ),
-    # J3 alternate physical strategy: the candidate-join (fanout) form
-    "asof_events_to_orders_fanout": (
-        oq.asof_events_to_orders_fanout,
+    # J3 skew-safe two-phase merge strategy (driver-graded green r08;
+    # same oracle as the graded fanout form)
+    "asof_events_to_orders_skewsafe": (
+        oq.asof_events_to_orders_skewsafe,
         oq.ASOF_EVENTS_TO_ORDERS_ORACLE,
     ),
     # round-7 TPC-H long-tail shapes (Q2/Q8/Q9/Q12/Q15/Q16/Q17/Q19
@@ -389,10 +407,6 @@ _REGISTRY: dict[
     # interpolated_daily_values, gap_filled_daily_order_counts,
     # returned_item_revenue, important_part_revenue,
     # lapsed_high_balance_customers, customer_revenue_deciles.
-    "nation_market_share": (
-        oq.nation_market_share,
-        oq.NATION_MARKET_SHARE_ORACLE,
-    ),
     "product_type_profit": (
         oq.product_type_profit,
         oq.PRODUCT_TYPE_PROFIT_ORACLE,
@@ -420,17 +434,6 @@ _REGISTRY: dict[
     "best_price_supplier_per_part": (
         oq.best_price_supplier_per_part,
         oq.BEST_PRICE_SUPPLIER_PER_PART_ORACLE,
-    ),
-    # explicit GROUPING SETS (the general form cube/rollup specialize)
-    "grouping_sets_revenue": (
-        oq.grouping_sets_revenue,
-        oq.GROUPING_SETS_REVENUE_ORACLE,
-    ),
-    # time-series linear interpolation over a date spine (beyond the
-    # forward-fill in gap_filled_daily_order_counts)
-    "interpolated_daily_values": (
-        oq.interpolated_daily_values,
-        oq.INTERPOLATED_DAILY_VALUES_ORACLE,
     ),
     "groupby_count_desc": (oq.groupby_count_desc, oq.GROUPBY_COUNT_DESC_ORACLE),
     "max_key_allocation": (oq.max_key_allocation, oq.MAX_KEY_ALLOCATION_ORACLE),
@@ -527,12 +530,8 @@ _REGISTRY: dict[
         oq.salted_join_revenue,
         oq.SALTED_JOIN_REVENUE_ORACLE,
     ),
-    # training-data curation (round-4 additions): contamination screening
-    # and mixture sampling with a deterministic cross-engine hash gate
-    "contamination_screen": (
-        lq.contamination_screen,
-        lq.CONTAMINATION_SCREEN_ORACLE,
-    ),
+    # training-data curation (round-4 additions): mixture sampling with
+    # a deterministic cross-engine hash gate
     "weighted_source_sample": (
         lq.weighted_source_sample,
         lq.WEIGHTED_SOURCE_SAMPLE_ORACLE,
@@ -557,10 +556,6 @@ _REGISTRY: dict[
     ),
     "pii_scrub_docs": (lq.pii_scrub_docs, lq.PII_SCRUB_DOCS_ORACLE),
     "line_dedup_corpus": (lq.line_dedup_corpus, lq.LINE_DEDUP_CORPUS_ORACLE),
-    "embedding_quantization": (
-        lq.embedding_quantization,
-        lq.EMBEDDING_QUANTIZATION_ORACLE,
-    ),
     # round-5: distributed BPE merge-candidate counting and the end-to-end
     # per-source curation funnel (quality → dedup → contamination → tokens)
     "bpe_merge_candidates": (
@@ -601,9 +596,8 @@ _REGISTRY: dict[
         oq.gap_filled_daily_order_counts,
         oq.GAP_FILLED_DAILY_ORDER_COUNTS_ORACLE,
     ),
-    # round-5: salient-term extraction (tf-idf) and PMI collocations
+    # round-5: salient-term extraction (tf-idf)
     "tfidf_top_terms": (lq.tfidf_top_terms, lq.TFIDF_TOP_TERMS_ORACLE),
-    "bigram_pmi": (lq.bigram_pmi, lq.BIGRAM_PMI_ORACLE),
     # round-5: per-dim centering + L2 norms (ANN/k-means preprocessing)
     "embedding_preprocess": (
         lq.embedding_preprocess,
@@ -621,43 +615,59 @@ _REGISTRY: dict[
     ),
     # round-7: TPC-H Q11 shape — per-group aggregate vs a global-scalar
     # threshold derived from the SAME aggregate (no second fact scan)
-    "important_part_revenue": (
-        oq.important_part_revenue,
-        oq.IMPORTANT_PART_REVENUE_ORACLE,
-    ),
     # round-7: TPC-H Q22 shape — scalar-average subquery + anti join
     "lapsed_high_balance_customers": (
         oq.lapsed_high_balance_customers,
         oq.LAPSED_HIGH_BALANCE_CUSTOMERS_ORACLE,
     ),
-    # round-8: partial-column (patch) CDC apply — per-column argmax over
-    # surviving patches with delete-horizon semantics (operators/cdc.py
-    # apply_cdc_patch). Round-9 rotation candidate (never driver-graded).
-    "cdc_patch_orders": (
-        oq.cdc_patch_orders,
-        oq.CDC_PATCH_ORDERS_ORACLE,
+    # ------------------------------------------------------------------
+    # round-9 rotation demotions (each driver-graded green at least once
+    # — most r08, streaming_event_counts r01-r08 — family still
+    # represented in tier 1, still oracle-checked every pytest run)
+    # ------------------------------------------------------------------
+    "corpus_dedup_components": (
+        lq.corpus_dedup_components,
+        lq.CORPUS_DEDUP_COMPONENTS_ORACLE,
     ),
-    # round-8: partition-scoped CDC apply against a hive-partitioned
-    # TableStore snapshot — only affected partitions rewritten, untouched
-    # ones hardlinked into the new version (operators/cdc.py
-    # apply_cdc_partitioned + io.py overwrite_partitions). Round-9
-    # rotation candidate (never driver-graded).
-    "cdc_partitioned_apply_orders": (
-        oq.cdc_partitioned_apply_orders,
-        oq.CDC_PARTITIONED_APPLY_ORDERS_ORACLE,
+    "similarity_topk_bucketed": (
+        lq.similarity_topk_bucketed,
+        lq.SIMILARITY_TOPK_BUCKETED_ORACLE,
     ),
-    # round-8: reproducible training-epoch shuffle + sharding (md5 sort
-    # key, shard-local positions — no global sort). Round-9 rotation
-    # candidate (never driver-graded).
-    "epoch_shuffle_docs": (
-        lq.epoch_shuffle_docs,
-        lq.EPOCH_SHUFFLE_DOCS_ORACLE,
+    "similarity_topk_quantized": (
+        lq.similarity_topk_quantized,
+        lq.SIMILARITY_TOPK_QUANTIZED_ORACLE,
     ),
-    # round-8: the RANK-bucketed (equi-depth) Z-order layout path under
-    # the oracle gate. Round-9 rotation candidate (never driver-graded).
-    "zorder_rank_pruned_scan": (
-        oq.zorder_rank_pruned_scan,
-        oq.ZORDER_RANK_PRUNED_SCAN_ORACLE,
+    "streaming_event_counts": (
+        sp.streaming_event_counts,
+        sp.STREAMING_EVENT_COUNTS_ORACLE,
+    ),
+    "streaming_enriched_segment_counts": (
+        sp.streaming_enriched_segment_counts,
+        sp.STREAMING_ENRICHED_SEGMENT_COUNTS_ORACLE,
+    ),
+    "streaming_hopping_rates": (
+        sp.streaming_hopping_rates,
+        sp.STREAMING_HOPPING_RATES_ORACLE,
+    ),
+    "cdc_apply_orders": (
+        oq.cdc_apply_orders,
+        oq.CDC_APPLY_ORDERS_ORACLE,
+    ),
+    "zorder_pruned_scan": (
+        oq.zorder_pruned_scan,
+        oq.ZORDER_PRUNED_SCAN_ORACLE,
+    ),
+    "hopping_event_rates": (
+        oq.hopping_event_rates,
+        oq.HOPPING_EVENT_RATES_ORACLE,
+    ),
+    "table_stats_orders": (
+        oq.table_stats_orders,
+        oq.TABLE_STATS_ORDERS_ORACLE,
+    ),
+    "local_supplier_volume": (
+        oq.local_supplier_volume,
+        oq.LOCAL_SUPPLIER_VOLUME_ORACLE,
     ),
 }
 
@@ -678,43 +688,45 @@ TIER1_REQUIRED = frozenset(
         "dedup_exact_summary",
         "minhash_lsh_neardups",
         "simhash_planted_pairs",
-        "corpus_dedup_components",
         "dedup_keep_best_quality",
         "corpus_curation_stats",
         "token_budget_packing",
-        "similarity_topk_bucketed",
         "embedding_neardup_pairs",
         "text_quality_stats",
         "language_id_heuristic",
         "token_count_bpe",
         "multimodal_features",
-        "streaming_event_counts",
         "bloom_filtered_orders",
-        "hopping_event_rates",
-        "table_stats_orders",
         "order_priority_counts",
-        "local_supplier_volume",
         "customer_order_distribution",
         "promo_revenue_share",
         "suppliers_who_kept_waiting",
-        # round-8 rotation promotions (first driver grading this round)
-        "asof_events_to_orders_skewsafe",
+        # retained round-8 promotions (graded green r08, kept one more
+        # round: the hardest-to-regress state machinery + ANN/LM reps)
         "corpus_dedup_components_star",
         "similarity_topk_ivf",
-        "similarity_topk_quantized",
         "trigram_lm_scores",
         "heavy_hitter_bigrams",
         "streaming_click_purchase_join",
         "stateful_sessionize",
-        "streaming_enriched_segment_counts",
-        "streaming_hopping_rates",
         "streaming_agg_maintenance_state",
         "incremental_monthly_revenue",
-        "cdc_apply_orders",
         "cdc_mv_maintenance_state",
-        "zorder_pruned_scan",
         "surplus_part_suppliers",
         "bilateral_trade_volume",
+        # round-9 rotation promotions (first driver grading this round)
+        "asof_events_to_orders_fanout",
+        "contamination_screen",
+        "embedding_quantization",
+        "bigram_pmi",
+        "epoch_shuffle_docs",
+        "grouping_sets_revenue",
+        "interpolated_daily_values",
+        "cdc_patch_orders",
+        "cdc_partitioned_apply_orders",
+        "zorder_rank_pruned_scan",
+        "nation_market_share",
+        "important_part_revenue",
     }
 )
 
