@@ -237,6 +237,14 @@ _REGISTRY: dict[
         oq.cdc_partitioned_apply_orders,
         oq.CDC_PARTITIONED_APPLY_ORDERS_ORACLE,
     ),
+    # round-9 NEW: the partitioned × versioned composition — the same
+    # log delivered as out-of-order per-sequence batches must converge
+    # to the whole-log fold while rewriting only affected partitions
+    # (operators/cdc.py apply_cdc_partitioned_versioned)
+    "cdc_partitioned_versioned_orders": (
+        oq.cdc_partitioned_versioned_orders,
+        oq.CDC_PARTITIONED_VERSIONED_ORDERS_ORACLE,
+    ),
     # round-8 NEW: CDC × MV composition — one foreachBatch loop maintains
     # the versioned snapshot (out-of-order-safe apply_cdc_versioned) AND
     # its group aggregate (bounded affected-group re-aggregate with
@@ -277,10 +285,6 @@ _REGISTRY: dict[
     "customer_order_distribution": (
         oq.customer_order_distribution,
         oq.CUSTOMER_ORDER_DISTRIBUTION_ORACLE,
-    ),
-    "promo_revenue_share": (
-        oq.promo_revenue_share,
-        oq.PROMO_REVENUE_SHARE_ORACLE,
     ),
     "suppliers_who_kept_waiting": (
         oq.suppliers_who_kept_waiting,
@@ -669,6 +673,10 @@ _REGISTRY: dict[
         oq.local_supplier_volume,
         oq.LOCAL_SUPPLIER_VOLUME_ORACLE,
     ),
+    "promo_revenue_share": (
+        oq.promo_revenue_share,
+        oq.PROMO_REVENUE_SHARE_ORACLE,
+    ),
 }
 
 # Families that MUST sit inside the graded window (lint-enforced).
@@ -699,7 +707,6 @@ TIER1_REQUIRED = frozenset(
         "bloom_filtered_orders",
         "order_priority_counts",
         "customer_order_distribution",
-        "promo_revenue_share",
         "suppliers_who_kept_waiting",
         # retained round-8 promotions (graded green r08, kept one more
         # round: the hardest-to-regress state machinery + ANN/LM reps)
@@ -724,6 +731,7 @@ TIER1_REQUIRED = frozenset(
         "interpolated_daily_values",
         "cdc_patch_orders",
         "cdc_partitioned_apply_orders",
+        "cdc_partitioned_versioned_orders",
         "zorder_rank_pruned_scan",
         "nation_market_share",
         "important_part_revenue",

@@ -3412,6 +3412,63 @@ FROM last WHERE op <> 'D'
 """
 
 
+def cdc_partitioned_versioned_orders(spark, sf_dir):
+    """Partitioned × versioned CDC composition end-to-end (round-9,
+    operators/cdc.py apply_cdc_partitioned_versioned): the SAME
+    deterministic log as cdc_apply_orders/cdc_partitioned_apply_orders,
+    but delivered as three per-sequence batches OUT OF ORDER
+    (seq 3, then 1, then 2) against a hive-partitioned VERSIONED
+    TableStore snapshot (p = o_orderkey % 8). Each apply rewrites only
+    affected partitions; the versioned layer (per-row ``__seq`` +
+    tombstones) makes the out-of-order delivery converge to the
+    whole-log fold — a plain per-batch apply_cdc would let the late
+    seq-1 update clobber the seq-3 price on odd %89 keys AND let seq-3
+    resurrect the seq-2 deletes on %89∩%97 keys, so the oracle gate
+    genuinely discriminates the composition's safety, not just the
+    plumbing. Output is the live-row view (tombstones stripped)."""
+    import shutil
+    import tempfile
+
+    from ..operators.cdc import (
+        apply_cdc_partitioned_versioned,
+        strip_versioned,
+        to_versioned,
+    )
+    from ..sources.io import TableStore
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
+    )
+    k = F.col("o_orderkey")
+    snap = o.select("o_orderkey", (k % 8).alias("p"), "o_totalprice")
+    changes = _orders_cdc_changes(
+        o, extra_cols=[("p", lambda kk: kk % 8)]
+    ).localCheckpoint(eager=True)
+    root = tempfile.mkdtemp(prefix="cdc_pv_")
+    try:
+        store = TableStore(spark, root)
+        store.overwrite("snap", to_versioned(snap), partition_by=["p"])
+        for seq in (3, 1, 2):  # deliberately out-of-order delivery
+            batch = changes.where(F.col("seq") == seq)
+            apply_cdc_partitioned_versioned(
+                store, "snap", batch, ["o_orderkey"], "seq", "p"
+            )
+        out = strip_versioned(store.read("snap")).select(
+            "o_orderkey",
+            F.col("p").cast("int").alias("p"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# out-of-order batched delivery through the versioned layer must equal
+# the whole-log declarative replay — byte-for-byte the same oracle as
+# the single-batch partitioned apply
+CDC_PARTITIONED_VERSIONED_ORDERS_ORACLE = CDC_PARTITIONED_APPLY_ORDERS_ORACLE
+
+
 def cdc_patch_orders(spark, sf_dir):
     """Partial-column (patch) CDC apply end-to-end (round-8,
     operators/cdc.py apply_cdc_patch): a deterministic log where seq 1

@@ -105,3 +105,48 @@ def test_bench_writes_detail_file_contract():
     """bench.main writes bench_out.json next to bench.py (source-pinned)."""
     src = open(os.path.join(os.path.dirname(bench.__file__) or ".", "bench.py")).read()
     assert "bench_out.json" in src
+
+
+def test_bench_out_matches_latest_round_artifact():
+    """Round-8 verdict item 2 (recurred from round 7): the committed
+    ``bench_out.json`` must describe the SAME run as the latest official
+    ``BENCH_r{N}.json`` artifact, so BENCH_NOTES can never again analyze
+    a different run than the one the driver recorded. The driver writes
+    BENCH_r{N}.json from bench.py's stdout (whose detail lands in
+    bench_out.json); committing a stale bench_out with a newer artifact
+    is exactly the mismatch this pins."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    assert arts, "no BENCH_r*.json artifacts"
+    with open(arts[-1]) as f:
+        art = json.load(f)
+    parsed = art.get("parsed")
+    if not parsed or parsed.get("value") is None:
+        # r05-style tail-capture loss: nothing comparable (the summary
+        # contract above prevents recurrence)
+        return
+    with open(os.path.join(here, "bench_out.json")) as f:
+        out = json.load(f)
+    for field in (
+        "metric",
+        "value",
+        "materialized_total_wall",
+        "materialized_n",
+        "unit",
+        "partial",
+        "repeats_min",
+        "sf",
+    ):
+        assert parsed.get(field) == out.get(field), (
+            field,
+            parsed.get(field),
+            out.get(field),
+        )
+    assert parsed["n_queries"] == len(out["queries"])
+    assert parsed["n_errors"] == len(out["errors"])

@@ -166,6 +166,7 @@ SHUFFLE_BUDGET = {
     "cdc_patch_orders": 4,
     # returns a checkpointed read of the rewritten store
     "cdc_partitioned_apply_orders": 0,
+    "cdc_partitioned_versioned_orders": 0,
     # one shard exchange for the shard-local row_number windows
     "epoch_shuffle_docs": 1,
     # returns the finalized checkpointed state frame (the stream runs
