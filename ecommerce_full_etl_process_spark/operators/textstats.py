@@ -338,17 +338,24 @@ def repeated_span_stats(
     that span-level dedup would cut.
 
     Scale shape: ONE pass over the gram stream. The explode + per-gram
-    md5 is the dominant cost, so the plan is arranged to compute it
+    hash is the dominant cost, so the plan is arranged to compute it
     exactly once: grams are first collapsed to distinct ``(gh, doc)``
     pairs with an in-doc instance count (map-side-combined groupBy),
     then a window partitioned by ``gh`` counts the docs per gram — the
     cross-doc-repeat test — without re-reading the corpus, and a final
     regroup by doc sums the surviving instance counts. (The earlier
     two-branch form — groupBy for the repeated-hash set, then a join of
-    a SECOND gram stream against it — recomputed the explode+md5
+    a SECOND gram stream against it — recomputed the explode+hash
     pipeline twice; Spark does not reuse a non-checkpointed subtree
-    across consumers.) Hashes are md5 strings computed identically in
-    both engines.
+    across consumers.) Gram identity is xxhash64 (an 8-byte long):
+    hash values never leave the plan — only per-doc counts do — so the
+    engine-side hash needn't match the oracle's, and a 64-bit
+    non-cryptographic hash beats md5 strings on BOTH compute (round-9
+    same-process interleaved A/B at sf0.1, 5 repeats: min materialized
+    wall 3.18 → 2.90 s, −9%) and shuffle width (the groupBy/window keys
+    shrink from 32-char strings to 8-byte longs — a 4× key-width cut
+    whose payoff grows with the shuffle volume, i.e. with corpus size;
+    see BENCH_NOTES_r9.md).
     """
     toks = F.split(F.lower(F.col(text_col)), " ")
     cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
@@ -356,9 +363,9 @@ def repeated_span_stats(
         cnt > 0,
         F.transform(
             F.sequence(F.lit(1), cnt),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<long>"))
     g = df.select(F.col(id_col), F.explode(grams).alias("gh"))
     per = g.groupBy("gh", id_col).agg(F.count(F.lit(1)).alias("c"))
     n_docs_with_gram = F.count(F.lit(1)).over(
