@@ -3683,3 +3683,104 @@ UNION ALL
 SELECT o_orderkey, 'cust_band' FROM orders
 WHERE o_custkey BETWEEN 600 AND 899
 """
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join — the zero-exchange physical-layout path
+# end-to-end under the oracle gate (sources/bucketed.py). The reference
+# has no layout notion (SQLite b-trees, ETL/etl.py:146-168); at 100 TB
+# the layout IS the optimization: two facts bucketed on the join key
+# with matching bucket counts join AND aggregate with no exchange at
+# all — each task reads bucket i of both sides, joins it, and folds the
+# per-order aggregate in place because the SMJ's output partitioning
+# (hash on o_orderkey) already satisfies the groupBy's distribution.
+# ---------------------------------------------------------------------------
+
+def bucketed_join_frame(spark, sf_dir, root, buckets=8):
+    """Build the co-located orders⋈lineitem + per-order revenue frame
+    over freshly bucketed copies under ``root``. Factored out of the
+    catalog entry so tests/test_bucketed_join.py can lint the REAL
+    executed plan (SortMergeJoin, ZERO exchanges end-to-end, including
+    the aggregate) before the entry checkpoints it away. Returns
+    ``(frame, (left_table, right_table))`` — caller drops the tables.
+
+    The ``merge`` hint pins the strategy bucketing optimizes: at test
+    SF the dimension-sized sides would otherwise broadcast, turning the
+    plan into the one shape bucketing does NOT help and re-introducing
+    an exchange for the groupBy. The aggregate groups on
+    (o_orderkey, o_totalprice); hash-partitioning on o_orderkey alone
+    satisfies that clustering (subset rule), so no exchange there
+    either — the totalprice column rides along for the output without
+    costing a shuffle.
+    """
+    from ..sources.bucketed import read_bucketed, write_bucketed
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    lt, rt = "bq_orders_q", "bq_lineitem_q"
+    write_bucketed(o, lt, "o_orderkey", buckets, path=os.path.join(root, "o"))
+    write_bucketed(
+        li, rt, "o_orderkey", buckets, path=os.path.join(root, "l")
+    )
+    joined = (
+        read_bucketed(spark, lt)
+        .hint("merge")
+        .join(read_bucketed(spark, rt), "o_orderkey")
+    )
+    out = joined.groupBy("o_orderkey", "o_totalprice").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        # per-row cast to exact decimal BEFORE summing (the repo's Q11
+        # convention): decimal sums are associative, so the per-order
+        # value is engine- and partition-order-independent and the
+        # 2-dp round can't flip on a half-cent double artifact
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+    return out, (lt, rt)
+
+
+def bucketed_colocated_revenue(spark, sf_dir):
+    """Per-order item count + discounted revenue via the bucketed
+    zero-exchange join (round-8 verdict item 8: the layout path was
+    pytest-pinned but never driver-graded). Writes both facts bucketed
+    by o_orderkey, joins them co-located and aggregates in place — the
+    daily-repeated fact⋈fact join whose shuffle a single bucketed write
+    amortizes away. Results must equal the oracle's plain shuffled
+    join, proving the layout changes the PLAN, not the answer. The
+    eager checkpoint pins the result so the temp warehouse and catalog
+    tables can be dropped per invocation (bench runs each query ≥3×)."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="bucketed_q_")
+    tables = ()
+    try:
+        out, tables = bucketed_join_frame(spark, sf_dir, root)
+        return out.localCheckpoint(eager=True)
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+BUCKETED_COLOCATED_REVENUE_ORACLE = """
+SELECT o_orderkey, o_totalprice,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""

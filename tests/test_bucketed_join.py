@@ -115,3 +115,35 @@ def test_bucket_count_mismatch_falls_back_to_shuffle(
             assert "Exchange hashpartitioning" in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders_4")
+
+
+def test_catalog_entry_plan_zero_exchange(spark, sf_dir, tmp_path):
+    """The driver-graded catalog entry (bucketed_colocated_revenue)
+    returns a checkpointed frame, so the catalog-wide shuffle lint sees
+    an empty plan — this test lints the REAL pre-checkpoint plan via the
+    factored builder: bucketed scans on both sides, SortMergeJoin, and
+    ZERO exchanges end-to-end INCLUDING the per-order aggregate (the
+    SMJ's hash partitioning on the bucket key satisfies the groupBy's
+    clustering, so the layout pays for the join AND the fold)."""
+    import re as _re
+
+    from ecommerce_full_etl_process_spark.plans.operator_queries import (
+        bucketed_join_frame,
+    )
+
+    out, tables = bucketed_join_frame(spark, sf_dir, str(tmp_path))
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2
+        n = len(
+            _re.findall(
+                r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)",
+                plan,
+            )
+        )
+        assert n == 0, f"layout should remove every exchange, planned:\n{plan}"
+        assert "HashAggregate" in plan  # the fold really is in this plan
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

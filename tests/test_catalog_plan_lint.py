@@ -176,6 +176,10 @@ SHUFFLE_BUDGET = {
     # returns a checkpointed union of two pruned reads
     "zorder_pruned_scan": 0,
     "zorder_rank_pruned_scan": 0,
+    # returns a checkpointed result; the REAL plan (bucketed SMJ + agg,
+    # zero exchanges end-to-end) is linted pre-checkpoint by
+    # tests/test_bucketed_join.py::test_catalog_entry_plan_zero_exchange
+    "bucketed_colocated_revenue": 0,
 }
 DEFAULT_SHUFFLE_CAP = 8
 SHUFFLE_SLACK = 1
