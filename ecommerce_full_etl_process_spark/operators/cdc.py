@@ -247,6 +247,14 @@ def apply_cdc_partitioned(
     partition value is derivable from the key (date-keyed facts, hash
     partitions), derive old homes from the changes instead and skip the
     lookup scan entirely. Returns the replaced partition dirs.
+
+    AQE dependency: the day-batch fast path (runtime broadcast of the
+    post-distinct change-key set) requires ``spark.sql.adaptive.enabled``
+    (Spark's default since 3.2). With AQE OFF the semi-join falls back
+    to a full shuffle of the snapshot's (key, partition) columns —
+    correct, column-pruned, but a shuffle the broadcast would avoid;
+    re-enable AQE or add a caller-side broadcast hint only when the
+    change batch is known-bounded.
     """
     snapshot = store.read(table)
     changed_keys = changes.select(*key_cols).distinct()
@@ -289,6 +297,7 @@ def apply_cdc_partitioned_versioned(
     seq_col: str,
     partition_col: str,
     op_col: str = "op",
+    batch_marker: tuple[str, int] | None = None,
 ) -> list:
     """Compose the two 100 TB CDC properties (round-8 verdict item 4):
     out-of-order-safe folding ACROSS batches (:func:`apply_cdc_versioned`
@@ -318,8 +327,21 @@ def apply_cdc_partitioned_versioned(
     sets), a partition-pruned fold, and an O(affected) write; untouched
     partitions hardlink into the new version. Returns the replaced
     partition dirs.
+
+    ``batch_marker``: optional ``(column, batch_id)`` for the streaming
+    exactly-once consumer (:func:`...streaming.stream_pipeline.
+    run_cdc_partitioned_warehouse`). The marker column is stripped from
+    the stored snapshot before the fold (it is bookkeeping, not
+    payload) and every REWRITTEN partition's rows are stamped with
+    ``batch_id``; untouched partitions hardlink with their old stamp,
+    so ``max(marker)`` over the table is the latest applied batch and
+    it commits ATOMICALLY with the data (one version flip — a torn
+    "data new, marker old" state cannot exist for this table).
     """
     snapshot = store.read(table)
+    if batch_marker is not None:
+        marker_col, marker_val = batch_marker
+        snapshot = snapshot.drop(marker_col)
     changed_keys = changes.select(*key_cols).distinct()
     old_parts = (
         snapshot.join(changed_keys, key_cols, "left_semi")
@@ -344,6 +366,10 @@ def apply_cdc_partitioned_versioned(
     next_slice = apply_cdc_versioned(
         snap_slice, changes, key_cols, seq_col, op_col
     )
+    if batch_marker is not None:
+        next_slice = next_slice.withColumn(
+            marker_col, F.lit(marker_val).cast("long")
+        )
     return store.overwrite_partitions(
         table, next_slice, partition_col, also_replace=affected
     )

@@ -1285,3 +1285,312 @@ SELECT o_orderpriority,
 FROM final
 GROUP BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming partitioned×versioned CDC warehouse (round-10; carried round-8
+# verdict item 6): the complete Debezium-consumer shape — a change-log file
+# stream maintaining a hive-PARTITIONED, tombstone-safe (versioned) snapshot
+# with O(affected-partitions) writes per micro-batch, exactly-once via an
+# in-table batch marker.
+# ---------------------------------------------------------------------------
+
+
+def init_cdc_partitioned_warehouse(
+    store,
+    snapshot: DataFrame,
+    partition_col: str,
+    table: str = "snapshot",
+) -> None:
+    """Bootstrap the partitioned versioned warehouse table from an
+    initial snapshot: payload + ``__seq``/``__deleted`` (seq 0, live)
+    plus ``last_batch = -1`` so batch 0 applies, hive-partitioned on
+    ``partition_col`` (the layout ``apply_cdc_partitioned_versioned``
+    prunes against)."""
+    from ..operators.cdc import to_versioned
+
+    vsnap = to_versioned(snapshot).withColumn(
+        "last_batch", F.lit(-1).cast("long")
+    )
+    store.overwrite(table, vsnap, partition_by=[partition_col])
+
+
+def apply_cdc_partitioned_warehouse_batch(
+    spark: SparkSession,
+    store,
+    batch_df: DataFrame,
+    batch_id: int,
+    key_cols: list[str],
+    seq_col: str,
+    partition_col: str,
+    op_col: str = "op",
+    table: str = "snapshot",
+) -> list:
+    """Apply ONE micro-batch of a CDC log to the partitioned versioned
+    warehouse, exactly-once. Returns the replaced partition dirs
+    (empty on a skipped replay or an empty batch).
+
+    Exactly-once is two independent layers, either of which suffices:
+
+    - **marker skip** — ``max(last_batch)`` over the stored table (a
+      column-pruned scan) names the latest applied batch; a replayed
+      ``batch_id`` at or below it is skipped without a write. The
+      marker lives IN the table and commits with the same version flip
+      as the data (see ``apply_cdc_partitioned_versioned``), so unlike
+      the two-table MV loop there is no torn state to heal — a crash
+      between fold and flip leaves the OLD version current and the
+      replay re-applies cleanly.
+    - **idempotent fold** — even without the marker, re-applying a
+      batch is a no-op: the versioned fold's total order (higher seq
+      wins, delete-first at ties) resolves every replayed change
+      against the stored row it itself produced, and the stored row
+      keeps its seat (tests/test_cdc_apply.py pins L∘L == L).
+
+    Cost per batch: O(changes + rows-in-affected-partitions + one
+    pruned (key, partition) lookup scan); untouched partitions hardlink
+    (zero bytes copied) — the write is proportional to the change
+    locality, not the table (SCALEBENCH §partitioned-cdc).
+    """
+    from ..operators.cdc import apply_cdc_partitioned_versioned
+
+    batch = batch_df.localCheckpoint(eager=True)
+    if not batch.take(1):
+        return []
+    t = store.read(table)
+    marker = t.agg(F.max("last_batch")).collect()[0][0]
+    if marker is not None and marker >= batch_id:
+        return []  # clean replay of an already-applied batch
+    return apply_cdc_partitioned_versioned(
+        store,
+        table,
+        batch,
+        key_cols,
+        seq_col,
+        partition_col,
+        op_col,
+        batch_marker=("last_batch", batch_id),
+    )
+
+
+def run_cdc_partitioned_warehouse(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    warehouse_root: str,
+    schema: str,
+    key_cols: list[str],
+    seq_col: str,
+    partition_col: str,
+    table: str = "snapshot",
+):
+    """Continuous CDC consumption into a PARTITIONED versioned
+    warehouse: a file stream of change rows (a Debezium-style log
+    landing as files) drains through
+    :func:`apply_cdc_partitioned_warehouse_batch` — each micro-batch
+    rewrites only the partitions its changes touch, late lower-sequence
+    changes never clobber or resurrect (tombstones persist), and the
+    final table equals a whole-log fold no matter how the log is split
+    across files (split-invariance of the versioned apply restricted to
+    affected partitions). ``availableNow`` drains the backlog and
+    stops; rerun with the same checkpoint to pick up only new files."""
+    from ..sources.io import TableStore
+
+    store = TableStore(spark, warehouse_root)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdc_partitioned_warehouse_batch(
+            spark,
+            store,
+            batch_df,
+            batch_id,
+            key_cols,
+            seq_col,
+            partition_col,
+            table=table,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_cdc_partitioned_warehouse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Catalog entry: the streaming partitioned×versioned CDC consumer
+    END-TO-END under the oracle gate. A deterministic CDC log over
+    orders — price updates (%31), deletes (%37), a LATE lower-sequence
+    update to the %31 keys (must lose to the stored seq-2 row), a
+    same-sequence D-vs-U tie (%41 — delete wins), PARTITION-MOVING
+    priority updates (%53 — the row must leave its old hive partition),
+    a post-delete lower-seq update (%37 ∧ odd — must NOT resurrect the
+    tombstone), and inserts of cloned keys (%101) — lands as three
+    stream files in arbitrary order, drains through
+    :func:`run_cdc_partitioned_warehouse` (one pruned partition rewrite
+    per micro-batch, exactly-once marker), and the LIVE rows of the
+    final warehouse are aggregated per partition. The oracle replays
+    the whole log in one pass — grading the versioned fold, tombstone
+    persistence, partition-move handling and the streaming plumbing at
+    once."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.cdc import strip_versioned
+    from ..sources.io import TableStore
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    snap = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    k = F.col("o_orderkey")
+    p = F.col("o_totalprice")
+
+    def ch(df, seq, op, price, prio=F.col("o_orderpriority")):
+        return df.select(
+            "o_orderkey",
+            prio.alias("o_orderpriority"),
+            price.cast("double").alias("o_totalprice"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    # file 1: the "on-time" head of the log (plus a tie-breaking delete)
+    f1 = (
+        ch(o.where(k % 31 == 0), 2, "U", p + 1.0)
+        .unionByName(ch(o.where(k % 41 == 0), 4, "D", p))
+        .unionByName(
+            ch(
+                o.where(k % 101 == 0).withColumn(
+                    "o_orderkey", k + 20_000_000
+                ),
+                1,
+                "I",
+                p,
+            )
+        )
+    )
+    # file 2: deletes + a partition-moving update. The move's seq (5) is
+    # strictly above every other seq so no key ever sees two equal-seq
+    # updates with DIFFERENT content — that pair has no defined winner
+    # in either the fold or the oracle (both tie-break only D-over-U),
+    # and the log must stay deterministic for the hash gate
+    f2 = (
+        ch(o.where(k % 37 == 0), 3, "D", p)
+        .unionByName(
+            ch(o.where(k % 53 == 0), 5, "U", p, prio=F.lit("9-MOVED"))
+        )
+    )
+    # file 3: LATE arrivals — every row here must lose to a stored row
+    # from an earlier batch (lower seq than the %31 update; lower seq
+    # than the %37 tombstone; equal seq to the %41 delete, D wins tie).
+    # The two seq-1 updates CAN collide on a %31∧%37∧odd key, but both
+    # lose to that key's stored seq-3 tombstone, so the ambiguity never
+    # reaches the table
+    f3 = (
+        ch(o.where(k % 31 == 0), 1, "U", p + 99.0)
+        .unionByName(
+            ch(o.where((k % 37 == 0) & (k % 2 == 1)), 1, "U", p + 77.0)
+        )
+        .unionByName(ch(o.where(k % 41 == 0), 4, "U", p + 55.0))
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_pw_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        for f in (f1, f2, f3):
+            f.coalesce(1).write.mode("append").parquet(src)
+        store = TableStore(spark, os.path.join(root, "wh"))
+        init_cdc_partitioned_warehouse(store, snap, "o_orderpriority")
+        q = run_cdc_partitioned_warehouse(
+            spark,
+            src,
+            os.path.join(root, "ckpt"),
+            os.path.join(root, "wh"),
+            "o_orderkey long, o_orderpriority string, "
+            "o_totalprice double, seq long, op string",
+            ["o_orderkey"],
+            "seq",
+            "o_orderpriority",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_cdc_partitioned_warehouse: AvailableNow query "
+                "did not finish within 300s"
+            )
+        live = strip_versioned(store.read("snapshot").drop("last_batch"))
+        out = live.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAMING_CDC_PARTITIONED_WAREHOUSE_ORACLE = """
+WITH changes AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice + 1.0 AS DOUBLE) AS o_totalprice,
+         2 AS seq, 'U' AS op
+  FROM orders WHERE o_orderkey % 31 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE), 4, 'D'
+  FROM orders WHERE o_orderkey % 41 = 0
+  UNION ALL
+  SELECT o_orderkey + 20000000, o_orderpriority,
+         CAST(o_totalprice AS DOUBLE), 1, 'I'
+  FROM orders WHERE o_orderkey % 101 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE), 3, 'D'
+  FROM orders WHERE o_orderkey % 37 = 0
+  UNION ALL
+  SELECT o_orderkey, '9-MOVED', CAST(o_totalprice AS DOUBLE), 5, 'U'
+  FROM orders WHERE o_orderkey % 53 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice + 99.0 AS DOUBLE), 1, 'U'
+  FROM orders WHERE o_orderkey % 31 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice + 77.0 AS DOUBLE), 1, 'U'
+  FROM orders WHERE o_orderkey % 37 = 0 AND o_orderkey % 2 = 1
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice + 55.0 AS DOUBLE), 4, 'U'
+  FROM orders WHERE o_orderkey % 41 = 0
+),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY seq DESC, (op = 'D') DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+),
+final AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM last l WHERE l.o_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM last WHERE op <> 'D'
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_live,
+       round(sum(o_totalprice), 2) AS price_sum
+FROM final
+GROUP BY o_orderpriority
+"""

@@ -1,0 +1,259 @@
+"""Streaming partitioned×versioned CDC warehouse (stream_pipeline.
+apply_cdc_partitioned_warehouse_batch / run_cdc_partitioned_warehouse)
+— round 10, the carried round-8 verdict item 6.
+
+Contracts under test (mirroring tests/test_cdc_mv_maintenance.py for
+the single-table partitioned shape):
+- draining a split log through the real stream runner equals a
+  whole-log versioned fold, including late sequences across batches
+  and a partition-MOVING update (the row leaves its old hive dir);
+- restart against the same checkpoint applies only new files;
+- replay of an applied batch is a marker no-op, and even WITHOUT the
+  marker the fold itself is idempotent (L∘L == L at the partitioned
+  layer) — the two independent exactly-once layers;
+- a late lower-sequence update never resurrects a tombstone through
+  the streaming path;
+- the write is O(affected partitions): untouched partitions HARDLINK
+  into the new version (same inode), only touched dirs are rewritten.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ecommerce_full_etl_process_spark.operators.cdc import (
+    apply_cdc,
+    apply_cdc_partitioned_versioned,
+    strip_versioned,
+    to_versioned,
+)
+from ecommerce_full_etl_process_spark.sources.io import TableStore
+from ecommerce_full_etl_process_spark.streaming.stream_pipeline import (
+    apply_cdc_partitioned_warehouse_batch,
+    init_cdc_partitioned_warehouse,
+    run_cdc_partitioned_warehouse,
+)
+
+CHG_SCHEMA = "k long, p string, v double, seq long, op string"
+
+
+def _store(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "k long, p string, v double",
+    )
+    init_cdc_partitioned_warehouse(store, snap, "p")
+    return store, snap
+
+
+def _live(store):
+    # hive layout reads the partition column back LAST; restore the
+    # logical order so tuples compare against the in-memory fold
+    live = strip_versioned(store.read("snapshot").drop("last_batch"))
+    return sorted(map(tuple, live.select("k", "p", "v").collect()))
+
+
+def _whole(spark, snap, rows):
+    return sorted(
+        map(
+            tuple,
+            apply_cdc(
+                snap, spark.createDataFrame(rows, CHG_SCHEMA), ["k"], "seq"
+            ).collect(),
+        )
+    )
+
+
+def _run(spark, src, tmp_path):
+    q = run_cdc_partitioned_warehouse(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "wh"),
+        CHG_SCHEMA,
+        ["k"],
+        "seq",
+        "p",
+    )
+    assert q.awaitTermination(300)
+
+
+def test_split_log_stream_equals_whole_log_apply(spark, tmp_path):
+    """File 1 carries seq 5, file 2 the late seq 3 (must lose) plus a
+    partition move; restart with file 3 applies only the new file."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    store, snap = _store(spark, tmp_path)
+    f1 = [(1, "a", 100.0, 5, "U"), (2, "a", 0.0, 2, "D")]
+    f2 = [(1, "a", 7.0, 3, "U"), (3, "c", 31.0, 4, "U")]  # 3 moves b→c
+    for rows in (f1, f2):
+        spark.createDataFrame(rows, CHG_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    _run(spark, src, tmp_path)
+    assert _live(store) == _whole(spark, snap, f1 + f2)
+
+    # the moved key's row left hive partition p=b in the CURRENT version
+    cur = store.read("snapshot")
+    assert cur.where("p = 'b'").count() == 0
+    assert (
+        cur.where("p = 'c' AND k = 3 AND NOT __deleted").count() == 1
+    )
+
+    # restart with one more file: only the new file applies
+    f3 = [(5, "b", 99.0, 9, "I")]
+    spark.createDataFrame(f3, CHG_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run(spark, src, tmp_path)
+    assert _live(store) == _whole(spark, snap, f1 + f2 + f3)
+
+
+def test_late_lower_seq_never_resurrects_tombstone(spark, tmp_path):
+    """Delete at seq 4 in batch 0; update at seq 2 arrives in batch 1.
+    The key must stay dead through the streaming path."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    store, snap = _store(spark, tmp_path)
+    f1 = [(4, "c", 0.0, 4, "D")]
+    f2 = [(4, "c", 444.0, 2, "U")]
+    for rows in (f1, f2):
+        spark.createDataFrame(rows, CHG_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    _run(spark, src, tmp_path)
+    assert _live(store) == _whole(spark, snap, f1 + f2)
+    assert all(k != 4 for k, _, _ in _live(store))
+    # the tombstone is still stored (it must outlive the lateness horizon)
+    stored = store.read("snapshot").where("k = 4").collect()
+    assert len(stored) == 1 and stored[0]["__deleted"]
+
+
+def test_replay_is_marker_noop_and_fold_is_idempotent(spark, tmp_path):
+    store, snap = _store(spark, tmp_path)
+    b0 = spark.createDataFrame(
+        [(1, "a", 50.0, 1, "U"), (4, "c", 0.0, 1, "D")], CHG_SCHEMA
+    )
+    replaced = apply_cdc_partitioned_warehouse_batch(
+        spark, store, b0, 0, ["k"], "seq", "p"
+    )
+    assert replaced  # something was written
+    after = _live(store)
+    ver = store._current_version("snapshot")
+
+    # marker layer: replaying batch 0 returns [] and writes NO version
+    assert (
+        apply_cdc_partitioned_warehouse_batch(
+            spark, store, b0, 0, ["k"], "seq", "p"
+        )
+        == []
+    )
+    assert store._current_version("snapshot") == ver
+    assert _live(store) == after
+
+    # fold layer: even bypassing the marker (a consumer with no marker
+    # column), re-applying the same batch converges to the same state
+    apply_cdc_partitioned_versioned(
+        store, "snapshot", b0, ["k"], "seq", "p",
+        batch_marker=("last_batch", 0),
+    )
+    assert _live(store) == after
+
+
+def test_untouched_partitions_hardlink_into_new_version(spark, tmp_path):
+    """A batch touching only p=a must rewrite p=a alone; p=b and p=c
+    carry over by hardlink — same inode, zero bytes copied. This is the
+    O(affected-partitions) write-cost contract, asserted structurally."""
+    store, _snap = _store(spark, tmp_path)
+    v1 = store._data_dir("snapshot", store._current_version("snapshot"))
+
+    def inodes(version_dir, part):
+        pdir = os.path.join(version_dir, part)
+        return {
+            n: os.stat(os.path.join(pdir, n)).st_ino
+            for n in os.listdir(pdir)
+            if n.endswith(".parquet")
+        }
+
+    before_b = inodes(v1, "p=b")
+    before_c = inodes(v1, "p=c")
+
+    b0 = spark.createDataFrame([(1, "a", 11.0, 1, "U")], CHG_SCHEMA)
+    replaced = apply_cdc_partitioned_warehouse_batch(
+        spark, store, b0, 0, ["k"], "seq", "p"
+    )
+    assert [os.path.basename(r) for r in replaced] == ["p=a"]
+
+    v2 = store._data_dir("snapshot", store._current_version("snapshot"))
+    assert v2 != v1
+    assert inodes(v2, "p=b") == before_b  # hardlinked, not rewritten
+    assert inodes(v2, "p=c") == before_c
+    # and the rewritten partition holds the folded row + new marker
+    got = store.read("snapshot").where("k = 1").collect()[0]
+    assert got["v"] == 11.0 and got["__seq"] == 1
+    assert got["last_batch"] == 0
+
+
+def test_partition_move_rewrites_both_homes(spark, tmp_path):
+    """A key moving a→b affects BOTH partitions: the old home loses the
+    row, the landing gains it, and c stays hardlinked."""
+    store, _snap = _store(spark, tmp_path)
+    v1 = store._data_dir("snapshot", store._current_version("snapshot"))
+
+    b0 = spark.createDataFrame([(1, "b", 15.0, 1, "U")], CHG_SCHEMA)
+    replaced = apply_cdc_partitioned_warehouse_batch(
+        spark, store, b0, 0, ["k"], "seq", "p"
+    )
+    assert sorted(os.path.basename(r) for r in replaced) == ["p=a", "p=b"]
+    cur = store.read("snapshot")
+    assert cur.where("p = 'a' AND k = 1").count() == 0
+    assert cur.where("p = 'b' AND k = 1 AND NOT __deleted").count() == 1
+    # c untouched: same inodes as version 1
+    v2 = store._data_dir("snapshot", store._current_version("snapshot"))
+    c1 = {
+        n: os.stat(os.path.join(v1, "p=c", n)).st_ino
+        for n in os.listdir(os.path.join(v1, "p=c"))
+        if n.endswith(".parquet")
+    }
+    c2 = {
+        n: os.stat(os.path.join(v2, "p=c", n)).st_ino
+        for n in os.listdir(os.path.join(v2, "p=c"))
+        if n.endswith(".parquet")
+    }
+    assert c1 == c2
+
+
+def test_marker_strip_keeps_payload_clean(spark, tmp_path):
+    """The last_batch bookkeeping column must never leak into the fold:
+    after two batches the live payload equals the whole-log fold of a
+    MARKERLESS versioned table built from the same log."""
+    store, snap = _store(spark, tmp_path)
+    b0 = [(1, "a", 50.0, 1, "U")]
+    b1 = [(1, "a", 60.0, 2, "U"), (2, "a", 0.0, 1, "D")]
+    for i, rows in enumerate((b0, b1)):
+        apply_cdc_partitioned_warehouse_batch(
+            spark,
+            store,
+            spark.createDataFrame(rows, CHG_SCHEMA),
+            i,
+            ["k"],
+            "seq",
+            "p",
+        )
+    # markerless twin
+    twin = TableStore(spark, str(tmp_path / "wh2"))
+    twin.overwrite("snapshot", to_versioned(snap), partition_by=["p"])
+    for rows in (b0, b1):
+        apply_cdc_partitioned_versioned(
+            twin,
+            "snapshot",
+            spark.createDataFrame(rows, CHG_SCHEMA),
+            ["k"],
+            "seq",
+            "p",
+        )
+    lhs = store.read("snapshot").drop("last_batch")
+    assert sorted(map(tuple, lhs.collect())) == sorted(
+        map(tuple, twin.read("snapshot").collect())
+    )
