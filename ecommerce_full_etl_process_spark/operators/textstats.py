@@ -356,6 +356,16 @@ def repeated_span_stats(
     shrink from 32-char strings to 8-byte longs — a 4× key-width cut
     whose payoff grows with the shuffle volume, i.e. with corpus size;
     see BENCH_NOTES_r9.md).
+
+    Collision bound: xxhash64 is 64-bit, so by the birthday bound a
+    corpus with ~2^32 (≈4e9) DISTINCT n-grams expects its first
+    cross-gram collision; a 100 TB corpus can exceed that, and a
+    collision merges two distinct grams — over-counting
+    ``n_repeated``/``repeated_frac`` by a vanishing but non-zero
+    amount. The signal is a *filter score*, not an exact dedup key, so
+    this is acceptable here; if exactness matters at corpus scale, pair
+    xxhash64 with a second independent seed (two 64-bit hashes ≈ one
+    128-bit identity) at 2× the key width.
     """
     toks = F.split(F.lower(F.col(text_col)), " ")
     cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))

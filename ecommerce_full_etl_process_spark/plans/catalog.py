@@ -42,30 +42,42 @@ _REGISTRY: dict[
 ] = {
     # ------------------------------------------------------------------
     # Tier 1 — one entry per unique operator family (graded window).
-    # Round-9 rotation: 12 never-driver-graded entries promoted — the
-    # four round-8 builds the catalog queued (patch CDC, partitioned
-    # CDC, rank-bucketed Z-order, epoch shuffle), the as-of fanout
-    # strategy, the Q11 decimal-threshold fix (important_part_revenue),
-    # contamination screening, GROUPING SETS, the Q8 market-share shape,
-    # date-spine interpolation, PMI collocations and int8 embedding
-    # quantization. 12 slots demoted to tier 2 (each driver-graded green
-    # at least once — most r08 — with their family still represented in
-    # the window, and still locally oracle-checked every pytest run).
+    # Round-10 rotation (verdict item 4): 16 never-driver-graded entries
+    # promoted — the full curation-funnel family (corpus_prep_pipeline,
+    # pii_scrub_docs, line_dedup_corpus, unicode_normalize_docs,
+    # quality_filter_docs, repetition_stats_docs), the dedup long tail
+    # (semantic_dedup_components, simhash_banded_neardups,
+    # repeated_ngram_spans, fuzzy_name_match), three TPC-H long-tail
+    # shapes (returned_item_revenue, product_type_profit,
+    # top_revenue_supplier), gap_filled_daily_order_counts,
+    # tfidf_top_terms and customer_revenue_deciles — plus the TWO new
+    # round-10 builds (streaming_cdc_partitioned_warehouse,
+    # revenue_deciles_distributed). 18 slots demoted to tier 2, every
+    # one driver-graded green 3-9 times with its family either still in
+    # the window or exhaustively validated, and all still oracle-checked
+    # every pytest run. 15 never-graded entries remain for round 11.
     # ------------------------------------------------------------------
     "flagship_revenue_by_nation": (
         analytics.flagship_revenue_by_nation,
         analytics.FLAGSHIP_ORACLE,
     ),
-    # SURVEY §2.1 scans (covers scan+filter+projection+pushdown)
-    "filtered_incremental_scan": (
-        oq.filtered_incremental_scan,
-        oq.FILTERED_INCREMENTAL_SCAN_ORACLE,
+    # round-10 promotions: TPC-H long-tail shapes — Q10 returned-item
+    # revenue (filter+join+topk), Q9-style product-type profit and the
+    # Q15 max-revenue supplier (scalar-threshold-from-same-aggregate);
+    # they take the scan/predicate family slots whose representatives
+    # graded green 9 rounds straight (filtered_incremental_scan,
+    # regex_predicate, price_tolerance_check — now tier 2)
+    "returned_item_revenue": (
+        oq.returned_item_revenue,
+        oq.RETURNED_ITEM_REVENUE_ORACLE,
     ),
-    # §2.2 predicates (regex covers the predicate family in tier 1)
-    "regex_predicate": (oq.regex_predicate, oq.REGEX_PREDICATE_ORACLE),
-    "price_tolerance_check": (
-        oq.price_tolerance_check,
-        oq.PRICE_TOLERANCE_CHECK_ORACLE,
+    "product_type_profit": (
+        oq.product_type_profit,
+        oq.PRODUCT_TYPE_PROFIT_ORACLE,
+    ),
+    "top_revenue_supplier": (
+        oq.top_revenue_supplier,
+        oq.TOP_REVENUE_SUPPLIER_ORACLE,
     ),
     # §2.4 J3 as-of — the candidate-join (fanout) physical strategy takes
     # the graded slot this round (never driver-graded; same oracle as the
@@ -79,44 +91,67 @@ _REGISTRY: dict[
         sq.scd2_merge_customers,
         sq.SCD2_MERGE_CUSTOMERS_ORACLE,
     ),
-    # §2.7 change detection (keyed snapshot reconciliation diff)
-    "snapshot_diff_orders": (
-        oq.snapshot_diff_orders,
-        oq.SNAPSHOT_DIFF_ORDERS_ORACLE,
+    # round-10 NEW: the streaming partitioned×versioned CDC consumer —
+    # foreachBatch exactly-once (in-table marker) over
+    # apply_cdc_partitioned_versioned, the complete Debezium-to-
+    # partitioned-warehouse shape (carried round-8 verdict item 6);
+    # takes snapshot_diff_orders' slot (graded green r07-r09, §2.7
+    # family still covered by the CDC entries below)
+    "streaming_cdc_partitioned_warehouse": (
+        sp.streaming_cdc_partitioned_warehouse,
+        sp.STREAMING_CDC_PARTITIONED_WAREHOUSE_ORACLE,
     ),
-    # §2.3 validation / expectation suites
+    # §2.3 validation / expectation suites (forced-broadcast FK hint
+    # dropped this round per the r09 verdict — re-graded after change)
     "data_quality_expectations": (
         oq.data_quality_expectations,
         oq.DATA_QUALITY_EXPECTATIONS_ORACLE,
     ),
-    "validation_rule_counts": (
-        oq.validation_rule_counts,
-        oq.VALIDATION_RULE_COUNTS_ORACLE,
+    # round-10 promotion: Gopher-style heuristic quality filter — the
+    # errors-array validation pattern over text-quality signals; takes
+    # validation_rule_counts' slot (graded green 9 rounds straight)
+    "quality_filter_docs": (
+        lq.quality_filter_docs,
+        lq.QUALITY_FILTER_DOCS_ORACLE,
     ),
-    # §2.1/§2.5 pure-pushdown aggregate scan (TPC-H Q6 shape)
-    "discount_band_revenue": (
-        oq.discount_band_revenue,
-        oq.DISCOUNT_BAND_REVENUE_ORACLE,
+    # round-10 promotion: date-spine gap fill + forward fill; takes
+    # discount_band_revenue's slot (graded r07-r09)
+    "gap_filled_daily_order_counts": (
+        oq.gap_filled_daily_order_counts,
+        oq.GAP_FILLED_DAILY_ORDER_COUNTS_ORACLE,
     ),
     # interval×point range join (bucketed equi-join rewrite)
     "repeat_purchases_within_90d": (
         oq.repeat_purchases_within_90d,
         oq.REPEAT_PURCHASES_WITHIN_90D_ORACLE,
     ),
-    # §2.8 scalar functions (4-format tolerant date parse)
-    "multiformat_date_parse": (
-        oq.multiformat_date_parse,
-        oq.MULTIFORMAT_DATE_PARSE_ORACLE,
+    # round-10 promotions: ntile decile segmentation (exact window form,
+    # never graded) AND its new fact-scale twin — exact distributed
+    # ranking via range partitions + shard-local positions, NO global
+    # sort (verdict item 8); they take the scalar-function slot
+    # (multiformat_date_parse graded green 9 rounds straight)
+    "customer_revenue_deciles": (
+        oq.customer_revenue_deciles,
+        oq.CUSTOMER_REVENUE_DECILES_ORACLE,
     ),
-    # LLM-data-pipeline: deduplication
-    "dedup_exact_summary": (lq.dedup_exact_summary, lq.DEDUP_EXACT_SUMMARY_ORACLE),
-    "minhash_lsh_neardups": (
-        lq.minhash_lsh_neardups,
-        lq.MINHASH_LSH_NEARDUPS_ORACLE,
+    "revenue_deciles_distributed": (
+        oq.revenue_deciles_distributed,
+        oq.REVENUE_DECILES_DISTRIBUTED_ORACLE,
     ),
-    "simhash_planted_pairs": (
-        lq.simhash_planted_pairs,
-        lq.SIMHASH_PLANTED_PAIRS_ORACLE,
+    # LLM-data-pipeline: deduplication — round-10 promotions take the
+    # family's graded slots from dedup_exact_summary (9× green),
+    # minhash_lsh_neardups and simhash_planted_pairs (8× green each):
+    # C4-style global line dedup (the exact-dedup shape at line grain),
+    # full-corpus banded SimHash (guaranteed-recall LSH) and SemDeDup-
+    # style embedding-space dedup end-to-end
+    "line_dedup_corpus": (lq.line_dedup_corpus, lq.LINE_DEDUP_CORPUS_ORACLE),
+    "simhash_banded_neardups": (
+        lq.simhash_banded_neardups,
+        lq.SIMHASH_BANDED_NEARDUPS_ORACLE,
+    ),
+    "semantic_dedup_components": (
+        lq.semantic_dedup_components,
+        lq.SEMANTIC_DEDUP_COMPONENTS_ORACLE,
     ),
     # round-9 promotion: verbatim contamination screening (broadcast
     # probe index) — never driver-graded; the adaptive-DSU connected
@@ -135,15 +170,15 @@ _REGISTRY: dict[
         lq.dedup_keep_best_quality,
         lq.DEDUP_KEEP_BEST_QUALITY_ORACLE,
     ),
-    # LLM-data-pipeline: curation
-    "corpus_curation_stats": (
-        lq.corpus_curation_stats,
-        lq.CORPUS_CURATION_STATS_ORACLE,
+    # LLM-data-pipeline: curation — round-10 promotions: the end-to-end
+    # per-source curation funnel (quality → dedup → contamination →
+    # tokens) and PII redaction take the slots of corpus_curation_stats
+    # and token_budget_packing (8× green each, now tier 2)
+    "corpus_prep_pipeline": (
+        lq.corpus_prep_pipeline,
+        lq.CORPUS_PREP_PIPELINE_ORACLE,
     ),
-    "token_budget_packing": (
-        lq.token_budget_packing,
-        lq.TOKEN_BUDGET_PACKING_ORACLE,
-    ),
+    "pii_scrub_docs": (lq.pii_scrub_docs, lq.PII_SCRUB_DOCS_ORACLE),
     # LLM-data-pipeline: similarity search — IVF holds the family's
     # graded slot (bucketed + quantized variants graded green r08, now
     # tier 2); the freed slots go to two never-graded embedding ops
@@ -159,17 +194,26 @@ _REGISTRY: dict[
     ),
     # round-9 promotion: PMI collocation mining — never driver-graded
     "bigram_pmi": (lq.bigram_pmi, lq.BIGRAM_PMI_ORACLE),
-    "embedding_neardup_pairs": (
-        lq.embedding_neardup_pairs,
-        lq.EMBEDDING_NEARDUP_PAIRS_ORACLE,
+    # round-10 promotion: ExactSubstr-style cross-doc repeated-span
+    # signal (the round-9 xxhash64 plan fix, now driver-graded); takes
+    # embedding_neardup_pairs' slot (8× green)
+    "repeated_ngram_spans": (
+        lq.repeated_ngram_spans,
+        lq.REPEATED_NGRAM_SPANS_ORACLE,
     ),
-    # LLM-data-pipeline: text analysis
-    "text_quality_stats": (lq.text_quality_stats, lq.TEXT_QUALITY_STATS_ORACLE),
-    "language_id_heuristic": (
-        lq.language_id_heuristic,
-        lq.LANGUAGE_ID_HEURISTIC_ORACLE,
+    # LLM-data-pipeline: text analysis — round-10 promotions: Gopher
+    # repetition signals, Unicode NFC canonicalization (Arrow kernel)
+    # and salient-term tf-idf take the slots of text_quality_stats,
+    # language_id_heuristic and token_count_bpe (8× green each)
+    "repetition_stats_docs": (
+        lq.repetition_stats_docs,
+        lq.REPETITION_STATS_DOCS_ORACLE,
     ),
-    "token_count_bpe": (lq.token_count_bpe, lq.TOKEN_COUNT_BPE_ORACLE),
+    "unicode_normalize_docs": (
+        lq.unicode_normalize_docs,
+        lq.UNICODE_NORMALIZE_DOCS_ORACLE,
+    ),
+    "tfidf_top_terms": (lq.tfidf_top_terms, lq.TFIDF_TOP_TERMS_ORACLE),
     # round-8 promotion: self-trained char-trigram LM quality scoring
     "trigram_lm_scores": (
         lq.trigram_lm_scores,
@@ -181,8 +225,12 @@ _REGISTRY: dict[
         lq.heavy_hitter_bigrams,
         lq.HEAVY_HITTER_BIGRAMS_ORACLE,
     ),
-    # §2.11 multimodal: Arrow mapInPandas feature extraction vs SQL oracle
-    "multimodal_features": (sq.multimodal_features, sq.MULTIMODAL_FEATURES_ORACLE),
+    # round-10 promotion: blocked Levenshtein entity resolution; takes
+    # the multimodal slot (multimodal_features 8× green, now tier 2)
+    "fuzzy_name_match": (
+        oq.fuzzy_name_match,
+        oq.FUZZY_NAME_MATCH_ORACLE,
+    ),
     # §2.12 streaming — whole family graded green r08; the stream-stream
     # interval join, stateful sessionization and the two foreachBatch
     # exactly-once maintenance loops keep the slots (hardest-to-regress
@@ -289,10 +337,6 @@ _REGISTRY: dict[
     "customer_order_distribution": (
         oq.customer_order_distribution,
         oq.CUSTOMER_ORDER_DISTRIBUTION_ORACLE,
-    ),
-    "suppliers_who_kept_waiting": (
-        oq.suppliers_who_kept_waiting,
-        oq.SUPPLIERS_WHO_KEPT_WAITING_ORACLE,
     ),
     # round-8 promotion: TPC-H Q20 shape — nested semi-join chain with a
     # correlated-aggregate threshold (part → supply pairs → supplier)
@@ -412,26 +456,18 @@ _REGISTRY: dict[
         oq.asof_events_to_orders_skewsafe,
         oq.ASOF_EVENTS_TO_ORDERS_ORACLE,
     ),
-    # round-7 TPC-H long-tail shapes (Q2/Q8/Q9/Q12/Q15/Q16/Q17/Q19
-    # analogues). Round-9 rotation candidates (never driver-graded):
-    # nation_market_share, product_type_profit, part_supplier_diversity,
-    # top_revenue_supplier, shipping_delay_priority_mix,
+    # round-7 TPC-H long-tail shapes (Q2/Q12/Q16/Q17/Q19 analogues).
+    # Round-11 rotation candidates (the 15 never-driver-graded):
+    # shipping_delay_priority_mix, part_supplier_diversity,
     # small_quantity_revenue, disjunctive_promo_revenue,
-    # best_price_supplier_per_part, grouping_sets_revenue,
-    # interpolated_daily_values, gap_filled_daily_order_counts,
-    # returned_item_revenue, important_part_revenue,
-    # lapsed_high_balance_customers, customer_revenue_deciles.
-    "product_type_profit": (
-        oq.product_type_profit,
-        oq.PRODUCT_TYPE_PROFIT_ORACLE,
-    ),
+    # best_price_supplier_per_part, stratified_sample_docs,
+    # similarity_topk_bruteforce, embedding_dimension_stats,
+    # salted_join_revenue, weighted_source_sample, chunk_documents,
+    # contamination_ngram_overlap, bpe_merge_candidates,
+    # embedding_preprocess, lapsed_high_balance_customers.
     "shipping_delay_priority_mix": (
         oq.shipping_delay_priority_mix,
         oq.SHIPPING_DELAY_PRIORITY_MIX_ORACLE,
-    ),
-    "top_revenue_supplier": (
-        oq.top_revenue_supplier,
-        oq.TOP_REVENUE_SUPPLIER_ORACLE,
     ),
     "part_supplier_diversity": (
         oq.part_supplier_diversity,
@@ -558,81 +594,81 @@ _REGISTRY: dict[
         lq.contamination_ngram_overlap,
         lq.CONTAMINATION_NGRAM_OVERLAP_ORACLE,
     ),
-    "quality_filter_docs": (
-        lq.quality_filter_docs,
-        lq.QUALITY_FILTER_DOCS_ORACLE,
-    ),
-    # round-5 additions: Gopher repetition signals, PII redaction,
-    # C4-style global line dedup, and int8 embedding quantization
-    "repetition_stats_docs": (
-        lq.repetition_stats_docs,
-        lq.REPETITION_STATS_DOCS_ORACLE,
-    ),
-    "pii_scrub_docs": (lq.pii_scrub_docs, lq.PII_SCRUB_DOCS_ORACLE),
-    "line_dedup_corpus": (lq.line_dedup_corpus, lq.LINE_DEDUP_CORPUS_ORACLE),
-    # round-5: distributed BPE merge-candidate counting and the end-to-end
-    # per-source curation funnel (quality → dedup → contamination → tokens)
+    # round-5: distributed BPE merge-candidate counting
     "bpe_merge_candidates": (
         lq.bpe_merge_candidates,
         lq.BPE_MERGE_CANDIDATES_ORACLE,
     ),
-    "corpus_prep_pipeline": (
-        lq.corpus_prep_pipeline,
-        lq.CORPUS_PREP_PIPELINE_ORACLE,
-    ),
-    # round-5: ExactSubstr-style cross-doc repeated-span signal
-    "repeated_ngram_spans": (
-        lq.repeated_ngram_spans,
-        lq.REPEATED_NGRAM_SPANS_ORACLE,
-    ),
-    # round-5: blocked Levenshtein entity resolution
-    "fuzzy_name_match": (
-        oq.fuzzy_name_match,
-        oq.FUZZY_NAME_MATCH_ORACLE,
-    ),
-    # round-5: SemDeDup-style embedding-space dedup end-to-end
-    "semantic_dedup_components": (
-        lq.semantic_dedup_components,
-        lq.SEMANTIC_DEDUP_COMPONENTS_ORACLE,
-    ),
-    # round-5: full-corpus SimHash banding (guaranteed-recall LSH)
-    "simhash_banded_neardups": (
-        lq.simhash_banded_neardups,
-        lq.SIMHASH_BANDED_NEARDUPS_ORACLE,
-    ),
-    # round-5: Unicode NFC canonicalization (Arrow kernel vs nfc_normalize)
-    "unicode_normalize_docs": (
-        lq.unicode_normalize_docs,
-        lq.UNICODE_NORMALIZE_DOCS_ORACLE,
-    ),
-    # round-5: date-spine gap fill + forward fill
-    "gap_filled_daily_order_counts": (
-        oq.gap_filled_daily_order_counts,
-        oq.GAP_FILLED_DAILY_ORDER_COUNTS_ORACLE,
-    ),
-    # round-5: salient-term extraction (tf-idf)
-    "tfidf_top_terms": (lq.tfidf_top_terms, lq.TFIDF_TOP_TERMS_ORACLE),
     # round-5: per-dim centering + L2 norms (ANN/k-means preprocessing)
     "embedding_preprocess": (
         lq.embedding_preprocess,
         lq.EMBEDDING_PREPROCESS_ORACLE,
     ),
-    # round-5: TPC-H Q10 shape (returned-item revenue, top 20)
-    "returned_item_revenue": (
-        oq.returned_item_revenue,
-        oq.RETURNED_ITEM_REVENUE_ORACLE,
-    ),
-    # round-6: ntile equal-frequency segmentation (RFM decile scoring)
-    "customer_revenue_deciles": (
-        oq.customer_revenue_deciles,
-        oq.CUSTOMER_REVENUE_DECILES_ORACLE,
-    ),
-    # round-7: TPC-H Q11 shape — per-group aggregate vs a global-scalar
-    # threshold derived from the SAME aggregate (no second fact scan)
     # round-7: TPC-H Q22 shape — scalar-average subquery + anti join
     "lapsed_high_balance_customers": (
         oq.lapsed_high_balance_customers,
         oq.LAPSED_HIGH_BALANCE_CUSTOMERS_ORACLE,
+    ),
+    # ------------------------------------------------------------------
+    # round-10 rotation demotions (driver-graded green 3-9 times each;
+    # still oracle-checked every pytest run)
+    # ------------------------------------------------------------------
+    "filtered_incremental_scan": (
+        oq.filtered_incremental_scan,
+        oq.FILTERED_INCREMENTAL_SCAN_ORACLE,
+    ),
+    "regex_predicate": (oq.regex_predicate, oq.REGEX_PREDICATE_ORACLE),
+    "price_tolerance_check": (
+        oq.price_tolerance_check,
+        oq.PRICE_TOLERANCE_CHECK_ORACLE,
+    ),
+    "snapshot_diff_orders": (
+        oq.snapshot_diff_orders,
+        oq.SNAPSHOT_DIFF_ORDERS_ORACLE,
+    ),
+    "validation_rule_counts": (
+        oq.validation_rule_counts,
+        oq.VALIDATION_RULE_COUNTS_ORACLE,
+    ),
+    "discount_band_revenue": (
+        oq.discount_band_revenue,
+        oq.DISCOUNT_BAND_REVENUE_ORACLE,
+    ),
+    "multiformat_date_parse": (
+        oq.multiformat_date_parse,
+        oq.MULTIFORMAT_DATE_PARSE_ORACLE,
+    ),
+    "dedup_exact_summary": (lq.dedup_exact_summary, lq.DEDUP_EXACT_SUMMARY_ORACLE),
+    "minhash_lsh_neardups": (
+        lq.minhash_lsh_neardups,
+        lq.MINHASH_LSH_NEARDUPS_ORACLE,
+    ),
+    "simhash_planted_pairs": (
+        lq.simhash_planted_pairs,
+        lq.SIMHASH_PLANTED_PAIRS_ORACLE,
+    ),
+    "corpus_curation_stats": (
+        lq.corpus_curation_stats,
+        lq.CORPUS_CURATION_STATS_ORACLE,
+    ),
+    "token_budget_packing": (
+        lq.token_budget_packing,
+        lq.TOKEN_BUDGET_PACKING_ORACLE,
+    ),
+    "embedding_neardup_pairs": (
+        lq.embedding_neardup_pairs,
+        lq.EMBEDDING_NEARDUP_PAIRS_ORACLE,
+    ),
+    "text_quality_stats": (lq.text_quality_stats, lq.TEXT_QUALITY_STATS_ORACLE),
+    "language_id_heuristic": (
+        lq.language_id_heuristic,
+        lq.LANGUAGE_ID_HEURISTIC_ORACLE,
+    ),
+    "token_count_bpe": (lq.token_count_bpe, lq.TOKEN_COUNT_BPE_ORACLE),
+    "multimodal_features": (sq.multimodal_features, sq.MULTIMODAL_FEATURES_ORACLE),
+    "suppliers_who_kept_waiting": (
+        oq.suppliers_who_kept_waiting,
+        oq.SUPPLIERS_WHO_KEPT_WAITING_ORACLE,
     ),
     # ------------------------------------------------------------------
     # round-9 rotation demotions (each driver-graded green at least once
@@ -692,59 +728,58 @@ _REGISTRY: dict[
 # Families that MUST sit inside the graded window (lint-enforced).
 TIER1_REQUIRED = frozenset(
     {
+        # round-10 window: 32 retained + 16 never-graded promotions
+        # + 2 new round-10 builds (see the tier-1 header comment)
         "flagship_revenue_by_nation",
-        "filtered_incremental_scan",
-        "regex_predicate",
-        "price_tolerance_check",
+        "returned_item_revenue",
+        "product_type_profit",
+        "top_revenue_supplier",
+        "asof_events_to_orders_fanout",
         "scd2_merge_customers",
-        "snapshot_diff_orders",
+        "streaming_cdc_partitioned_warehouse",
         "data_quality_expectations",
-        "validation_rule_counts",
-        "discount_band_revenue",
+        "quality_filter_docs",
+        "gap_filled_daily_order_counts",
         "repeat_purchases_within_90d",
-        "multiformat_date_parse",
-        "dedup_exact_summary",
-        "minhash_lsh_neardups",
-        "simhash_planted_pairs",
-        "dedup_keep_best_quality",
-        "corpus_curation_stats",
-        "token_budget_packing",
-        "embedding_neardup_pairs",
-        "text_quality_stats",
-        "language_id_heuristic",
-        "token_count_bpe",
-        "multimodal_features",
-        "bloom_filtered_orders",
-        "bucketed_colocated_revenue",
-        "customer_order_distribution",
-        "suppliers_who_kept_waiting",
-        # retained round-8 promotions (graded green r08, kept one more
-        # round: the hardest-to-regress state machinery + ANN/LM reps)
+        "customer_revenue_deciles",
+        "revenue_deciles_distributed",
+        "line_dedup_corpus",
+        "simhash_banded_neardups",
+        "semantic_dedup_components",
+        "contamination_screen",
         "corpus_dedup_components_star",
+        "dedup_keep_best_quality",
+        "corpus_prep_pipeline",
+        "pii_scrub_docs",
         "similarity_topk_ivf",
+        "embedding_quantization",
+        "bigram_pmi",
+        "repeated_ngram_spans",
+        "repetition_stats_docs",
+        "unicode_normalize_docs",
+        "tfidf_top_terms",
         "trigram_lm_scores",
         "heavy_hitter_bigrams",
+        "fuzzy_name_match",
         "streaming_click_purchase_join",
         "stateful_sessionize",
         "streaming_agg_maintenance_state",
-        "incremental_monthly_revenue",
-        "cdc_mv_maintenance_state",
-        "surplus_part_suppliers",
-        "bilateral_trade_volume",
-        # round-9 rotation promotions (first driver grading this round)
-        "asof_events_to_orders_fanout",
-        "contamination_screen",
-        "embedding_quantization",
-        "bigram_pmi",
         "epoch_shuffle_docs",
         "grouping_sets_revenue",
         "interpolated_daily_values",
+        "incremental_monthly_revenue",
         "cdc_patch_orders",
         "cdc_partitioned_apply_orders",
         "cdc_partitioned_versioned_orders",
+        "cdc_mv_maintenance_state",
         "zorder_rank_pruned_scan",
+        "bloom_filtered_orders",
         "nation_market_share",
+        "bucketed_colocated_revenue",
         "important_part_revenue",
+        "customer_order_distribution",
+        "surplus_part_suppliers",
+        "bilateral_trade_volume",
     }
 )
 
