@@ -347,12 +347,28 @@ def stateful_sessionize(
     is the per-group PYTHON apply, so parallelism wins: measured at
     sf0.1, 16 partitions 3.5 s vs 8 partitions 4.1 s vs 2 partitions
     6.8 s. Size to python-worker parallelism, not store count."""
+    ev = _events_stream(spark, sf_dir)
+    sessions = _sessionize_pipeline(ev, gap_minutes)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        sink = _drain_to_memory_sink(sessions, "stateful_sessionize", "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
+
+
+def _sessionize_pipeline(ev: DataFrame, gap_minutes: int) -> DataFrame:
+    """The applyInPandasWithState sessionization plan over an events
+    stream (user_id + NTZ ``ts``): shared by the catalog entry above and
+    the scale-evidence runner below so both measure the SAME operator.
+    See :func:`stateful_sessionize` for the emission contract."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..plans.operator_queries import ntz_epoch_micros
-
-    ev = _events_stream(spark, sf_dir)
     # Two time columns, one job each: ``ts`` (LTZ) exists ONLY for the
     # watermark/timeout machinery; ``t_us`` carries the instant as epoch µs
     # computed JVM-side. The pandas function must never read ``ts`` —
@@ -409,22 +425,83 @@ def stateful_sessionize(
             ],
         )
 
-    sessions = stream.groupBy("user_id").applyInPandasWithState(
+    return stream.groupBy("user_id").applyInPandasWithState(
         _update,
         outputStructType=output_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def run_sessionize_scale(
+    spark: SparkSession,
+    source_dir: str,
+    gap_minutes: int = 30,
+    state_partitions: int = 16,
+) -> tuple[int, list[dict]]:
+    """Scale-evidence runner (round-10, carried round-8 verdict item 7):
+    drive the SAME sessionization pipeline over a chronologically-split
+    file stream with ``maxFilesPerTrigger=1`` — one micro-batch per file
+    — and return ``(emitted_session_rows, per_batch_metrics)`` where each
+    metrics dict carries the state store's ``numRowsTotal`` /
+    ``numRowsUpdated`` / ``numRowsRemoved`` and the batch's input rows,
+    read from the query's progress events. The growth claim this feeds:
+    as the TIMELINE grows ×N (input volume ×N), per-batch state rows
+    stay bounded by the users active inside the watermark horizon —
+    eviction (event-time timeout) keeps state ∝ horizon, not history."""
+    import json
+    import os
+
+    sch = spark.read.parquet(
+        os.path.join(source_dir, "events.parquet")
+    ).schema
+    ev = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(source_dir, "events.parquet"))
+    )
+    sessions = _sessionize_pipeline(ev, gap_minutes)
+    import uuid
+
+    sink = f"sessionize_scale_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        sink = _drain_to_memory_sink(sessions, "stateful_sessionize", "append")
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "run_sessionize_scale: AvailableNow query did not finish "
+                "within 600s"
+            )
+        batches = []
+        for p in q.recentProgress:
+            if not isinstance(p, dict):  # StreamingQueryProgress object
+                p = json.loads(p.json)
+            ops = p["stateOperators"]
+            if not ops:
+                continue
+            batches.append(
+                {
+                    "batch_id": p["batchId"],
+                    "input_rows": p.get("numInputRows", 0),
+                    "state_rows_total": ops[0]["numRowsTotal"],
+                    "state_rows_updated": ops[0].get("numRowsUpdated", 0),
+                    "state_rows_removed": ops[0].get("numRowsRemoved", 0),
+                }
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    out = spark.table(sink).localCheckpoint(eager=True)
+    n_out = spark.table(sink).count()
     spark.catalog.dropTempView(sink)
-    return out
+    return n_out, batches
 
 
 STATEFUL_SESSIONIZE_ORACLE = """

@@ -116,32 +116,47 @@ def main() -> None:
     ap.add_argument("--multipliers", default="1,10")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--out", default="SCALEBENCH.json")
+    ap.add_argument(
+        "--sections",
+        default="all",
+        help="comma list of sections to run (heavy,incremental,relational,"
+        "asof,skew,cdc_partitioned,streaming_state) — a subset run MERGES "
+        "its results into the existing artifact instead of replacing it",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.multipliers.split(",")]
+    sections = set(args.sections.split(","))
+
+    def _want(name: str) -> bool:
+        return "all" in sections or name in sections
 
     spark = get_spark(app_name="scale_bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = catalog.spark_queries()
 
     dirs: dict[int, str] = {}
-    for m in mults:
-        d = os.path.join(SCALE_ROOT, f"x{m}")
-        t0 = time.perf_counter()
-        scale_corpus.write_scale_dir(spark, d, m)
-        print(
-            f"scale_bench: corpus x{m} ready in {time.perf_counter() - t0:.1f}s",
-            file=sys.stderr,
-        )
-        dirs[m] = d
+    if _want("heavy") or _want("incremental"):
+        for m in mults:
+            d = os.path.join(SCALE_ROOT, f"x{m}")
+            t0 = time.perf_counter()
+            scale_corpus.write_scale_dir(spark, d, m)
+            print(
+                f"scale_bench: corpus x{m} ready in "
+                f"{time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+            )
+            dirs[m] = d
 
     rows: dict[str, dict[int, int]] = {}
     timings: dict[str, dict[str, float]] = {n: {} for n in HEAVY}
     errors: dict[str, str] = {}
-    # warm the JVM once so x1 doesn't absorb first-job startup cost
-    queries[HEAVY[0]](spark, dirs[mults[0]]).limit(1).count()
     import gc
 
-    for name in HEAVY:
+    if _want("heavy"):
+        # warm the JVM once so x1 doesn't absorb first-job startup cost
+        queries[HEAVY[0]](spark, dirs[mults[0]]).limit(1).count()
+
+    for name in HEAVY if _want("heavy") else []:
         for m in mults:
             try:
                 samples = []
@@ -177,7 +192,7 @@ def main() -> None:
 
         from ecommerce_full_etl_process_spark.operators import dedup as D
 
-        for m in mults:
+        for m in mults if _want("incremental") else []:
             docs = spark.read.parquet(
                 os.path.join(dirs[m], "documents.parquet")
             ).select("doc_id", "text")
@@ -214,13 +229,16 @@ def main() -> None:
             }
             gc.collect()
             spark.sparkContext._jvm.System.gc()
-        b = incremental[f"x{mults[0]}"]
-        for m in mults[1:]:
-            cur = incremental[f"x{m}"]
-            cur["growth_incremental"] = round(
-                cur["incremental"] / b["incremental"], 2
-            )
-            cur["growth_full"] = round(cur["full_rerun"] / b["full_rerun"], 2)
+        if incremental:
+            b = incremental[f"x{mults[0]}"]
+            for m in mults[1:]:
+                cur = incremental[f"x{m}"]
+                cur["growth_incremental"] = round(
+                    cur["incremental"] / b["incremental"], 2
+                )
+                cur["growth_full"] = round(
+                    cur["full_rerun"] / b["full_rerun"], 2
+                )
     except Exception as exc:  # noqa: BLE001 — isolate the section
         errors["incremental_dedup"] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -228,17 +246,18 @@ def main() -> None:
     rel_dirs: dict[int, str] = {}
     rel_timings: dict[str, dict[str, float]] = {n: {} for n in RELATIONAL}
     try:
-        for m in mults:
-            d = os.path.join(SCALE_ROOT, f"rel_x{m}")
-            t0 = time.perf_counter()
-            scale_corpus.write_relational_scale_dir(spark, d, m)
-            print(
-                f"scale_bench: relational x{m} ready in "
-                f"{time.perf_counter() - t0:.1f}s",
-                file=sys.stderr,
-            )
-            rel_dirs[m] = d
-        for name in RELATIONAL:
+        if _want("relational") or _want("asof") or _want("cdc_partitioned"):
+            for m in mults:
+                d = os.path.join(SCALE_ROOT, f"rel_x{m}")
+                t0 = time.perf_counter()
+                scale_corpus.write_relational_scale_dir(spark, d, m)
+                print(
+                    f"scale_bench: relational x{m} ready in "
+                    f"{time.perf_counter() - t0:.1f}s",
+                    file=sys.stderr,
+                )
+                rel_dirs[m] = d
+        for name in RELATIONAL if _want("relational") else []:
             for m in mults:
                 try:
                     samples = []
@@ -285,7 +304,7 @@ def main() -> None:
             operator_queries as oq,
         )
 
-        for m in mults:
+        for m in mults if _want("asof") else []:
             d = rel_dirs[m]
             e = spark.read.parquet(os.path.join(d, "events.parquet")).select(
                 "event_id", "user_id", "ts"
@@ -343,8 +362,8 @@ def main() -> None:
             asof_decomp[f"x{m}"] = comp
             gc.collect()
             spark.sparkContext._jvm.System.gc()
-        b = asof_decomp[f"x{mults[0]}"]
-        for m in mults[1:]:
+        b = asof_decomp[f"x{mults[0]}"] if asof_decomp else {}
+        for m in mults[1:] if asof_decomp else []:
             cur = asof_decomp[f"x{m}"]
             for kk in (
                 "join_fanout", "asof_count", "asof_hash", "asof_merge_hash"
@@ -406,7 +425,7 @@ def main() -> None:
             ).collect()
             return time.perf_counter() - t0
 
-        for m in mults:
+        for m in mults if _want("skew") else []:
             n_l, n_r = 100_000 * m, 20_000 * m
             hot_l, hot_r = _timeline(n_l, n_r, hot=True)
             uni_l, uni_r = _timeline(n_l, n_r, hot=False)
@@ -432,14 +451,230 @@ def main() -> None:
             asof_skew[f"x{m}"] = comp
             gc.collect()
             spark.sparkContext._jvm.System.gc()
-        b = asof_skew[f"x{mults[0]}"]
-        for m in mults[1:]:
+        b = asof_skew[f"x{mults[0]}"] if asof_skew else {}
+        for m in mults[1:] if asof_skew else []:
             cur = asof_skew[f"x{m}"]
             for kk in ("plain_hot", "skewsafe_hot", "skewsafe_uniform"):
                 if b.get(kk):
                     cur[f"growth_{kk}"] = round(cur[kk] / b[kk], 2)
     except Exception as exc:  # noqa: BLE001 — isolate the section
         errors["asof_skew"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # ---- partitioned CDC: FIXED change set vs growing table (round-10,
+    # carried round-8 verdict item 5) ----------------------------------
+    # The claim measured (operators/cdc.py:210,284 docstrings): apply
+    # wall grows with AFFECTED partitions, not table rows. The table is
+    # hive-partitioned in fixed-size chunks of the key space, so the
+    # partition COUNT grows ×m while each partition stays the same size;
+    # the change set is pinned to the first 4 chunks at every scale. The
+    # partitioned apply (pruned fold + 4-partition rewrite + hardlinked
+    # carry-over) should stay near-flat — its only O(table) term is the
+    # column-pruned (key, partition) old-homes lookup — while the naive
+    # whole-table fold + full rewrite grows with m.
+    cdc_part: dict[str, dict] = {}
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from ecommerce_full_etl_process_spark.operators.cdc import (
+            apply_cdc_partitioned_versioned,
+            apply_cdc_versioned,
+            to_versioned,
+        )
+        from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+        CHUNK = 7_500  # rows per partition → partition count grows ×m
+        for m in mults if _want("cdc_partitioned") else []:
+            d = rel_dirs[m]
+            k = F.col("o_orderkey")
+            orders = spark.read.parquet(
+                os.path.join(d, "orders.parquet")
+            ).select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                ((k - 1) / CHUNK).cast("long").alias("pk"),
+            )
+            # FIXED change set: keys ≤ 4*CHUNK (present at every scale,
+            # partitions 0-3 only), ~1/17 updated, 1/5 of those deleted
+            changes = orders.where(
+                (k <= 4 * CHUNK) & (k % 17 == 0)
+            ).select(
+                "o_orderkey",
+                "o_orderpriority",
+                (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+                "pk",
+                F.lit(1).cast("long").alias("seq"),
+                F.when(k % 5 == 0, "D").otherwise("U").alias("op"),
+            ).localCheckpoint(eager=True)
+            root = tempfile.mkdtemp(prefix=f"cdcpart_x{m}_")
+            store = TableStore(spark, root)
+            t0 = time.perf_counter()
+            store.overwrite("snap", to_versioned(orders), partition_by=["pk"])
+            setup_s = time.perf_counter() - t0
+            store.overwrite(
+                "snap_full", to_versioned(orders), partition_by=["pk"]
+            )
+            part_s, full_s = [], []
+            replaced: list = []
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                replaced = apply_cdc_partitioned_versioned(
+                    store, "snap", changes, ["o_orderkey"], "seq", "pk"
+                )
+                part_s.append(time.perf_counter() - t0)
+                # the naive path a partition-blind consumer pays: whole-
+                # table fold + full partitioned rewrite
+                t0 = time.perf_counter()
+                folded = apply_cdc_versioned(
+                    store.read("snap_full"), changes, ["o_orderkey"], "seq"
+                )
+                store.overwrite("snap_full", folded, partition_by=["pk"])
+                full_s.append(time.perf_counter() - t0)
+            n_rows = scale_corpus.BASE_ORDERS * m
+            cdc_part[f"x{m}"] = {
+                "partitioned_apply": round(min(part_s), 3),
+                "full_rewrite": round(min(full_s), 3),
+                "affected_partitions": len(replaced),
+                "total_partitions": (n_rows + CHUNK - 1) // CHUNK,
+                "table_rows": n_rows,
+                "change_rows": changes.count(),
+                "setup_write_untimed": round(setup_s, 3),
+            }
+            shutil.rmtree(root, ignore_errors=True)
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        if cdc_part:
+            b = cdc_part[f"x{mults[0]}"]
+            for m in mults[1:]:
+                cur = cdc_part[f"x{m}"]
+                cur["growth_partitioned"] = round(
+                    cur["partitioned_apply"] / b["partitioned_apply"], 2
+                )
+                cur["growth_full"] = round(
+                    cur["full_rewrite"] / b["full_rewrite"], 2
+                )
+    except Exception as exc:  # noqa: BLE001 — isolate the section
+        errors["cdc_partitioned"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # ---- streaming state growth: sessionize + MV maintenance (round-10,
+    # carried round-8 verdict item 7) -----------------------------------
+    # The claim measured: stateful-streaming state is bounded by the
+    # WATERMARK HORIZON, not input volume. A synthetic timeline where
+    # each user is active for one hour (200 users/hour, 30 events each)
+    # grows ×m in LENGTH (hours = 8*m → input rows ×m) but keeps the
+    # horizon density constant; it streams as 10 chronological files
+    # (batch count fixed, per-batch input ×m). Event-time-timeout
+    # eviction must keep per-batch state rows ≈ users inside
+    # (watermark 1 h + gap 30 min) ≈ constant at every m — max/final
+    # state flat while input grows ×m. For the foreachBatch MV loop the
+    # state is the agg table itself: rows == group cardinality (12),
+    # flat by construction, with wall O(batch + state) per batch.
+    stream_state: dict[str, dict] = {}
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from ecommerce_full_etl_process_spark.sources.io import TableStore
+        from ecommerce_full_etl_process_spark.streaming.stream_pipeline import (  # noqa: E501
+            run_sessionize_scale,
+            run_streaming_agg_maintenance,
+        )
+
+        UPH, EPU, HOURS_X1, FILES = 200, 30, 8, 10
+        for m in mults if _want("streaming_state") else []:
+            hours = HOURS_X1 * m
+            src_root = os.path.join(SCALE_ROOT, f"stream_x{m}")
+            ev_dir = os.path.join(src_root, "events.parquet")
+            if not os.path.exists(ev_dir):
+                per_file_hours = hours / FILES
+                base = F.to_timestamp(
+                    F.lit("2024-01-01 00:00:00")
+                ).cast("timestamp_ntz")
+                for i in range(FILES):
+                    h0 = int(i * per_file_hours)
+                    h1 = int((i + 1) * per_file_hours)
+                    n = (h1 - h0) * UPH * EPU
+                    f = spark.range(n).select(
+                        (
+                            F.lit(h0 * UPH)
+                            + (F.col("id") / EPU).cast("long")
+                        ).alias("user_id"),
+                        F.timestamp_add(
+                            "SECOND",
+                            (
+                                ((F.col("id") / (UPH * EPU)).cast("long")
+                                 + h0) * 3600
+                                + (F.col("id") % EPU) * 10
+                            ).cast("int"),
+                            base,
+                        ).alias("ts"),
+                        F.concat(
+                            F.lit("t"), (F.col("id") % 12).cast("string")
+                        ).alias("event_type"),
+                        ((F.col("id") % 1000) / 10.0).alias("value"),
+                        F.col("id").alias("event_id"),
+                    )
+                    f.coalesce(1).write.mode("append").parquet(ev_dir)
+            t0 = time.perf_counter()
+            n_out, batches = run_sessionize_scale(spark, src_root)
+            sess_wall = time.perf_counter() - t0
+            # MV maintenance over the same files (event_type groups)
+            ckpt = tempfile.mkdtemp(prefix=f"aggmaint_x{m}_")
+            wh = tempfile.mkdtemp(prefix=f"aggwh_x{m}_")
+            t0 = time.perf_counter()
+            q = run_streaming_agg_maintenance(
+                spark, ev_dir, ckpt, wh, ["event_type"], "value"
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("agg maintenance did not finish in 600s")
+            agg_wall = time.perf_counter() - t0
+            agg_state_rows = TableStore(spark, wh).read("agg_state").count()
+            shutil.rmtree(ckpt, ignore_errors=True)
+            shutil.rmtree(wh, ignore_errors=True)
+            stream_state[f"x{m}"] = {
+                "input_rows": sum(b["input_rows"] for b in batches),
+                "n_batches": len(batches),
+                "emitted_sessions": n_out,
+                "sessionize_max_state_rows": max(
+                    b["state_rows_total"] for b in batches
+                ),
+                "sessionize_final_state_rows": batches[-1][
+                    "state_rows_total"
+                ],
+                "sessionize_per_batch_state": [
+                    b["state_rows_total"] for b in batches
+                ],
+                "sessionize_wall": round(sess_wall, 3),
+                "agg_maintenance_state_rows": agg_state_rows,
+                "agg_maintenance_wall": round(agg_wall, 3),
+            }
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        if stream_state:
+            b = stream_state[f"x{mults[0]}"]
+            for m in mults[1:]:
+                cur = stream_state[f"x{m}"]
+                cur["growth_input"] = round(
+                    cur["input_rows"] / b["input_rows"], 2
+                )
+                cur["growth_max_state"] = round(
+                    cur["sessionize_max_state_rows"]
+                    / b["sessionize_max_state_rows"],
+                    2,
+                )
+                cur["growth_agg_state"] = round(
+                    cur["agg_maintenance_state_rows"]
+                    / b["agg_maintenance_state_rows"],
+                    2,
+                )
+    except Exception as exc:  # noqa: BLE001 — isolate the section
+        errors["streaming_state"] = f"{type(exc).__name__}: {exc}"[:500]
 
     base = mults[0]
     for table in (timings, rel_timings):
@@ -467,14 +702,44 @@ def main() -> None:
         "incremental_dedup": incremental,
         "asof_decomposition": asof_decomp,
         "asof_skew": asof_skew,
+        "cdc_partitioned": cdc_part,
+        "streaming_state": stream_state,
         "result_rows": {n: {f"x{m}": c for m, c in v.items()} for n, v in rows.items()},
         "repeats_min": args.repeats,
         "partial": bool(errors),
         "errors": errors,
     }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), args.out
+    )
+    if "all" not in sections and os.path.exists(out_path):
+        # subset run: merge the freshly-measured sections into the
+        # committed artifact instead of clobbering the others' evidence
+        with open(out_path) as f:
+            merged = json.loads(f.read())
+        section_keys = {
+            "heavy": ["queries"],
+            "incremental": ["incremental_dedup"],
+            "relational": ["relational_queries"],
+            "asof": ["asof_decomposition"],
+            "skew": ["asof_skew"],
+            "cdc_partitioned": ["cdc_partitioned"],
+            "streaming_state": ["streaming_state"],
+        }
+        for sec, keys in section_keys.items():
+            if _want(sec):
+                for kk in keys:
+                    merged[kk] = result[kk]
+        if _want("heavy") or _want("relational"):
+            rr = merged.get("result_rows", {})
+            rr.update(result["result_rows"])
+            merged["result_rows"] = rr
+        merged["errors"] = {**merged.get("errors", {}), **errors}
+        merged["partial"] = bool(merged["errors"])
+        result = merged
     line = json.dumps(result)
     print(line)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), args.out), "w") as f:
+    with open(out_path, "w") as f:
         f.write(line + "\n")
 
 

@@ -288,3 +288,52 @@ def test_tablestore_overwrite_is_versioned_and_atomic(spark, tmp_path):
     df3 = spark.createDataFrame([(3, "c")], "id long, v string")
     df3.write.parquet(os.path.join(root, "t", "v=3"))  # no manifest flip
     assert [r["v"] for r in store.read("t").collect()] == ["b"]
+
+def test_run_sessionize_scale_state_bounded_by_horizon(spark, tmp_path):
+    """The scale-evidence runner (round-10): a chronological multi-file
+    stream drives the SAME sessionize pipeline one file per micro-batch;
+    per-batch state-store rows must stay bounded by the users active
+    inside the watermark horizon (1 h delay + 30 min gap) — eviction via
+    event-time timeout — never accumulate with history. 3 hours × 5
+    users/hour: state peaks at ≤ 3 hours of users and the final batch
+    EVICTS the now-expired hour-0 cohort."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_full_etl_process_spark.streaming.stream_pipeline import (
+        run_sessionize_scale,
+    )
+
+    src = str(tmp_path / "events.parquet")
+    EV, UPH, HOURS = 20, 5, 3
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00")).cast(
+        "timestamp_ntz"
+    )
+    for h in range(HOURS):
+        n = UPH * EV
+        df = spark.range(n).select(
+            (F.lit(h * UPH) + (F.col("id") / EV).cast("long")).alias(
+                "user_id"
+            ),
+            F.timestamp_add(
+                "SECOND",
+                (F.lit(h * 3600) + (F.col("id") % EV) * 10).cast("int"),
+                base,
+            ).alias("ts"),
+            F.lit("click").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.col("id").alias("event_id"),
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    n_out, batches = run_sessionize_scale(spark, str(tmp_path))
+    # every user has exactly one session; only sessions whose timeout
+    # fired (end + gap below the final watermark) are emitted
+    assert n_out == UPH  # hour-0 cohort times out; hours 1-2 in horizon
+    data = [b for b in batches if b["input_rows"] > 0]
+    assert len(data) == HOURS  # one micro-batch per file
+    # state never exceeds the horizon's user count (≤ 3 hours × UPH here,
+    # because eviction lags one batch behind the watermark) and the final
+    # empty batch removes the expired cohort
+    assert max(b["state_rows_total"] for b in batches) <= 3 * UPH
+    assert batches[-1]["state_rows_removed"] == UPH
+    assert batches[-1]["state_rows_total"] == 2 * UPH
