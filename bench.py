@@ -102,6 +102,10 @@ HEADLINE = [
     # composition (snapshot + aggregate maintained in one loop)
     "asof_events_to_orders_skewsafe",
     "cdc_mv_maintenance_state",
+    # round-10 additions: the streaming partitioned CDC consumer and the
+    # fact-scale (no-global-sort) decile segmentation
+    "streaming_cdc_partitioned_warehouse",
+    "revenue_deciles_distributed",
 ]
 
 
