@@ -1723,8 +1723,10 @@ def customer_revenue_deciles(spark, sf_dir):
 
     Scale note: the ntile window is a GLOBAL ordering — fine for a
     customer dimension (ntile over aggregated per-customer rows, not
-    facts); for fact-scale percentiles use order_value_quantiles'
-    mergeable-sketch path instead."""
+    facts). For the same EXACT segmentation with no single-partition
+    sort use :func:`revenue_deciles_distributed` (range partitions +
+    shard-local ranks); for approximate fact-scale percentiles use
+    order_value_quantiles' mergeable-sketch path."""
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue")

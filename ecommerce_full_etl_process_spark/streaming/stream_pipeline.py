@@ -1402,6 +1402,7 @@ def apply_cdc_partitioned_warehouse_batch(
     partition_col: str,
     op_col: str = "op",
     table: str = "snapshot",
+    keep_versions: int | None = None,
 ) -> list:
     """Apply ONE micro-batch of a CDC log to the partitioned versioned
     warehouse, exactly-once. Returns the replaced partition dirs
@@ -1427,6 +1428,14 @@ def apply_cdc_partitioned_warehouse_batch(
     pruned (key, partition) lookup scan); untouched partitions hardlink
     (zero bytes copied) — the write is proportional to the change
     locality, not the table (SCALEBENCH §partitioned-cdc).
+
+    ``keep_versions``: an UNBOUNDED stream writes one table version per
+    applied batch; without retention the version dirs (hardlinks, so
+    cheap in bytes but not in inodes/metadata) grow forever. When set,
+    a post-apply ``store.vacuum(table, keep_versions)`` bounds the
+    history — hardlinked bytes stay alive until the LAST version
+    referencing them goes, so the live table is never touched. Leave
+    ``None`` when time travel across the full stream history matters.
     """
     from ..operators.cdc import apply_cdc_partitioned_versioned
 
@@ -1437,7 +1446,7 @@ def apply_cdc_partitioned_warehouse_batch(
     marker = t.agg(F.max("last_batch")).collect()[0][0]
     if marker is not None and marker >= batch_id:
         return []  # clean replay of an already-applied batch
-    return apply_cdc_partitioned_versioned(
+    replaced = apply_cdc_partitioned_versioned(
         store,
         table,
         batch,
@@ -1447,6 +1456,9 @@ def apply_cdc_partitioned_warehouse_batch(
         op_col,
         batch_marker=("last_batch", batch_id),
     )
+    if keep_versions is not None and replaced:
+        store.vacuum(table, keep_versions)
+    return replaced
 
 
 def run_cdc_partitioned_warehouse(
@@ -1459,6 +1471,7 @@ def run_cdc_partitioned_warehouse(
     seq_col: str,
     partition_col: str,
     table: str = "snapshot",
+    keep_versions: int | None = None,
 ):
     """Continuous CDC consumption into a PARTITIONED versioned
     warehouse: a file stream of change rows (a Debezium-style log
@@ -1469,7 +1482,9 @@ def run_cdc_partitioned_warehouse(
     final table equals a whole-log fold no matter how the log is split
     across files (split-invariance of the versioned apply restricted to
     affected partitions). ``availableNow`` drains the backlog and
-    stops; rerun with the same checkpoint to pick up only new files."""
+    stops; rerun with the same checkpoint to pick up only new files.
+    ``keep_versions`` bounds on-disk version history for long-running
+    consumption (see the batch function)."""
     from ..sources.io import TableStore
 
     store = TableStore(spark, warehouse_root)
@@ -1484,6 +1499,7 @@ def run_cdc_partitioned_warehouse(
             seq_col,
             partition_col,
             table=table,
+            keep_versions=keep_versions,
         )
 
     stream = (

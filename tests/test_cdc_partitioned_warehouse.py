@@ -257,3 +257,33 @@ def test_marker_strip_keeps_payload_clean(spark, tmp_path):
     assert sorted(map(tuple, lhs.collect())) == sorted(
         map(tuple, twin.read("snapshot").collect())
     )
+
+
+def test_keep_versions_bounds_history_without_touching_live(spark, tmp_path):
+    """An unbounded stream writes one version per batch; with
+    keep_versions=2 the on-disk history stays bounded while the live
+    table still equals the whole-log fold (hardlinked bytes survive
+    until the LAST referencing version goes)."""
+    store, snap = _store(spark, tmp_path)
+    logs = [
+        [(1, "a", 11.0, 1, "U")],
+        [(2, "a", 0.0, 2, "D")],
+        [(3, "b", 33.0, 3, "U")],
+        [(4, "c", 44.0, 4, "U")],
+    ]
+    for i, rows in enumerate(logs):
+        apply_cdc_partitioned_warehouse_batch(
+            spark,
+            store,
+            spark.createDataFrame(rows, CHG_SCHEMA),
+            i,
+            ["k"],
+            "seq",
+            "p",
+            keep_versions=2,
+        )
+    d = store._table_dir("snapshot")
+    versions = [n for n in os.listdir(d) if n.startswith("v=")]
+    assert len(versions) <= 2
+    flat = [r for rows in logs for r in rows]
+    assert _live(store) == _whole(spark, snap, flat)

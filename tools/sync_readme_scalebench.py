@@ -20,6 +20,14 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 HEAVY_HEADER = "| operator | ×1 | ×30 | growth @30× |"
 REL_HEADER = "| query | ×1 | ×30 | growth @30× |"
+CDC_HEADER = (
+    "| scale | table rows | partitions (affected) | partitioned apply | "
+    "full rewrite |"
+)
+STREAM_HEADER = (
+    "| scale | input rows | batches | sessionize max state | "
+    "final state | MV state rows |"
+)
 
 
 def format_rows(section: dict[str, dict[str, float]]) -> list[str]:
@@ -34,35 +42,82 @@ def format_rows(section: dict[str, dict[str, float]]) -> list[str]:
     return rows
 
 
+def format_cdc_rows(section: dict[str, dict]) -> list[str]:
+    rows = []
+    for scale, t in section.items():
+        gp = t.get("growth_partitioned")
+        gf = t.get("growth_full")
+        rows.append(
+            f"| ×{scale[1:]} | {t['table_rows']:,} | "
+            f"{t['total_partitions']} ({t['affected_partitions']}) | "
+            f"{t['partitioned_apply']:.2f} s"
+            + (f" (**{gp:.1f}×**)" if gp is not None else "")
+            + f" | {t['full_rewrite']:.2f} s"
+            + (f" (**{gf:.1f}×**)" if gf is not None else "")
+            + " |"
+        )
+    return rows
+
+
+def format_stream_rows(section: dict[str, dict]) -> list[str]:
+    rows = []
+    for scale, t in section.items():
+        gi = t.get("growth_input")
+        gs = t.get("growth_max_state")
+        rows.append(
+            f"| ×{scale[1:]} | {t['input_rows']:,}"
+            + (f" ({gi:.0f}×)" if gi is not None else "")
+            + f" | {t['n_batches']} | {t['sessionize_max_state_rows']:,}"
+            + (f" (**{gs:.1f}×**)" if gs is not None else "")
+            + f" | {t['sessionize_final_state_rows']:,}"
+            + f" | {t['agg_maintenance_state_rows']} |"
+        )
+    return rows
+
+
 def replace_table(text: str, header: str, rows: list[str]) -> str:
     # header line, separator line, then existing rows up to the first
     # non-table line — replaced wholesale by the regenerated rows
     pattern = re.compile(
         re.escape(header) + r"\n\|[-|]+\|\n(?:\|[^\n]*\|\n)+"
     )
-    repl = header + "\n|---|---|---|---|\n" + "\n".join(rows) + "\n"
+    n_cols = header.count("|") - 1
+    repl = (
+        header + "\n|" + "---|" * n_cols + "\n" + "\n".join(rows) + "\n"
+    )
     new, n = pattern.subn(repl, text)
     if n != 1:
         raise SystemExit(f"expected exactly one table under {header!r}, found {n}")
     return new
 
 
-def expected_tables() -> tuple[list[str], list[str]]:
+def expected_tables() -> tuple[list[str], list[str], list[str], list[str]]:
     with open(os.path.join(ROOT, "SCALEBENCH.json")) as f:
         d = json.load(f)
-    return format_rows(d["queries"]), format_rows(d["relational_queries"])
+    return (
+        format_rows(d["queries"]),
+        format_rows(d["relational_queries"]),
+        format_cdc_rows(d.get("cdc_partitioned", {})),
+        format_stream_rows(d.get("streaming_state", {})),
+    )
 
 
 def main() -> None:
-    heavy, rel = expected_tables()
+    heavy, rel, cdc, stream = expected_tables()
     path = os.path.join(ROOT, "README.md")
     with open(path) as f:
         text = f.read()
     text = replace_table(text, HEAVY_HEADER, heavy)
     text = replace_table(text, REL_HEADER, rel)
+    text = replace_table(text, CDC_HEADER, cdc)
+    text = replace_table(text, STREAM_HEADER, stream)
     with open(path, "w") as f:
         f.write(text)
-    print(f"synced {len(heavy)} heavy + {len(rel)} relational rows", file=sys.stderr)
+    print(
+        f"synced {len(heavy)} heavy + {len(rel)} relational + {len(cdc)} "
+        f"cdc + {len(stream)} streaming-state rows",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":
