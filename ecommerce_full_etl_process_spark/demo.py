@@ -295,6 +295,38 @@ def cdc_report(spark, workdir: str) -> int:
     mark = got_agg == want_agg
     ok = ok and mark
     print(f"  [{'PASS' if mark else 'FAIL'}] CDC x MV loop aggregate == whole-log recompute")
+
+    # 5. streaming partitioned×versioned warehouse (round-10): the same
+    # out-of-order feed drains into a hive-partitioned tombstone-safe
+    # snapshot, one pruned partition rewrite per micro-batch
+    from .streaming.stream_pipeline import (
+        init_cdc_partitioned_warehouse,
+        run_cdc_partitioned_warehouse,
+    )
+
+    pw_store = TableStore(spark, os.path.join(workdir, "wh_pw"))
+    init_cdc_partitioned_warehouse(pw_store, snap, "g")
+    q = run_cdc_partitioned_warehouse(
+        spark, src, os.path.join(workdir, "ckpt_pw"),
+        os.path.join(workdir, "wh_pw"), chg_schema,
+        ["k"], "seq", "g", keep_versions=2,
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        print("  [FAIL] partitioned CDC stream did not drain within 120s")
+        print("RESULT: FAIL")
+        return 1
+    got_pw = sorted(
+        map(
+            tuple,
+            strip_versioned(
+                pw_store.read("snapshot").drop("last_batch")
+            ).select("k", "g", "v").collect(),
+        )
+    )
+    mark = got_pw == want
+    ok = ok and mark
+    print(f"  [{'PASS' if mark else 'FAIL'}] streaming partitioned warehouse == whole-log fold")
     print("RESULT:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
