@@ -449,9 +449,18 @@ def run_sessionize_scale(
     read from the query's progress events. The growth claim this feeds:
     as the TIMELINE grows ×N (input volume ×N), per-batch state rows
     stay bounded by the users active inside the watermark horizon —
-    eviction (event-time timeout) keeps state ∝ horizon, not history."""
+    eviction (event-time timeout) keeps state ∝ horizon, not history.
+
+    Progress is captured with a ``StreamingQueryListener`` (every batch),
+    NOT ``q.recentProgress`` — the latter keeps only the most recent
+    ~100 entries (``spark.sql.streaming.numRecentProgressUpdates``), so
+    a 300-batch ×30 drain would silently under-report input rows and
+    batch count (the first version of this runner did exactly that)."""
     import json
     import os
+    import uuid
+
+    from pyspark.sql.streaming import StreamingQueryListener
 
     sch = spark.read.parquet(
         os.path.join(source_dir, "events.parquet")
@@ -462,11 +471,30 @@ def run_sessionize_scale(
         .parquet(os.path.join(source_dir, "events.parquet"))
     )
     sessions = _sessionize_pipeline(ev, gap_minutes)
-    import uuid
+
+    captured: list[dict] = []
+
+    class _Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            captured.append(
+                p if isinstance(p, dict) else json.loads(p.json)
+            )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
 
     sink = f"sessionize_scale_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    listener = _Capture()
+    spark.streams.addListener(listener)
     try:
         q = (
             sessions.writeStream.format("memory")
@@ -475,30 +503,40 @@ def run_sessionize_scale(
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(1800):
             q.stop()
             raise RuntimeError(
                 "run_sessionize_scale: AvailableNow query did not finish "
-                "within 600s"
+                "within 1800s"
             )
-        batches = []
-        for p in q.recentProgress:
-            if not isinstance(p, dict):  # StreamingQueryProgress object
-                p = json.loads(p.json)
-            ops = p["stateOperators"]
-            if not ops:
-                continue
-            batches.append(
-                {
-                    "batch_id": p["batchId"],
-                    "input_rows": p.get("numInputRows", 0),
-                    "state_rows_total": ops[0]["numRowsTotal"],
-                    "state_rows_updated": ops[0].get("numRowsUpdated", 0),
-                    "state_rows_removed": ops[0].get("numRowsRemoved", 0),
-                }
-            )
+        qid = str(q.id)
+        # listener events are delivered asynchronously — settle until the
+        # capture stops growing so the final batches aren't missed
+        import time as _time
+
+        seen = -1
+        for _ in range(30):
+            if len(captured) == seen:
+                break
+            seen = len(captured)
+            _time.sleep(1)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.streams.removeListener(listener)
+    batches = []
+    for p in captured:
+        if str(p.get("id")) != qid or not p.get("stateOperators"):
+            continue
+        ops = p["stateOperators"]
+        batches.append(
+            {
+                "batch_id": p["batchId"],
+                "input_rows": p.get("numInputRows", 0),
+                "state_rows_total": ops[0]["numRowsTotal"],
+                "state_rows_updated": ops[0].get("numRowsUpdated", 0),
+                "state_rows_removed": ops[0].get("numRowsRemoved", 0),
+            }
+        )
     n_out = spark.table(sink).count()
     spark.catalog.dropTempView(sink)
     return n_out, batches

@@ -565,13 +565,19 @@ def main() -> None:
     # WATERMARK HORIZON, not input volume. A synthetic timeline where
     # each user is active for one hour (200 users/hour, 30 events each)
     # grows ×m in LENGTH (hours = 8*m → input rows ×m) but keeps the
-    # horizon density constant; it streams as 10 chronological files
-    # (batch count fixed, per-batch input ×m). Event-time-timeout
-    # eviction must keep per-batch state rows ≈ users inside
-    # (watermark 1 h + gap 30 min) ≈ constant at every m — max/final
-    # state flat while input grows ×m. For the foreachBatch MV loop the
-    # state is the agg table itself: rows == group cardinality (12),
-    # flat by construction, with wall O(batch + state) per batch.
+    # horizon density constant. It streams the LIVE-STREAM way: each
+    # file covers a FIXED time window (0.8 h), so the file count — and
+    # micro-batch count — grows ×m while per-batch input stays constant,
+    # exactly like a fixed trigger interval on a real stream. (The first
+    # design here used a FIXED file count, which made each batch cover
+    # ×m more time — a backlog-drain shape whose state is bounded by the
+    # batch's own working set, growing with the batch; time-bounded
+    # batches isolate the horizon bound the claim is about.) Event-time-
+    # timeout eviction must keep per-batch state rows ≈ users inside
+    # (watermark 1 h + gap 30 min, plus the current window) ≈ constant
+    # at every m — max/final state flat while input and batch count grow
+    # ×m. For the foreachBatch MV loop the state is the agg table
+    # itself: rows == group cardinality (12), flat by construction.
     stream_state: dict[str, dict] = {}
     try:
         import shutil
@@ -585,30 +591,30 @@ def main() -> None:
             run_streaming_agg_maintenance,
         )
 
-        UPH, EPU, HOURS_X1, FILES = 200, 30, 8, 10
+        UPH, EPU, HOURS_X1, FILES_X1 = 200, 30, 8, 10
         for m in mults if _want("streaming_state") else []:
             hours = HOURS_X1 * m
-            src_root = os.path.join(SCALE_ROOT, f"stream_x{m}")
+            FILES = FILES_X1 * m  # fixed 0.8 h window per file/batch
+            src_root = os.path.join(SCALE_ROOT, f"stream_tb_x{m}")
             ev_dir = os.path.join(src_root, "events.parquet")
             if not os.path.exists(ev_dir):
-                per_file_hours = hours / FILES
+                # rows are globally time-ordered by construction (id →
+                # (hour, user, event) lexicographic), so slicing the id
+                # range into FILES equal pieces yields chronological
+                # ~0.8 h files without hour-boundary rounding artifacts
+                N = hours * UPH * EPU
                 base = F.to_timestamp(
                     F.lit("2024-01-01 00:00:00")
                 ).cast("timestamp_ntz")
                 for i in range(FILES):
-                    h0 = int(i * per_file_hours)
-                    h1 = int((i + 1) * per_file_hours)
-                    n = (h1 - h0) * UPH * EPU
-                    f = spark.range(n).select(
-                        (
-                            F.lit(h0 * UPH)
-                            + (F.col("id") / EPU).cast("long")
-                        ).alias("user_id"),
+                    lo, hi = i * N // FILES, (i + 1) * N // FILES
+                    f = spark.range(lo, hi).select(
+                        (F.col("id") / EPU).cast("long").alias("user_id"),
                         F.timestamp_add(
                             "SECOND",
                             (
-                                ((F.col("id") / (UPH * EPU)).cast("long")
-                                 + h0) * 3600
+                                (F.col("id") / (UPH * EPU)).cast("long")
+                                * 3600
                                 + (F.col("id") % EPU) * 10
                             ).cast("int"),
                             base,
