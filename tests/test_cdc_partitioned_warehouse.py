@@ -287,3 +287,38 @@ def test_keep_versions_bounds_history_without_touching_live(spark, tmp_path):
     assert len(versions) <= 2
     flat = [r for rows in logs for r in rows]
     assert _live(store) == _whole(spark, snap, flat)
+
+
+def test_twenty_batch_random_soak_converges(spark, tmp_path):
+    """20 sequential random batches (inserts/updates/deletes, partition
+    moves, out-of-order sequences, duplicate-seq replays filtered) with
+    retention on; at three checkpoints the live table must equal the
+    whole-log fold of everything applied so far — the long-haul drift
+    check for the single-table exactly-once machinery."""
+    import random
+
+    rng = random.Random(10)
+    store, snap = _store(spark, tmp_path)
+    folded = []
+    seen = set()
+    for b in range(20):
+        batch = []
+        for _ in range(rng.randrange(1, 5)):
+            k = rng.randrange(12)
+            seq = rng.randrange(1, 30)
+            op = rng.choice(["U", "U", "U", "I", "D"])
+            sig = (k, seq, op == "D")
+            if sig in seen:
+                continue
+            seen.add(sig)
+            p = rng.choice(["a", "b", "c", "d"])
+            batch.append((k, p, float(rng.randrange(100)), seq, op))
+        if not batch:
+            continue
+        bdf = spark.createDataFrame(batch, CHG_SCHEMA)
+        apply_cdc_partitioned_warehouse_batch(
+            spark, store, bdf, b, ["k"], "seq", "p", keep_versions=3
+        )
+        folded.extend(batch)
+        if b in (6, 13, 19):
+            assert _live(store) == _whole(spark, snap, folded), f"batch {b}"
