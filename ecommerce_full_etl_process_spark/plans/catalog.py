@@ -42,20 +42,18 @@ _REGISTRY: dict[
 ] = {
     # ------------------------------------------------------------------
     # Tier 1 — one entry per unique operator family (graded window).
-    # Round-10 rotation (verdict item 4): 16 never-driver-graded entries
-    # promoted — the full curation-funnel family (corpus_prep_pipeline,
-    # pii_scrub_docs, line_dedup_corpus, unicode_normalize_docs,
-    # quality_filter_docs, repetition_stats_docs), the dedup long tail
-    # (semantic_dedup_components, simhash_banded_neardups,
-    # repeated_ngram_spans, fuzzy_name_match), three TPC-H long-tail
-    # shapes (returned_item_revenue, product_type_profit,
-    # top_revenue_supplier), gap_filled_daily_order_counts,
-    # tfidf_top_terms and customer_revenue_deciles — plus the TWO new
-    # round-10 builds (streaming_cdc_partitioned_warehouse,
-    # revenue_deciles_distributed). 18 slots demoted to tier 2, every
-    # one driver-graded green 3-9 times with its family either still in
-    # the window or exhaustively validated, and all still oracle-checked
-    # every pytest run. 15 never-graded entries remain for round 11.
+    # Round-10 rotation (verdict item 4, completed in two waves): ALL 31
+    # remaining never-driver-graded entries promoted — the full
+    # curation-funnel family, the dedup long tail, the TPC-H long tail
+    # (Q2/Q9/Q10/Q12/Q15/Q16/Q17/Q19/Q22), sampling, brute-force ANN,
+    # embedding stats/preprocess, salted skew join, chunking, n-gram
+    # contamination, BPE merge counting, tfidf, gap fill and both decile
+    # forms — plus the TWO new round-10 builds
+    # (streaming_cdc_partitioned_warehouse, revenue_deciles_distributed).
+    # 33 slots demoted to tier 2, every one driver-graded green 2-9
+    # times and still oracle-checked every pytest run. After this
+    # round's grading, every catalog entry has been driver-graded at
+    # least once — the rotation program that began in round 7 closes.
     # ------------------------------------------------------------------
     "flagship_revenue_by_nation": (
         analytics.flagship_revenue_by_nation,
@@ -120,11 +118,6 @@ _REGISTRY: dict[
         oq.gap_filled_daily_order_counts,
         oq.GAP_FILLED_DAILY_ORDER_COUNTS_ORACLE,
     ),
-    # interval×point range join (bucketed equi-join rewrite)
-    "repeat_purchases_within_90d": (
-        oq.repeat_purchases_within_90d,
-        oq.REPEAT_PURCHASES_WITHIN_90D_ORACLE,
-    ),
     # round-10 promotions: ntile decile segmentation (exact window form,
     # never graded) AND its new fact-scale twin — exact distributed
     # ranking via range partitions + shard-local positions, NO global
@@ -153,23 +146,6 @@ _REGISTRY: dict[
         lq.semantic_dedup_components,
         lq.SEMANTIC_DEDUP_COMPONENTS_ORACLE,
     ),
-    # round-9 promotion: verbatim contamination screening (broadcast
-    # probe index) — never driver-graded; the adaptive-DSU connected
-    # components it displaces graded green r05-r08 (star variant stays)
-    "contamination_screen": (
-        lq.contamination_screen,
-        lq.CONTAMINATION_SCREEN_ORACLE,
-    ),
-    # O(log d) star-contraction CC variant (the 100 TB
-    # path when components outgrow the driver DSU) — first graded r08
-    "corpus_dedup_components_star": (
-        lq.corpus_dedup_components_star,
-        lq.CORPUS_DEDUP_COMPONENTS_STAR_ORACLE,
-    ),
-    "dedup_keep_best_quality": (
-        lq.dedup_keep_best_quality,
-        lq.DEDUP_KEEP_BEST_QUALITY_ORACLE,
-    ),
     # LLM-data-pipeline: curation — round-10 promotions: the end-to-end
     # per-source curation funnel (quality → dedup → contamination →
     # tokens) and PII redaction take the slots of corpus_curation_stats
@@ -179,15 +155,8 @@ _REGISTRY: dict[
         lq.CORPUS_PREP_PIPELINE_ORACLE,
     ),
     "pii_scrub_docs": (lq.pii_scrub_docs, lq.PII_SCRUB_DOCS_ORACLE),
-    # LLM-data-pipeline: similarity search — IVF holds the family's
-    # graded slot (bucketed + quantized variants graded green r08, now
-    # tier 2); the freed slots go to two never-graded embedding ops
-    "similarity_topk_ivf": (
-        lq.similarity_topk_ivf,
-        lq.SIMILARITY_TOPK_IVF_ORACLE,
-    ),
     # round-9 promotion: int8 embedding quantization (scale/zero-point
-    # codec + reconstruction error bounds) — never driver-graded
+    # codec + reconstruction error bounds)
     "embedding_quantization": (
         lq.embedding_quantization,
         lq.EMBEDDING_QUANTIZATION_ORACLE,
@@ -214,39 +183,11 @@ _REGISTRY: dict[
         lq.UNICODE_NORMALIZE_DOCS_ORACLE,
     ),
     "tfidf_top_terms": (lq.tfidf_top_terms, lq.TFIDF_TOP_TERMS_ORACLE),
-    # round-8 promotion: self-trained char-trigram LM quality scoring
-    "trigram_lm_scores": (
-        lq.trigram_lm_scores,
-        lq.TRIGRAM_LM_SCORES_ORACLE,
-    ),
-    # round-8 promotion: exact heavy hitters via bounded-state
-    # Misra-Gries candidates + exact rescore (operators/frequency.py)
-    "heavy_hitter_bigrams": (
-        lq.heavy_hitter_bigrams,
-        lq.HEAVY_HITTER_BIGRAMS_ORACLE,
-    ),
     # round-10 promotion: blocked Levenshtein entity resolution; takes
     # the multimodal slot (multimodal_features 8× green, now tier 2)
     "fuzzy_name_match": (
         oq.fuzzy_name_match,
         oq.FUZZY_NAME_MATCH_ORACLE,
-    ),
-    # §2.12 streaming — whole family graded green r08; the stream-stream
-    # interval join, stateful sessionization and the two foreachBatch
-    # exactly-once maintenance loops keep the slots (hardest-to-regress
-    # state machinery); windowed counts / enrichment / hopping rates
-    # rotate to tier 2 and their slots go to never-graded promotions
-    "streaming_click_purchase_join": (
-        sp.streaming_click_purchase_join,
-        sp.STREAMING_CLICK_PURCHASE_JOIN_ORACLE,
-    ),
-    "stateful_sessionize": (
-        sp.stateful_sessionize,
-        sp.STATEFUL_SESSIONIZE_ORACLE,
-    ),
-    "streaming_agg_maintenance_state": (
-        sp.streaming_agg_maintenance_state,
-        sp.STREAMING_AGG_MAINTENANCE_STATE_ORACLE,
     ),
     # round-9 promotion: reproducible training-epoch shuffle + sharding
     # (md5 sort key, shard-local positions) — never driver-graded
@@ -263,12 +204,6 @@ _REGISTRY: dict[
     "interpolated_daily_values": (
         oq.interpolated_daily_values,
         oq.INTERPOLATED_DAILY_VALUES_ORACLE,
-    ),
-    # round-8 promotion: incremental aggregate maintenance — partial-state
-    # merge refresh (operators/incremental.py); oracle is the full rescan
-    "incremental_monthly_revenue": (
-        oq.incremental_monthly_revenue,
-        oq.INCREMENTAL_MONTHLY_REVENUE_ORACLE,
     ),
     # round-9 promotion: partial-column (patch) CDC apply — per-column
     # argmax over surviving patches with delete-horizon semantics
@@ -308,12 +243,6 @@ _REGISTRY: dict[
         oq.zorder_rank_pruned_scan,
         oq.ZORDER_RANK_PRUNED_SCAN_ORACLE,
     ),
-    # §2.4 J1 semi join at fact scale (Bloom-prefiltered variant; the
-    # plain left_semi form graded r01-r07, now tier 2)
-    "bloom_filtered_orders": (
-        oq.bloom_filtered_orders,
-        oq.BLOOM_FILTERED_ORDERS_ORACLE,
-    ),
     # round-9 promotion: TPC-H Q8 market-share shape — never graded
     "nation_market_share": (
         oq.nation_market_share,
@@ -334,20 +263,68 @@ _REGISTRY: dict[
         oq.important_part_revenue,
         oq.IMPORTANT_PART_REVENUE_ORACLE,
     ),
-    "customer_order_distribution": (
-        oq.customer_order_distribution,
-        oq.CUSTOMER_ORDER_DISTRIBUTION_ORACLE,
+    # round-10 second-wave promotions: the FINAL 15 never-driver-graded
+    # entries (closing the set a round early — after this round every
+    # catalog entry has been driver-graded at least once): the TPC-H
+    # Q2/Q12/Q16/Q17/Q19/Q22 long tail, sampling (stratified/weighted),
+    # brute-force ANN baseline, embedding stats/preprocess, salted skew
+    # join, chunking, n-gram contamination and BPE merge counting
+    "shipping_delay_priority_mix": (
+        oq.shipping_delay_priority_mix,
+        oq.SHIPPING_DELAY_PRIORITY_MIX_ORACLE,
     ),
-    # round-8 promotion: TPC-H Q20 shape — nested semi-join chain with a
-    # correlated-aggregate threshold (part → supply pairs → supplier)
-    "surplus_part_suppliers": (
-        oq.surplus_part_suppliers,
-        oq.SURPLUS_PART_SUPPLIERS_ORACLE,
+    "part_supplier_diversity": (
+        oq.part_supplier_diversity,
+        oq.PART_SUPPLIER_DIVERSITY_ORACLE,
     ),
-    # round-8 promotion: TPC-H Q7 shape — two-nation disjunctive join
-    "bilateral_trade_volume": (
-        oq.bilateral_trade_volume,
-        oq.BILATERAL_TRADE_VOLUME_ORACLE,
+    "small_quantity_revenue": (
+        oq.small_quantity_revenue,
+        oq.SMALL_QUANTITY_REVENUE_ORACLE,
+    ),
+    "disjunctive_promo_revenue": (
+        oq.disjunctive_promo_revenue,
+        oq.DISJUNCTIVE_PROMO_REVENUE_ORACLE,
+    ),
+    "best_price_supplier_per_part": (
+        oq.best_price_supplier_per_part,
+        oq.BEST_PRICE_SUPPLIER_PER_PART_ORACLE,
+    ),
+    "stratified_sample_docs": (
+        lq.stratified_sample_docs,
+        lq.STRATIFIED_SAMPLE_DOCS_ORACLE,
+    ),
+    "similarity_topk_bruteforce": (
+        lq.similarity_topk_bruteforce,
+        lq.SIMILARITY_TOPK_BRUTEFORCE_ORACLE,
+    ),
+    "embedding_dimension_stats": (
+        lq.embedding_dimension_stats,
+        lq.EMBEDDING_DIMENSION_STATS_ORACLE,
+    ),
+    "salted_join_revenue": (
+        oq.salted_join_revenue,
+        oq.SALTED_JOIN_REVENUE_ORACLE,
+    ),
+    "weighted_source_sample": (
+        lq.weighted_source_sample,
+        lq.WEIGHTED_SOURCE_SAMPLE_ORACLE,
+    ),
+    "chunk_documents": (lq.chunk_documents, lq.CHUNK_DOCUMENTS_ORACLE),
+    "contamination_ngram_overlap": (
+        lq.contamination_ngram_overlap,
+        lq.CONTAMINATION_NGRAM_OVERLAP_ORACLE,
+    ),
+    "bpe_merge_candidates": (
+        lq.bpe_merge_candidates,
+        lq.BPE_MERGE_CANDIDATES_ORACLE,
+    ),
+    "embedding_preprocess": (
+        lq.embedding_preprocess,
+        lq.EMBEDDING_PREPROCESS_ORACLE,
+    ),
+    "lapsed_high_balance_customers": (
+        oq.lapsed_high_balance_customers,
+        oq.LAPSED_HIGH_BALANCE_CUSTOMERS_ORACLE,
     ),
     # ------------------------------------------------------------------
     # Tier 2 — same-family variants (past the graded window)
@@ -456,35 +433,8 @@ _REGISTRY: dict[
         oq.asof_events_to_orders_skewsafe,
         oq.ASOF_EVENTS_TO_ORDERS_ORACLE,
     ),
-    # round-7 TPC-H long-tail shapes (Q2/Q12/Q16/Q17/Q19 analogues).
-    # Round-11 rotation candidates (the 15 never-driver-graded):
-    # shipping_delay_priority_mix, part_supplier_diversity,
-    # small_quantity_revenue, disjunctive_promo_revenue,
-    # best_price_supplier_per_part, stratified_sample_docs,
-    # similarity_topk_bruteforce, embedding_dimension_stats,
-    # salted_join_revenue, weighted_source_sample, chunk_documents,
-    # contamination_ngram_overlap, bpe_merge_candidates,
-    # embedding_preprocess, lapsed_high_balance_customers.
-    "shipping_delay_priority_mix": (
-        oq.shipping_delay_priority_mix,
-        oq.SHIPPING_DELAY_PRIORITY_MIX_ORACLE,
-    ),
-    "part_supplier_diversity": (
-        oq.part_supplier_diversity,
-        oq.PART_SUPPLIER_DIVERSITY_ORACLE,
-    ),
-    "small_quantity_revenue": (
-        oq.small_quantity_revenue,
-        oq.SMALL_QUANTITY_REVENUE_ORACLE,
-    ),
-    "disjunctive_promo_revenue": (
-        oq.disjunctive_promo_revenue,
-        oq.DISJUNCTIVE_PROMO_REVENUE_ORACLE,
-    ),
-    "best_price_supplier_per_part": (
-        oq.best_price_supplier_per_part,
-        oq.BEST_PRICE_SUPPLIER_PER_PART_ORACLE,
-    ),
+    # round-7 TPC-H long-tail shapes — remaining tier-2 variants (their
+    # never-graded siblings were promoted in the round-10 second wave).
     "groupby_count_desc": (oq.groupby_count_desc, oq.GROUPBY_COUNT_DESC_ORACLE),
     "max_key_allocation": (oq.max_key_allocation, oq.MAX_KEY_ALLOCATION_ORACLE),
     "distinct_keys": (oq.distinct_keys, oq.DISTINCT_KEYS_ORACLE),
@@ -564,55 +514,78 @@ _REGISTRY: dict[
     ),
     "dedup_exact_groups": (lq.dedup_exact_groups, lq.DEDUP_EXACT_GROUPS_ORACLE),
     "doc_fingerprints": (lq.doc_fingerprints, lq.DOC_FINGERPRINTS_ORACLE),
-    "stratified_sample_docs": (
-        lq.stratified_sample_docs,
-        lq.STRATIFIED_SAMPLE_DOCS_ORACLE,
-    ),
-    "similarity_topk_bruteforce": (
-        lq.similarity_topk_bruteforce,
-        lq.SIMILARITY_TOPK_BRUTEFORCE_ORACLE,
-    ),
-    "embedding_dimension_stats": (
-        lq.embedding_dimension_stats,
-        lq.EMBEDDING_DIMENSION_STATS_ORACLE,
-    ),
-    "salted_join_revenue": (
-        oq.salted_join_revenue,
-        oq.SALTED_JOIN_REVENUE_ORACLE,
-    ),
     # training-data curation (round-4 additions): mixture sampling with
     # a deterministic cross-engine hash gate
-    "weighted_source_sample": (
-        lq.weighted_source_sample,
-        lq.WEIGHTED_SOURCE_SAMPLE_ORACLE,
-    ),
-    "chunk_documents": (lq.chunk_documents, lq.CHUNK_DOCUMENTS_ORACLE),
     # round-5 additions: the n-gram contamination tier (winnowing
     # fingerprints vs a broadcast probe index) and the Gopher-style
     # heuristic quality filter (errors-array pattern over quality signals)
-    "contamination_ngram_overlap": (
-        lq.contamination_ngram_overlap,
-        lq.CONTAMINATION_NGRAM_OVERLAP_ORACLE,
-    ),
     # round-5: distributed BPE merge-candidate counting
-    "bpe_merge_candidates": (
-        lq.bpe_merge_candidates,
-        lq.BPE_MERGE_CANDIDATES_ORACLE,
-    ),
     # round-5: per-dim centering + L2 norms (ANN/k-means preprocessing)
-    "embedding_preprocess": (
-        lq.embedding_preprocess,
-        lq.EMBEDDING_PREPROCESS_ORACLE,
-    ),
     # round-7: TPC-H Q22 shape — scalar-average subquery + anti join
-    "lapsed_high_balance_customers": (
-        oq.lapsed_high_balance_customers,
-        oq.LAPSED_HIGH_BALANCE_CUSTOMERS_ORACLE,
-    ),
     # ------------------------------------------------------------------
-    # round-10 rotation demotions (driver-graded green 3-9 times each;
+    # round-10 rotation demotions (driver-graded green 2-9 times each;
     # still oracle-checked every pytest run)
     # ------------------------------------------------------------------
+    "repeat_purchases_within_90d": (
+        oq.repeat_purchases_within_90d,
+        oq.REPEAT_PURCHASES_WITHIN_90D_ORACLE,
+    ),
+    "contamination_screen": (
+        lq.contamination_screen,
+        lq.CONTAMINATION_SCREEN_ORACLE,
+    ),
+    "corpus_dedup_components_star": (
+        lq.corpus_dedup_components_star,
+        lq.CORPUS_DEDUP_COMPONENTS_STAR_ORACLE,
+    ),
+    "dedup_keep_best_quality": (
+        lq.dedup_keep_best_quality,
+        lq.DEDUP_KEEP_BEST_QUALITY_ORACLE,
+    ),
+    "similarity_topk_ivf": (
+        lq.similarity_topk_ivf,
+        lq.SIMILARITY_TOPK_IVF_ORACLE,
+    ),
+    "trigram_lm_scores": (
+        lq.trigram_lm_scores,
+        lq.TRIGRAM_LM_SCORES_ORACLE,
+    ),
+    "heavy_hitter_bigrams": (
+        lq.heavy_hitter_bigrams,
+        lq.HEAVY_HITTER_BIGRAMS_ORACLE,
+    ),
+    "streaming_click_purchase_join": (
+        sp.streaming_click_purchase_join,
+        sp.STREAMING_CLICK_PURCHASE_JOIN_ORACLE,
+    ),
+    "stateful_sessionize": (
+        sp.stateful_sessionize,
+        sp.STATEFUL_SESSIONIZE_ORACLE,
+    ),
+    "streaming_agg_maintenance_state": (
+        sp.streaming_agg_maintenance_state,
+        sp.STREAMING_AGG_MAINTENANCE_STATE_ORACLE,
+    ),
+    "incremental_monthly_revenue": (
+        oq.incremental_monthly_revenue,
+        oq.INCREMENTAL_MONTHLY_REVENUE_ORACLE,
+    ),
+    "bloom_filtered_orders": (
+        oq.bloom_filtered_orders,
+        oq.BLOOM_FILTERED_ORDERS_ORACLE,
+    ),
+    "customer_order_distribution": (
+        oq.customer_order_distribution,
+        oq.CUSTOMER_ORDER_DISTRIBUTION_ORACLE,
+    ),
+    "surplus_part_suppliers": (
+        oq.surplus_part_suppliers,
+        oq.SURPLUS_PART_SUPPLIERS_ORACLE,
+    ),
+    "bilateral_trade_volume": (
+        oq.bilateral_trade_volume,
+        oq.BILATERAL_TRADE_VOLUME_ORACLE,
+    ),
     "filtered_incremental_scan": (
         oq.filtered_incremental_scan,
         oq.FILTERED_INCREMENTAL_SCAN_ORACLE,
@@ -728,8 +701,9 @@ _REGISTRY: dict[
 # Families that MUST sit inside the graded window (lint-enforced).
 TIER1_REQUIRED = frozenset(
     {
-        # round-10 window: 32 retained + 16 never-graded promotions
-        # + 2 new round-10 builds (see the tier-1 header comment)
+        # round-10 window: 17 retained + the 31 never-graded promotions
+        # (both waves) + 2 new round-10 builds — after this round every
+        # catalog entry has been driver-graded at least once
         "flagship_revenue_by_nation",
         "returned_item_revenue",
         "product_type_profit",
@@ -740,46 +714,46 @@ TIER1_REQUIRED = frozenset(
         "data_quality_expectations",
         "quality_filter_docs",
         "gap_filled_daily_order_counts",
-        "repeat_purchases_within_90d",
         "customer_revenue_deciles",
         "revenue_deciles_distributed",
         "line_dedup_corpus",
         "simhash_banded_neardups",
         "semantic_dedup_components",
-        "contamination_screen",
-        "corpus_dedup_components_star",
-        "dedup_keep_best_quality",
         "corpus_prep_pipeline",
         "pii_scrub_docs",
-        "similarity_topk_ivf",
         "embedding_quantization",
         "bigram_pmi",
         "repeated_ngram_spans",
         "repetition_stats_docs",
         "unicode_normalize_docs",
         "tfidf_top_terms",
-        "trigram_lm_scores",
-        "heavy_hitter_bigrams",
         "fuzzy_name_match",
-        "streaming_click_purchase_join",
-        "stateful_sessionize",
-        "streaming_agg_maintenance_state",
         "epoch_shuffle_docs",
         "grouping_sets_revenue",
         "interpolated_daily_values",
-        "incremental_monthly_revenue",
         "cdc_patch_orders",
         "cdc_partitioned_apply_orders",
         "cdc_partitioned_versioned_orders",
         "cdc_mv_maintenance_state",
         "zorder_rank_pruned_scan",
-        "bloom_filtered_orders",
         "nation_market_share",
         "bucketed_colocated_revenue",
         "important_part_revenue",
-        "customer_order_distribution",
-        "surplus_part_suppliers",
-        "bilateral_trade_volume",
+        "shipping_delay_priority_mix",
+        "part_supplier_diversity",
+        "small_quantity_revenue",
+        "disjunctive_promo_revenue",
+        "best_price_supplier_per_part",
+        "stratified_sample_docs",
+        "similarity_topk_bruteforce",
+        "embedding_dimension_stats",
+        "salted_join_revenue",
+        "weighted_source_sample",
+        "chunk_documents",
+        "contamination_ngram_overlap",
+        "bpe_merge_candidates",
+        "embedding_preprocess",
+        "lapsed_high_balance_customers",
     }
 )
 
