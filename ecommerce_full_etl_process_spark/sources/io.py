@@ -344,148 +344,159 @@ class TableStore:
                 f"{partition_col!r}"
             )
         with self._writer_lock(table):
-            current = self._current_version(table)
-            if current is None:
-                raise FileNotFoundError(
-                    f"table {table!r} not found in {self.root}"
-                )
-            cur_dir = self._data_dir(table, current)
-            prefix = f"{partition_col}="
-            existing = {
-                name
-                for name in os.listdir(cur_dir)
-                if name.startswith(prefix)
-                and os.path.isdir(os.path.join(cur_dir, name))
-            }
-            # the guard must catch BOTH a flat table (top-level parquet)
-            # and a table partitioned on a DIFFERENT column (foo=* dirs):
-            # either way, writing df's partitions as the complete new
-            # version would silently drop every existing row
-            stray = [
-                name
-                for name in os.listdir(cur_dir)
-                if (
-                    "=" in name
-                    and not name.startswith(prefix)
-                    and os.path.isdir(os.path.join(cur_dir, name))
-                )
-                or name.endswith(".parquet")
-            ]
-            if not existing and stray:
-                raise ValueError(
-                    f"table {table!r} is not hive-partitioned on "
-                    f"{partition_col!r} (found {stray[:3]}) — rewrite it "
-                    f"with overwrite(..., partition_by=[{partition_col!r}"
-                    "]) first"
-                )
-            # a multi-level-partitioned table nests further key=value
-            # dirs inside each first-level partition; the replacement
-            # MUST be written with the same full partitioning or the
-            # new version mixes layouts (partition column in one dir,
-            # data column in another) and becomes unreadable
-            nested_cols: list[str] = []
-            probe = (
-                os.path.join(cur_dir, next(iter(existing)))
-                if existing
-                else None
+            return self._overwrite_partitions_unlocked(
+                table, df, partition_col, also_replace
             )
-            while probe:
-                subs = [
-                    n
-                    for n in os.listdir(probe)
-                    if "=" in n and os.path.isdir(os.path.join(probe, n))
-                ]
-                if not subs:
-                    break
-                col = subs[0].split("=", 1)[0]
-                nested_cols.append(col)
-                probe = os.path.join(probe, subs[0])
-            missing = [c for c in nested_cols if c not in df.columns]
-            if missing:
-                raise ValueError(
-                    f"table {table!r} is also partitioned on "
-                    f"{nested_cols} — the replacement frame lacks "
-                    f"{missing}"
+
+    def _overwrite_partitions_unlocked(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_col: str,
+        also_replace: list | None = None,
+    ) -> list[str]:
+        current = self._current_version(table)
+        if current is None:
+            raise FileNotFoundError(
+                f"table {table!r} not found in {self.root}"
+            )
+        cur_dir = self._data_dir(table, current)
+        prefix = f"{partition_col}="
+        existing = {
+            name
+            for name in os.listdir(cur_dir)
+            if name.startswith(prefix)
+            and os.path.isdir(os.path.join(cur_dir, name))
+        }
+        # the guard must catch BOTH a flat table (top-level parquet)
+        # and a table partitioned on a DIFFERENT column (foo=* dirs):
+        # either way, writing df's partitions as the complete new
+        # version would silently drop every existing row
+        stray = [
+            name
+            for name in os.listdir(cur_dir)
+            if (
+                "=" in name
+                and not name.startswith(prefix)
+                and os.path.isdir(os.path.join(cur_dir, name))
+            )
+            or name.endswith(".parquet")
+        ]
+        if not existing and stray:
+            raise ValueError(
+                f"table {table!r} is not hive-partitioned on "
+                f"{partition_col!r} (found {stray[:3]}) — rewrite it "
+                f"with overwrite(..., partition_by=[{partition_col!r}"
+                "]) first"
+            )
+        # a multi-level-partitioned table nests further key=value
+        # dirs inside each first-level partition; the replacement
+        # MUST be written with the same full partitioning or the
+        # new version mixes layouts (partition column in one dir,
+        # data column in another) and becomes unreadable
+        nested_cols: list[str] = []
+        probe = (
+            os.path.join(cur_dir, next(iter(existing)))
+            if existing
+            else None
+        )
+        while probe:
+            subs = [
+                n
+                for n in os.listdir(probe)
+                if "=" in n and os.path.isdir(os.path.join(probe, n))
+            ]
+            if not subs:
+                break
+            col = subs[0].split("=", 1)[0]
+            nested_cols.append(col)
+            probe = os.path.join(probe, subs[0])
+        missing = [c for c in nested_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"table {table!r} is also partitioned on "
+                f"{nested_cols} — the replacement frame lacks "
+                f"{missing}"
+            )
+        new_version = current + 1
+        new_dir = self._data_dir(table, new_version)
+        # 1. write the replacement partitions
+        df.write.mode("overwrite").partitionBy(
+            partition_col, *nested_cols
+        ).parquet(new_dir)
+        written = {
+            name
+            for name in os.listdir(new_dir)
+            if name.startswith(prefix)
+        }
+        # 1b. explicit replacements (partitions deleted to empty):
+        # match by decoded VALUE, not by re-encoding — Spark's dir
+        # encoding (percent-escapes, lowercase booleans, the
+        # __HIVE_DEFAULT_PARTITION__ null sentinel) does not
+        # round-trip through str()/quote() for every type
+        from urllib.parse import unquote
+
+        def _wanted(v) -> set[str]:
+            if v is None:
+                return {"__HIVE_DEFAULT_PARTITION__"}
+            if isinstance(v, float):
+                # float partition values don't round-trip Spark's
+                # dir encoding (Python str(1e-07) = '1e-07' vs
+                # Java's '1.0E-7'), so a value-match could silently
+                # no-op and carry a stale partition into the new
+                # version — refuse loudly; int/string/date/bool/None
+                # are the supported (and round-trippable) types
+                raise TypeError(
+                    "overwrite_partitions: float partition values in "
+                    "also_replace don't round-trip Spark's partition-"
+                    "path encoding; partition on int/string/date/bool "
+                    f"instead (got {v!r})"
                 )
-            new_version = current + 1
-            new_dir = self._data_dir(table, new_version)
-            # 1. write the replacement partitions
-            df.write.mode("overwrite").partitionBy(
-                partition_col, *nested_cols
-            ).parquet(new_dir)
-            written = {
-                name
-                for name in os.listdir(new_dir)
-                if name.startswith(prefix)
-            }
-            # 1b. explicit replacements (partitions deleted to empty):
-            # match by decoded VALUE, not by re-encoding — Spark's dir
-            # encoding (percent-escapes, lowercase booleans, the
-            # __HIVE_DEFAULT_PARTITION__ null sentinel) does not
-            # round-trip through str()/quote() for every type
-            from urllib.parse import unquote
+            s = str(v)
+            out = {s}
+            if isinstance(v, bool):
+                out.add(s.lower())
+            return out
 
-            def _wanted(v) -> set[str]:
-                if v is None:
-                    return {"__HIVE_DEFAULT_PARTITION__"}
-                if isinstance(v, float):
-                    # float partition values don't round-trip Spark's
-                    # dir encoding (Python str(1e-07) = '1e-07' vs
-                    # Java's '1.0E-7'), so a value-match could silently
-                    # no-op and carry a stale partition into the new
-                    # version — refuse loudly; int/string/date/bool/None
-                    # are the supported (and round-trippable) types
-                    raise TypeError(
-                        "overwrite_partitions: float partition values in "
-                        "also_replace don't round-trip Spark's partition-"
-                        "path encoding; partition on int/string/date/bool "
-                        f"instead (got {v!r})"
-                    )
-                s = str(v)
-                out = {s}
-                if isinstance(v, bool):
-                    out.add(s.lower())
-                return out
+        targets: set[str] = set()
+        for v in also_replace or []:
+            targets |= _wanted(v)
+        replaced = set(written)
+        for name in existing:
+            if unquote(name[len(prefix):]) in targets:
+                replaced.add(name)
+        # 2. carry untouched partitions over by hardlink (same bytes,
+        #    no copy; falls back to copy on filesystems without
+        #    links). os.walk, not a flat listdir: a multi-level
+        #    partitioned table nests further key=value dirs inside,
+        #    and skipping them would silently drop their data.
+        import shutil
 
-            targets: set[str] = set()
-            for v in also_replace or []:
-                targets |= _wanted(v)
-            replaced = set(written)
-            for name in existing:
-                if unquote(name[len(prefix):]) in targets:
-                    replaced.add(name)
-            # 2. carry untouched partitions over by hardlink (same bytes,
-            #    no copy; falls back to copy on filesystems without
-            #    links). os.walk, not a flat listdir: a multi-level
-            #    partitioned table nests further key=value dirs inside,
-            #    and skipping them would silently drop their data.
-            import shutil
-
-            for name in existing - replaced:
-                src = os.path.join(cur_dir, name)
-                dst = os.path.join(new_dir, name)
-                for dirpath, _dirs, files in os.walk(src):
-                    rel = os.path.relpath(dirpath, src)
-                    ddir = dst if rel == "." else os.path.join(dst, rel)
-                    os.makedirs(ddir, exist_ok=True)
-                    for fn in files:
-                        if fn.startswith((".", "_")):
-                            continue  # _SUCCESS / checksums / hidden
-                        try:
-                            os.link(
-                                os.path.join(dirpath, fn),
-                                os.path.join(ddir, fn),
-                            )
-                        except OSError:
-                            shutil.copy2(
-                                os.path.join(dirpath, fn),
-                                os.path.join(ddir, fn),
-                            )
-            # 3. atomic flip — readers switch whole-version, never partial
-            self._set_version(table, new_version)
-            # report real replacements: written dirs plus existing dirs
-            # the explicit list removed
-            return sorted(written | (replaced & existing))
+        for name in existing - replaced:
+            src = os.path.join(cur_dir, name)
+            dst = os.path.join(new_dir, name)
+            for dirpath, _dirs, files in os.walk(src):
+                rel = os.path.relpath(dirpath, src)
+                ddir = dst if rel == "." else os.path.join(dst, rel)
+                os.makedirs(ddir, exist_ok=True)
+                for fn in files:
+                    if fn.startswith((".", "_")):
+                        continue  # _SUCCESS / checksums / hidden
+                    try:
+                        os.link(
+                            os.path.join(dirpath, fn),
+                            os.path.join(ddir, fn),
+                        )
+                    except OSError:
+                        shutil.copy2(
+                            os.path.join(dirpath, fn),
+                            os.path.join(ddir, fn),
+                        )
+        # 3. atomic flip — readers switch whole-version, never partial
+        self._set_version(table, new_version)
+        # report real replacements: written dirs plus existing dirs
+        # the explicit list removed
+        return sorted(written | (replaced & existing))
 
     def append(
         self, table: str, df: DataFrame, partition_by: list[str] | None = None
@@ -506,6 +517,57 @@ class TableStore:
     def _stats_path(self, table: str, version: int) -> str:
         return os.path.join(self._table_dir(table), f"_stats_v{version}.json")
 
+    @staticmethod
+    def _footer_stats(fpath: str) -> dict:
+        """One file's stats entry (rows + per-column min/max/nulls) from
+        the parquet footer — metadata-only, no data pages read."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(fpath).metadata
+        cols: dict[str, dict] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    continue  # no ordering contract for raw bytes
+                name = c.path_in_schema
+                prev = cols.get(name)
+                if prev is None:
+                    cols[name] = {
+                        "min": mn,
+                        "max": mx,
+                        "nulls": st.null_count or 0,
+                    }
+                else:
+                    prev["min"] = min(prev["min"], mn)
+                    prev["max"] = max(prev["max"], mx)
+                    prev["nulls"] += st.null_count or 0
+        return {
+            "rows": md.num_rows,
+            "columns": {
+                k: {
+                    "min": _json_safe(v["min"]),
+                    "max": _json_safe(v["max"]),
+                    "nulls": v["nulls"],
+                }
+                for k, v in cols.items()
+            },
+        }
+
+    def _write_stats(self, table: str, version: int, per_file: dict) -> dict:
+        """Persist a stats manifest atomically (temp file + rename)."""
+        stats = {"version": version, "files": per_file}
+        fd, tmp = tempfile.mkstemp(dir=self._table_dir(table), suffix=".stats")
+        with os.fdopen(fd, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, self._stats_path(table, version))
+        return stats
+
     def collect_stats(self, table: str, version: int | None = None) -> dict:
         """Collect per-file column min/max/null stats from parquet footers
         and persist them next to the manifest (``_stats_v<n>.json``).
@@ -517,8 +579,6 @@ class TableStore:
         is what makes :meth:`read_where` prune whole files without a
         cluster-side listing.
         """
-        import pyarrow.parquet as pq
-
         if version is None:
             version = self._current_version(table)
         data_dir = self._data_dir(table, version)
@@ -528,47 +588,10 @@ class TableStore:
                 if not fname.endswith(".parquet"):
                     continue
                 fpath = os.path.join(dirpath, fname)
-                md = pq.ParquetFile(fpath).metadata
-                cols: dict[str, dict] = {}
-                for rg in range(md.num_row_groups):
-                    g = md.row_group(rg)
-                    for ci in range(g.num_columns):
-                        c = g.column(ci)
-                        st = c.statistics
-                        if st is None or not st.has_min_max:
-                            continue
-                        mn, mx = st.min, st.max
-                        if isinstance(mn, bytes):
-                            continue  # no ordering contract for raw bytes
-                        name = c.path_in_schema
-                        prev = cols.get(name)
-                        if prev is None:
-                            cols[name] = {
-                                "min": mn,
-                                "max": mx,
-                                "nulls": st.null_count or 0,
-                            }
-                        else:
-                            prev["min"] = min(prev["min"], mn)
-                            prev["max"] = max(prev["max"], mx)
-                            prev["nulls"] += st.null_count or 0
-                per_file[os.path.relpath(fpath, data_dir)] = {
-                    "rows": md.num_rows,
-                    "columns": {
-                        k: {
-                            "min": _json_safe(v["min"]),
-                            "max": _json_safe(v["max"]),
-                            "nulls": v["nulls"],
-                        }
-                        for k, v in cols.items()
-                    },
-                }
-        stats = {"version": version, "files": per_file}
-        fd, tmp = tempfile.mkstemp(dir=self._table_dir(table), suffix=".stats")
-        with os.fdopen(fd, "w") as f:
-            json.dump(stats, f)
-        os.replace(tmp, self._stats_path(table, version))
-        return stats
+                per_file[os.path.relpath(fpath, data_dir)] = (
+                    self._footer_stats(fpath)
+                )
+        return self._write_stats(table, version, per_file)
 
     def prune_files(
         self, table: str, col: str, lo, hi, version: int | None = None
@@ -648,6 +671,113 @@ class TableStore:
         self.overwrite(table, self.read(table).repartition(target_files))
         self.collect_stats(table)
         return before
+
+    def compact_partitions(
+        self, table: str, partition_col: str, max_files: int = 4
+    ) -> dict[str, int]:
+        """Partition-scoped small-file compaction: rewrite ONLY the hive
+        partitions holding more than ``max_files`` parquet files down to
+        one file each, carrying every healthy partition into the new
+        version by hardlink (zero bytes copied, zero rows rewritten).
+        Returns ``{partition_dir: files_before}`` for the compacted
+        partitions — ``{}`` (and NO new version) when every partition is
+        already healthy, so calling it after every ingest batch is cheap.
+
+        This is the maintenance shape a continuously-ingested partitioned
+        warehouse needs at 100 TB: each micro-batch of the streaming CDC
+        consumer (``streaming/stream_pipeline.py::
+        run_cdc_partitioned_warehouse``) adds O(1) files to each partition
+        it touches, so per-partition file counts grow with BATCH COUNT,
+        not data size — and scan cost grows with file count (listing,
+        footer reads, tiny row groups). Whole-table :meth:`compact` is
+        O(table); this is O(offending partitions) — the same asymmetry as
+        :meth:`overwrite_partitions` vs :meth:`overwrite`. One file per
+        compacted partition is right while partitions are small-file
+        bound; once a single partition outgrows one task's output, cap
+        file size with the writer's ``maxRecordsPerFile`` instead of
+        raising ``max_files``.
+
+        If a data-skipping stats manifest exists for the current version,
+        the new version's manifest is refreshed INCREMENTALLY: hardlinked
+        carry-over files keep their stats entries verbatim (same relative
+        path, same bytes); only the freshly written files get footer
+        reads — stats maintenance stays O(offending partitions) too.
+        """
+        from urllib.parse import unquote
+
+        with self._writer_lock(table):
+            current = self._current_version(table)
+            if current is None:
+                raise FileNotFoundError(
+                    f"table {table!r} not found in {self.root}"
+                )
+            cur_dir = self._data_dir(table, current)
+            prefix = f"{partition_col}="
+            counts: dict[str, int] = {}
+            for name in os.listdir(cur_dir):
+                pdir = os.path.join(cur_dir, name)
+                if not (name.startswith(prefix) and os.path.isdir(pdir)):
+                    continue
+                counts[name] = sum(
+                    1
+                    for _dp, _d, fs in os.walk(pdir)
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
+            if not counts:
+                # mirror overwrite_partitions' layout guard: a flat table
+                # (or one partitioned on a different column) must raise,
+                # not silently report "nothing to compact"
+                stray = [
+                    n
+                    for n in os.listdir(cur_dir)
+                    if ("=" in n and os.path.isdir(os.path.join(cur_dir, n)))
+                    or n.endswith(".parquet")
+                ]
+                if stray:
+                    raise ValueError(
+                        f"table {table!r} is not hive-partitioned on "
+                        f"{partition_col!r} (found {stray[:3]})"
+                    )
+            offenders = {n: c for n, c in counts.items() if c > max_files}
+            if not offenders:
+                return {}
+            # one job over ONLY the offending partitions; hashing on the
+            # partition column puts each partition's rows in one task, so
+            # the partitioned writer emits exactly one file per leaf dir
+            df = (
+                self.spark.read.option("basePath", cur_dir)
+                .parquet(*[os.path.join(cur_dir, n) for n in sorted(offenders)])
+                .repartition(len(offenders), F.col(partition_col))
+            )
+            # every offender goes through also_replace so a partition whose
+            # files held zero live rows is DROPPED from the new version
+            # rather than carried over stale (the replacement frame has no
+            # rows for it, so the written dirs alone would miss it)
+            decoded = [
+                None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                for v in (unquote(n[len(prefix):]) for n in offenders)
+            ]
+            self._overwrite_partitions_unlocked(
+                table, df, partition_col, also_replace=decoded
+            )
+            old_stats_path = self._stats_path(table, current)
+            if os.path.exists(old_stats_path):
+                with open(old_stats_path) as f:
+                    old_files = json.load(f)["files"]
+                new_dir = self._data_dir(table, current + 1)
+                per_file: dict[str, dict] = {}
+                for dirpath, _dirs, files in os.walk(new_dir):
+                    for fname in files:
+                        if not fname.endswith(".parquet"):
+                            continue
+                        fpath = os.path.join(dirpath, fname)
+                        rel = os.path.relpath(fpath, new_dir)
+                        per_file[rel] = old_files.get(rel) or (
+                            self._footer_stats(fpath)
+                        )
+                self._write_stats(table, current + 1, per_file)
+            return offenders
 
     def cluster_by(
         self, table: str, cols: list[str], num_files: int

@@ -533,3 +533,122 @@ def test_zorder_rank_bucketing_survives_outliers(spark, tmp_path):
     assert sorted(r["payload"] for r in out.collect()) == sorted(
         r["payload"] for r in full.collect()
     )
+
+
+def _pq_files_per_partition(store, table, partition_col):
+    data_dir = store._data_dir(table, store._current_version(table))
+    out = {}
+    for name in os.listdir(data_dir):
+        pdir = os.path.join(data_dir, name)
+        if name.startswith(f"{partition_col}=") and os.path.isdir(pdir):
+            out[name] = sorted(
+                os.path.join(dp, f)
+                for dp, _d, fs in os.walk(pdir)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_compact_partitions_scoped_rewrite(spark, tmp_path):
+    """Partition-scoped compaction rewrites ONLY the offending partitions
+    (one file each), hardlinks healthy partitions (same inodes), preserves
+    content exactly, and no-ops (no version bump) when everything is
+    healthy."""
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "whc"))
+    base = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+    )
+    store.overwrite("t", base.repartition(3, "p"), partition_by=["p"])
+    # bloat partitions p=0 and p=1 with 6 small appends each; p=2 untouched
+    for _ in range(6):
+        store.append(
+            "t",
+            base.where(F.col("p") < 2).limit(40).repartition(2),
+            partition_by=["p"],
+        )
+    before = _pq_files_per_partition(store, "t", "p")
+    assert len(before["p=0"]) > 4 and len(before["p=1"]) > 4
+    healthy_inodes = {os.stat(f).st_ino for f in before["p=2"]}
+    want = sorted(map(tuple, store.read("t").collect()))
+
+    compacted = store.compact_partitions("t", "p", max_files=4)
+    assert set(compacted) == {"p=0", "p=1"}
+    assert compacted["p=0"] == len(before["p=0"])
+
+    after = _pq_files_per_partition(store, "t", "p")
+    assert len(after["p=0"]) == 1 and len(after["p=1"]) == 1
+    # healthy partition carried over by hardlink: same inode, zero copy
+    assert {os.stat(f).st_ino for f in after["p=2"]} == healthy_inodes
+    assert sorted(map(tuple, store.read("t").collect())) == want
+    # pre-compaction version still time-travels
+    prev = store._current_version("t") - 1
+    assert sorted(map(tuple, store.read("t", version=prev).collect())) == want
+
+    # idempotent: second call finds nothing, writes nothing
+    v = store._current_version("t")
+    assert store.compact_partitions("t", "p", max_files=4) == {}
+    assert store._current_version("t") == v
+
+
+def test_compact_partitions_refreshes_stats_incrementally(spark, tmp_path):
+    """When a stats manifest exists, compaction writes a manifest for the
+    new version: carried files keep their entries verbatim (no footer
+    re-read needed), fresh files get new entries, and read_where pruning
+    keeps working."""
+    import json as _json
+
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "whs"))
+    base = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+    )
+    store.overwrite("t", base.repartition(4, "p"), partition_by=["p"])
+    for _ in range(5):
+        store.append(
+            "t",
+            base.where(F.col("p") == 0).limit(30).repartition(2),
+            partition_by=["p"],
+        )
+    store.collect_stats("t")
+    old_version = store._current_version("t")
+    with open(store._stats_path("t", old_version)) as f:
+        old_stats = _json.load(f)["files"]
+
+    compacted = store.compact_partitions("t", "p", max_files=4)
+    assert set(compacted) == {"p=0"}
+    new_version = store._current_version("t")
+    spath = store._stats_path("t", new_version)
+    assert os.path.exists(spath)
+    with open(spath) as f:
+        new_stats = _json.load(f)["files"]
+    # carried files: identical entries under the same relative path
+    carried = {r for r in new_stats if not r.startswith("p=0/")}
+    assert carried and all(new_stats[r] == old_stats[r] for r in carried)
+    # compacted partition: exactly one fresh file entry
+    fresh = [r for r in new_stats if r.startswith("p=0/")]
+    assert len(fresh) == 1 and fresh[0] not in old_stats
+    # pruning still works against the refreshed manifest: an
+    # out-of-range probe skips EVERY file (each entry has usable
+    # min/max), and an in-range read stays correct
+    kept, skipped = store.prune_files("t", "k", 1000, 2000, version=new_version)
+    assert skipped == len(new_stats) and not kept
+    got = store.read_where("t", "k", 0, 3).count()
+    want = store.read("t").where(F.col("k").between(0, 3)).count()
+    assert got == want > 0
+
+
+def test_compact_partitions_layout_guard(spark, tmp_path):
+    """A flat (unpartitioned) table raises instead of silently reporting
+    nothing to compact."""
+    import pytest as _pytest
+
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "whf"))
+    store.overwrite("t", spark.range(0, 10).select(F.col("id").alias("k")))
+    with _pytest.raises(ValueError, match="not hive-partitioned"):
+        store.compact_partitions("t", "p", max_files=1)
