@@ -686,10 +686,13 @@ class TableStore:
         This is the maintenance shape a continuously-ingested partitioned
         warehouse needs at 100 TB: each micro-batch of the streaming CDC
         consumer (``streaming/stream_pipeline.py::
-        run_cdc_partitioned_warehouse``) adds O(1) files to each partition
-        it touches, so per-partition file counts grow with BATCH COUNT,
-        not data size — and scan cost grows with file count (listing,
-        footer reads, tiny row groups). Whole-table :meth:`compact` is
+        run_cdc_partitioned_warehouse``) rewrites its affected partitions
+        with the FOLD'S shuffle layout — up to ``spark.sql.shuffle.
+        partitions`` files per touched partition per batch — and fact
+        ``append``\\ s add files every batch; either way per-partition
+        file counts decouple from data size, and scan cost grows with
+        file count (listing, footer reads, tiny row groups).
+        Whole-table :meth:`compact` is
         O(table); this is O(offending partitions) — the same asymmetry as
         :meth:`overwrite_partitions` vs :meth:`overwrite`. One file per
         compacted partition is right while partitions are small-file

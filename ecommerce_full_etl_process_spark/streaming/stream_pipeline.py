@@ -1441,6 +1441,7 @@ def apply_cdc_partitioned_warehouse_batch(
     op_col: str = "op",
     table: str = "snapshot",
     keep_versions: int | None = None,
+    compact_max_files: int | None = None,
 ) -> list:
     """Apply ONE micro-batch of a CDC log to the partitioned versioned
     warehouse, exactly-once. Returns the replaced partition dirs
@@ -1474,6 +1475,20 @@ def apply_cdc_partitioned_warehouse_batch(
     history — hardlinked bytes stay alive until the LAST version
     referencing them goes, so the live table is never touched. Leave
     ``None`` when time travel across the full stream history matters.
+
+    ``compact_max_files``: when set, partitions left holding more than
+    this many parquet files after the apply are compacted to one file
+    each (``TableStore.compact_partitions``) before the vacuum. The
+    fold rewrites each affected partition with its shuffle layout —
+    up to ``spark.sql.shuffle.partitions`` small files per touched
+    partition per batch — so a long-running consumer's hot partitions
+    degrade into small-file soup without this. Compaction runs AFTER
+    the marker-carrying apply committed (the version flip), so a crash
+    mid-compaction leaves a correct, merely-uncompacted table, and the
+    replay skip still holds; cost is O(offending partitions), matching
+    the apply's own cost shape. Exactly-once is unaffected: compaction
+    preserves rows (including tombstones and the ``last_batch``
+    marker), it only merges files.
     """
     from ..operators.cdc import apply_cdc_partitioned_versioned
 
@@ -1494,6 +1509,10 @@ def apply_cdc_partitioned_warehouse_batch(
         op_col,
         batch_marker=("last_batch", batch_id),
     )
+    if compact_max_files is not None and replaced:
+        store.compact_partitions(
+            table, partition_col, max_files=compact_max_files
+        )
     if keep_versions is not None and replaced:
         store.vacuum(table, keep_versions)
     return replaced
@@ -1510,6 +1529,7 @@ def run_cdc_partitioned_warehouse(
     partition_col: str,
     table: str = "snapshot",
     keep_versions: int | None = None,
+    compact_max_files: int | None = None,
 ):
     """Continuous CDC consumption into a PARTITIONED versioned
     warehouse: a file stream of change rows (a Debezium-style log
@@ -1521,8 +1541,9 @@ def run_cdc_partitioned_warehouse(
     across files (split-invariance of the versioned apply restricted to
     affected partitions). ``availableNow`` drains the backlog and
     stops; rerun with the same checkpoint to pick up only new files.
-    ``keep_versions`` bounds on-disk version history for long-running
-    consumption (see the batch function)."""
+    ``keep_versions`` bounds on-disk version history and
+    ``compact_max_files`` bounds per-partition small-file counts for
+    long-running consumption (see the batch function)."""
     from ..sources.io import TableStore
 
     store = TableStore(spark, warehouse_root)
@@ -1538,6 +1559,7 @@ def run_cdc_partitioned_warehouse(
             partition_col,
             table=table,
             keep_versions=keep_versions,
+            compact_max_files=compact_max_files,
         )
 
     stream = (

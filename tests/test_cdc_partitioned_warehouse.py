@@ -322,3 +322,52 @@ def test_twenty_batch_random_soak_converges(spark, tmp_path):
         folded.extend(batch)
         if b in (6, 13, 19):
             assert _live(store) == _whole(spark, snap, folded), f"batch {b}"
+
+
+def test_compact_max_files_bounds_partition_files(spark, tmp_path):
+    """With compact_max_files set, a long-running consumer's hot
+    partitions stay at one file each (the fold's shuffle layout would
+    otherwise leave up to shuffle.partitions files per touched partition
+    per batch), content still equals the whole-log fold, tombstones
+    survive compaction, and the replay marker keeps working."""
+    store, snap = _store(spark, tmp_path)
+    folded = []
+    for b in range(8):
+        # every batch hammers partition 'a' (hot) and deletes key 3 once
+        batch = [(1, "a", float(100 + b), b * 2 + 1, "U")]
+        if b == 2:
+            batch.append((3, "b", 0.0, 5, "D"))
+        bdf = spark.createDataFrame(batch, CHG_SCHEMA)
+        apply_cdc_partitioned_warehouse_batch(
+            spark, store, bdf, b, ["k"], "seq", "p",
+            keep_versions=2, compact_max_files=1,
+        )
+        folded.extend(batch)
+    assert _live(store) == _whole(spark, snap, folded)
+
+    data_dir = store._data_dir("snapshot", store._current_version("snapshot"))
+    per_part = {}
+    for name in os.listdir(data_dir):
+        pdir = os.path.join(data_dir, name)
+        if name.startswith("p=") and os.path.isdir(pdir):
+            per_part[name] = sum(
+                1 for _dp, _d, fs in os.walk(pdir)
+                for f in fs if f.endswith(".parquet")
+            )
+    assert per_part["p=a"] == 1, per_part
+    assert all(n <= 1 for n in per_part.values()), per_part
+
+    # tombstone for key 3 survived every compaction pass
+    vsnap = store.read("snapshot")
+    assert vsnap.where("k = 3 AND __deleted").count() == 1
+    # replay of the last batch is still a marker no-op (no new version)
+    v = store._current_version("snapshot")
+    bdf = spark.createDataFrame([(1, "a", 999.0, 15, "U")], CHG_SCHEMA)
+    assert (
+        apply_cdc_partitioned_warehouse_batch(
+            spark, store, bdf, 7, ["k"], "seq", "p",
+            keep_versions=2, compact_max_files=1,
+        )
+        == []
+    )
+    assert store._current_version("snapshot") == v
