@@ -106,6 +106,10 @@ HEADLINE = [
     # fact-scale (no-global-sort) decile segmentation
     "streaming_cdc_partitioned_warehouse",
     "revenue_deciles_distributed",
+    # round-10 second wave: bounded-state streaming dedup and
+    # partition-scoped small-file compaction
+    "streaming_dedup_within_watermark",
+    "compacted_partition_scan",
 ]
 
 

@@ -48,9 +48,10 @@ _REGISTRY: dict[
     # (Q2/Q9/Q10/Q12/Q15/Q16/Q17/Q19/Q22), sampling, brute-force ANN,
     # embedding stats/preprocess, salted skew join, chunking, n-gram
     # contamination, BPE merge counting, tfidf, gap fill and both decile
-    # forms — plus the TWO new round-10 builds
-    # (streaming_cdc_partitioned_warehouse, revenue_deciles_distributed).
-    # 33 slots demoted to tier 2, every one driver-graded green 2-9
+    # forms — plus the FOUR new round-10 builds
+    # (streaming_cdc_partitioned_warehouse, revenue_deciles_distributed,
+    # streaming_dedup_within_watermark, compacted_partition_scan).
+    # 35 slots demoted to tier 2, every one driver-graded green 2-9
     # times and still oracle-checked every pytest run. After this
     # round's grading, every catalog entry has been driver-graded at
     # least once — the rotation program that began in round 7 closes.
@@ -77,12 +78,14 @@ _REGISTRY: dict[
         oq.top_revenue_supplier,
         oq.TOP_REVENUE_SUPPLIER_ORACLE,
     ),
-    # §2.4 J3 as-of — the candidate-join (fanout) physical strategy takes
-    # the graded slot this round (never driver-graded; same oracle as the
-    # merge form graded r01-r07 and the skew-safe form graded r08)
-    "asof_events_to_orders_fanout": (
-        oq.asof_events_to_orders_fanout,
-        oq.ASOF_EVENTS_TO_ORDERS_ORACLE,
+    # round-10 NEW (second wave): bounded-state streaming dedup —
+    # dropDuplicatesWithinWatermark through a real AvailableNow query
+    # over a duplicated events feed; takes asof_events_to_orders_fanout's
+    # slot (graded green r09; the as-of family stays covered in tier 2 by
+    # all three physical forms, each driver-graded r07-r09)
+    "streaming_dedup_within_watermark": (
+        sp.streaming_dedup_within_watermark,
+        sp.STREAMING_DEDUP_WITHIN_WATERMARK_ORACLE,
     ),
     # §2.6 SCD2 merge (centerpiece)
     "scd2_merge_customers": (
@@ -236,12 +239,14 @@ _REGISTRY: dict[
         sp.cdc_mv_maintenance_state,
         sp.CDC_MV_MAINTENANCE_STATE_ORACLE,
     ),
-    # round-9 promotion: RANK-bucketed (equi-depth) Z-order layout +
-    # stats-pruned reads — skew/outlier-robust file skipping — never
-    # driver-graded; the linear-bucketed path it displaces graded r08
-    "zorder_rank_pruned_scan": (
-        oq.zorder_rank_pruned_scan,
-        oq.ZORDER_RANK_PRUNED_SCAN_ORACLE,
+    # round-10 NEW (second wave): partition-scoped small-file compaction
+    # (TableStore.compact_partitions) end-to-end — bloat, compact,
+    # aggregate; takes zorder_rank_pruned_scan's slot (graded green r09;
+    # the layout family stays covered by the Z-order/bucketed tier-2
+    # entries, each driver-graded r08-r09)
+    "compacted_partition_scan": (
+        oq.compacted_partition_scan,
+        oq.COMPACTED_PARTITION_SCAN_ORACLE,
     ),
     # round-9 promotion: TPC-H Q8 market-share shape — never graded
     "nation_market_share": (
@@ -329,6 +334,16 @@ _REGISTRY: dict[
     # ------------------------------------------------------------------
     # Tier 2 — same-family variants (past the graded window)
     # ------------------------------------------------------------------
+    # round-10 second-wave demotions (both graded green r09; displaced by
+    # the bounded-dedup and partition-compaction builds)
+    "asof_events_to_orders_fanout": (
+        oq.asof_events_to_orders_fanout,
+        oq.ASOF_EVENTS_TO_ORDERS_ORACLE,
+    ),
+    "zorder_rank_pruned_scan": (
+        oq.zorder_rank_pruned_scan,
+        oq.ZORDER_RANK_PRUNED_SCAN_ORACLE,
+    ),
     # round-8 rotation demotions (each driver-graded green 2-7 rounds:
     # semi/anti join r01-r07, default as-of merge r07, change-comparison
     # r07, change-detect r01-r07, first-occurrence dedup r07, conditional
@@ -701,14 +716,16 @@ _REGISTRY: dict[
 # Families that MUST sit inside the graded window (lint-enforced).
 TIER1_REQUIRED = frozenset(
     {
-        # round-10 window: 17 retained + the 31 never-graded promotions
-        # (both waves) + 2 new round-10 builds — after this round every
-        # catalog entry has been driver-graded at least once
+        # round-10 window: 15 retained + the 31 never-graded promotions
+        # (both waves) + 4 new round-10 builds (streaming CDC warehouse,
+        # distributed deciles, bounded-state streaming dedup, partition
+        # compaction) — after this round every catalog entry has been
+        # driver-graded at least once
         "flagship_revenue_by_nation",
         "returned_item_revenue",
         "product_type_profit",
         "top_revenue_supplier",
-        "asof_events_to_orders_fanout",
+        "streaming_dedup_within_watermark",
         "scd2_merge_customers",
         "streaming_cdc_partitioned_warehouse",
         "data_quality_expectations",
@@ -735,7 +752,7 @@ TIER1_REQUIRED = frozenset(
         "cdc_partitioned_apply_orders",
         "cdc_partitioned_versioned_orders",
         "cdc_mv_maintenance_state",
-        "zorder_rank_pruned_scan",
+        "compacted_partition_scan",
         "nation_market_share",
         "bucketed_colocated_revenue",
         "important_part_revenue",

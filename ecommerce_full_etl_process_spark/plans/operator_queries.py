@@ -3780,6 +3780,74 @@ WHERE o_custkey BETWEEN 600 AND 899
 """
 
 
+def compacted_partition_scan(spark, sf_dir):
+    """Partition-scoped small-file compaction END-TO-END under the
+    oracle gate (sources/io.py ``TableStore.compact_partitions``, round
+    10): orders land in a hive-partitioned TableStore as an initial
+    write plus three partitioned appends — the small-file bloat shape
+    every continuously-ingested warehouse develops — a stats manifest is
+    collected, the offenders are compacted to one file per partition
+    (healthy dirs hardlink across; the manifest refreshes incrementally),
+    and the compacted table aggregates per partition. The oracle
+    computes the same aggregate straight from orders, so the entry
+    passes iff compaction preserved every row through the rewrite;
+    file-count, inode-sharing and incremental-stats behavior are pinned
+    by tests/test_scale_tools.py."""
+    import shutil
+    import tempfile
+
+    from ..sources.io import TableStore
+
+    root = tempfile.mkdtemp(prefix="compact_q_")
+    try:
+        store = TableStore(spark, root)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        k = F.col("o_orderkey")
+        store.overwrite(
+            "orders_p",
+            o.where(k % 4 == 0).repartition(2, "o_orderpriority"),
+            partition_by=["o_orderpriority"],
+        )
+        for m in (1, 2, 3):  # micro-batch appends -> small files
+            store.append(
+                "orders_p",
+                o.where(k % 4 == m).repartition(2),
+                partition_by=["o_orderpriority"],
+            )
+        store.collect_stats("orders_p")
+        compacted = store.compact_partitions(
+            "orders_p", "o_orderpriority", max_files=2
+        )
+        if not compacted:
+            raise RuntimeError(
+                "compacted_partition_scan: fixture failed to bloat any "
+                "partition past the threshold"
+            )
+        out = (
+            store.read("orders_p")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+COMPACTED_PARTITION_SCAN_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS price_sum
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Bucketed co-located join — the zero-exchange physical-layout path
 # end-to-end under the oracle gate (sources/bucketed.py). The reference

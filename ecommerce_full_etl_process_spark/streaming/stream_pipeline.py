@@ -7,8 +7,11 @@ Three building blocks, one code path with batch:
   directory (new parquet files = new micro-batches), ``Trigger.AvailableNow``
   for catch-up runs — the streaming analogue of the reference's day-slice
   fetch (ETL/etl.py:160-168).
-- ``dedup_stream``: watermark + ``dropDuplicates`` on the composite PK —
-  the streaming form of the J4 idempotence anti-join.
+- ``dedup_stream`` / ``dedup_stream_bounded``: streaming forms of the J4
+  idempotence anti-join — plain ``dropDuplicates`` (strongest dedup,
+  O(distinct-keys-ever) state) vs ``dropDuplicatesWithinWatermark``
+  (state bounded by the watermark horizon; the continuous-ingestion
+  default).
 - ``windowed_status_counts``: tumbling-window event-time aggregation with a
   late-data watermark — the streaming form of the A3 group-by breakdown.
 - ``run_incremental``: ``foreachBatch`` adapter that feeds each micro-batch
@@ -45,21 +48,55 @@ def with_event_time(tx: DataFrame) -> DataFrame:
 
 def dedup_stream(tx: DataFrame, watermark: str = "2 days") -> DataFrame:
     """Streaming idempotence: drop duplicate (transaction_id, product_id)
-    within the watermark horizon — state bounded by the watermark, the
-    standard replacement for the batch anti-join against all history.
+    rows — the standard replacement for the batch anti-join against all
+    history.
+
+    STATE GROWTH — the honest version: because the event-time column is
+    NOT part of the dedup keys, Spark never evicts this operator's state;
+    the watermark only gates late INPUT rows. Measured (6 batches × 200
+    fresh keys, 1-day watermark, availableNow restarts): numRowsTotal
+    grows 200 → 1200, linear in distinct keys ever seen. That buys the
+    strongest guarantee — a duplicate is dropped no matter how far apart
+    the copies arrive — at O(distinct keys) state, which at 100 TB of
+    facts is unbounded. Use :func:`dedup_stream_bounded` for continuous
+    ingestion; keep this form only for short-lived backfill streams where
+    total key cardinality is known-bounded.
 
     Late-data policy (pinned by tests/test_streaming_pipeline.py::
     test_late_data_beyond_watermark_is_dropped): rows whose event time is
     older than the current watermark are DISCARDED at the operator input —
-    a late duplicate is never re-emitted (state for its key may already be
-    evicted, so letting it through would break exactly-once) and a late
-    never-seen row is sacrificed too. Net guarantee: exactly-once within
-    the watermark horizon, at-most-once outside it. Size ``watermark`` to
-    the real upstream disorder bound; the batch anti-join path
-    (operators/facts.py) remains the backfill route for older reruns."""
+    a late duplicate is never re-emitted and a late never-seen row is
+    sacrificed too: exactly-once within the watermark horizon,
+    at-most-once outside it. Size ``watermark`` to the real upstream
+    disorder bound; the batch anti-join path (operators/facts.py) remains
+    the backfill route for older reruns."""
     return tx.withWatermark("event_time", watermark).dropDuplicates(
         ["transaction_id", "product_id"]
     )
+
+
+def dedup_stream_bounded(tx: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """BOUNDED-STATE streaming dedup: ``dropDuplicatesWithinWatermark``
+    keeps a key's state only until the watermark passes its event time +
+    delay, so state is O(keys inside the watermark horizon), not
+    O(distinct keys ever) — measured alongside :func:`dedup_stream`
+    (same 6×200-key feed): numRowsTotal plateaus at 400 (current +
+    previous day inside the 1-day delay) while the plain form reaches
+    1200 and keeps climbing.
+
+    The guarantee trade: duplicates whose copies arrive WITHIN the
+    watermark delay of the first occurrence are dropped (the replay /
+    at-least-once-source case this exists for); a copy arriving later
+    than that may be re-emitted because its key's state was evicted —
+    at-least-once beyond the horizon, where :func:`dedup_stream` stays
+    exactly-once by hoarding state. Late input older than the watermark
+    is discarded the same as the plain form. This is the right default
+    for continuous ingestion at scale: size ``watermark`` to the real
+    source-replay bound and let the batch anti-join (operators/facts.py)
+    own anything older."""
+    return tx.withWatermark(
+        "event_time", watermark
+    ).dropDuplicatesWithinWatermark(["transaction_id", "product_id"])
 
 
 def windowed_status_counts(
@@ -684,7 +721,11 @@ def run_incremental(
     ``foreachBatch`` + the batch pipeline is the upgrade path when SCD2
     dims must advance per micro-batch.
     """
-    stream = dedup_stream(with_event_time(transactions_file_stream(spark, source_dir)))
+    # bounded-state dedup: a continuous ingester must not hoard state for
+    # every key ever seen (see dedup_stream vs dedup_stream_bounded)
+    stream = dedup_stream_bounded(
+        with_event_time(transactions_file_stream(spark, source_dir))
+    )
     writer = (
         stream.writeStream.format("parquet")
         .option("path", out_dir)
@@ -908,6 +949,85 @@ SELECT win_start, event_type,
        round(sum(value), 2) AS total_value
 FROM expanded
 GROUP BY win_start, event_type
+"""
+
+
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Catalog entry (round 10): BOUNDED-STATE streaming dedup
+    (``dropDuplicatesWithinWatermark``) end-to-end under the oracle
+    gate. A duplicated events feed — every event whose id ≡ 0 (mod 7)
+    appears TWICE — lands as three stream files (ts-tertile splits) and
+    drains through a real AvailableNow query that dedups on
+    ``event_id``; the survivors aggregate per event type. The oracle
+    aggregates the ORIGINAL events only, so the entry passes iff the
+    streaming operator dropped every injected duplicate and nothing
+    else. The 35-day delay exceeds the corpus's 30-day span, making the
+    result independent of file arrival order (no key's copy can fall
+    behind the watermark mid-run); the operator's actual state
+    boundedness — the reason this form exists next to plain
+    ``dropDuplicates`` — is pinned by tests/test_streaming_pipeline.py::
+    test_dedup_state_growth_bounded_vs_plain."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..plans.operator_queries import _normalize_events_ts, _read_events_raw
+
+    ev = _normalize_events_ts(
+        _read_events_raw(spark, os.path.join(sf_dir, "events.parquet"))
+    ).select("event_id", "ts", "event_type", "value")
+    feed = ev.unionByName(ev.where(F.col("event_id") % 7 == 0))
+
+    root = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        d = F.dayofmonth("ts")
+        for part in (
+            feed.where(d <= 10),
+            feed.where((d > 10) & (d <= 20)),
+            feed.where(d > 20),
+        ):
+            part.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        # watermarks require an LTZ event-time column; the NTZ corpus ts
+        # is reinterpreted in the (run-constant) session TZ, which shifts
+        # every row and the watermark by the same offset — and the ts
+        # column never reaches the output, so the result is TZ-independent
+        ded = (
+            stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "35 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        sink = _drain_to_memory_sink(
+            ded, "streaming_dedup_within_watermark", "append"
+        )
+        out = (
+            spark.table(sink)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(sink)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAMING_DEDUP_WITHIN_WATERMARK_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM events GROUP BY event_type
 """
 
 

@@ -337,3 +337,50 @@ def test_run_sessionize_scale_state_bounded_by_horizon(spark, tmp_path):
     assert max(b["state_rows_total"] for b in batches) <= 3 * UPH
     assert batches[-1]["state_rows_removed"] == UPH
     assert batches[-1]["state_rows_total"] == 2 * UPH
+
+
+def test_dedup_state_growth_bounded_vs_plain(spark, tmp_path):
+    """Pins the measured state-growth asymmetry the two dedup forms
+    document: plain dropDuplicates (event time NOT in the keys) never
+    evicts — numRowsTotal grows linearly with distinct keys ever seen —
+    while dropDuplicatesWithinWatermark evicts keys the watermark has
+    passed, so state plateaus at the horizon. Functional dedup is pinned
+    separately; this is the 100 TB state-store story."""
+
+    def _totals(kind):
+        src = str(tmp_path / f"src_{kind}")
+        ckpt = str(tmp_path / f"ckpt_{kind}")
+        os.makedirs(src)
+        stream = SP.with_event_time(SP.transactions_file_stream(spark, src))
+        builder = SP.dedup_stream if kind == "plain" else SP.dedup_stream_bounded
+        ded = builder(stream, watermark="1 day")
+        totals = []
+        for b in range(4):
+            rows = [
+                (b * 100 + i, f"2026-03-{b + 1:02d}", 1, 1, 1, 1.0, "visa",
+                 "success")
+                for i in range(60)
+            ]
+            spark.createDataFrame(rows, schemas.TRANSACTIONS).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            q = (
+                ded.writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            totals.append(
+                q.lastProgress["stateOperators"][0]["numRowsTotal"]
+            )
+        return totals
+
+    plain = _totals("plain")
+    bounded = _totals("bounded")
+    # plain: every batch's 60 fresh keys stay in state forever
+    assert plain == [60, 120, 180, 240]
+    # bounded: the 1-day delay keeps ~2 days of keys; batches older than
+    # the watermark horizon are evicted, so state plateaus
+    assert bounded[0] == 60 and max(bounded) <= 120
+    assert bounded[-1] <= 120 < plain[-1]
