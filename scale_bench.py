@@ -120,8 +120,9 @@ def main() -> None:
         "--sections",
         default="all",
         help="comma list of sections to run (heavy,incremental,relational,"
-        "asof,skew,cdc_partitioned,streaming_state) — a subset run MERGES "
-        "its results into the existing artifact instead of replacing it",
+        "asof,skew,cdc_partitioned,compaction,streaming_state) — a subset "
+        "run MERGES its results into the existing artifact instead of "
+        "replacing it",
     )
     args = ap.parse_args()
     mults = [int(m) for m in args.multipliers.split(",")]
@@ -246,7 +247,12 @@ def main() -> None:
     rel_dirs: dict[int, str] = {}
     rel_timings: dict[str, dict[str, float]] = {n: {} for n in RELATIONAL}
     try:
-        if _want("relational") or _want("asof") or _want("cdc_partitioned"):
+        if (
+            _want("relational")
+            or _want("asof")
+            or _want("cdc_partitioned")
+            or _want("compaction")
+        ):
             for m in mults:
                 d = os.path.join(SCALE_ROOT, f"rel_x{m}")
                 t0 = time.perf_counter()
@@ -559,6 +565,128 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — isolate the section
         errors["cdc_partitioned"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # ---- partition-scoped compaction: FIXED hot set vs growing table
+    # (round 10, sources/io.py compact_partitions) ----------------------
+    # The claim measured: compaction wall grows with OFFENDING
+    # partitions, not table rows. Same chunked layout as cdc_partitioned
+    # (partition count ×m, fixed partition size); the small-file bloat
+    # is pinned to the first 4 partitions at every scale (8 append
+    # rounds × 2 files each). compact_partitions (read 4 partitions,
+    # rewrite 4 dirs, hardlink the rest) should stay near-flat; the
+    # partition-blind alternative — a whole-table partitioned rewrite,
+    # what OPTIMIZE without a WHERE does — grows with m. Each repeat
+    # resets the hot partitions via overwrite_partitions (untimed) so
+    # every timed compaction sees identical content and file counts.
+    compaction: dict[str, dict] = {}
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+        CHUNK = 7_500
+        HOT, ROUNDS = 4, 8
+        for m in mults if _want("compaction") else []:
+            d = rel_dirs[m]
+            k = F.col("o_orderkey")
+            orders = spark.read.parquet(
+                os.path.join(d, "orders.parquet")
+            ).select(
+                "o_orderkey",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                ((k - 1) / CHUNK).cast("long").alias("pk"),
+            )
+            hot_rows = orders.where(k <= HOT * CHUNK).localCheckpoint(
+                eager=True
+            )
+            n_parts = (scale_corpus.BASE_ORDERS * m + CHUNK - 1) // CHUNK
+            root = tempfile.mkdtemp(prefix=f"compact_x{m}_")
+            store = TableStore(spark, root)
+            t0 = time.perf_counter()
+            store.overwrite(
+                "snap", orders.repartition(n_parts, "pk"), partition_by=["pk"]
+            )
+            setup_s = time.perf_counter() - t0
+
+            hot_slice = hot_rows.where(k % 97 == 0).localCheckpoint(
+                eager=True
+            )
+
+            def _bloat():
+                # reset the hot partitions to base content, then append
+                # ROUNDS small partitioned batches into them (the slice
+                # spans all HOT partitions, so every round adds up to 2
+                # files to each hot dir)
+                store.overwrite_partitions(
+                    "snap", hot_rows.repartition(HOT, "pk"), "pk"
+                )
+                for _ in range(ROUNDS):
+                    store.append(
+                        "snap",
+                        hot_slice.repartition(2),
+                        partition_by=["pk"],
+                    )
+
+            def _hot_files() -> int:
+                ddir = store._data_dir("snap", store._current_version("snap"))
+                return sum(
+                    1
+                    for p in range(HOT)
+                    for _dp, _d, fs in os.walk(
+                        os.path.join(ddir, f"pk={p}")
+                    )
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
+            scoped_s, full_s = [], []
+            files_before = files_after = 0
+            compacted: dict = {}
+            for _ in range(args.repeats):
+                _bloat()
+                files_before = _hot_files()
+                t0 = time.perf_counter()
+                compacted = store.compact_partitions("snap", "pk", max_files=4)
+                scoped_s.append(time.perf_counter() - t0)
+                files_after = _hot_files()
+                # the partition-blind alternative on identical bloat: a
+                # whole-table partitioned rewrite (OPTIMIZE sans WHERE)
+                _bloat()
+                t0 = time.perf_counter()
+                store.overwrite(
+                    "snap",
+                    store.read("snap").repartition(n_parts, "pk"),
+                    partition_by=["pk"],
+                )
+                full_s.append(time.perf_counter() - t0)
+            compaction[f"x{m}"] = {
+                "scoped_compact": round(min(scoped_s), 3),
+                "full_rewrite": round(min(full_s), 3),
+                "compacted_partitions": len(compacted),
+                "total_partitions": n_parts,
+                "hot_files_before": files_before,
+                "hot_files_after": files_after,
+                "table_rows": scale_corpus.BASE_ORDERS * m,
+                "bloat_rows_untimed": ROUNDS * hot_slice.count(),
+                "setup_write_untimed": round(setup_s, 3),
+            }
+            shutil.rmtree(root, ignore_errors=True)
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        if compaction:
+            b = compaction[f"x{mults[0]}"]
+            for m in mults[1:]:
+                cur = compaction[f"x{m}"]
+                cur["growth_scoped"] = round(
+                    cur["scoped_compact"] / b["scoped_compact"], 2
+                )
+                cur["growth_full"] = round(
+                    cur["full_rewrite"] / b["full_rewrite"], 2
+                )
+    except Exception as exc:  # noqa: BLE001 — isolate the section
+        errors["compaction"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # ---- streaming state growth: sessionize + MV maintenance (round-10,
     # carried round-8 verdict item 7) -----------------------------------
     # The claim measured: stateful-streaming state is bounded by the
@@ -709,6 +837,7 @@ def main() -> None:
         "asof_decomposition": asof_decomp,
         "asof_skew": asof_skew,
         "cdc_partitioned": cdc_part,
+        "compaction": compaction,
         "streaming_state": stream_state,
         "result_rows": {n: {f"x{m}": c for m, c in v.items()} for n, v in rows.items()},
         "repeats_min": args.repeats,
@@ -730,6 +859,7 @@ def main() -> None:
             "asof": ["asof_decomposition"],
             "skew": ["asof_skew"],
             "cdc_partitioned": ["cdc_partitioned"],
+            "compaction": ["compaction"],
             "streaming_state": ["streaming_state"],
         }
         for sec, keys in section_keys.items():

@@ -28,6 +28,10 @@ STREAM_HEADER = (
     "| scale | input rows | batches | sessionize max state | "
     "final state | MV state rows |"
 )
+COMPACT_HEADER = (
+    "| scale | table rows | partitions (compacted) | hot files | "
+    "scoped compact | full rewrite |"
+)
 
 
 def format_rows(section: dict[str, dict[str, float]]) -> list[str]:
@@ -75,6 +79,24 @@ def format_stream_rows(section: dict[str, dict]) -> list[str]:
     return rows
 
 
+def format_compaction_rows(section: dict[str, dict]) -> list[str]:
+    rows = []
+    for scale, t in section.items():
+        gs = t.get("growth_scoped")
+        gf = t.get("growth_full")
+        rows.append(
+            f"| ×{scale[1:]} | {t['table_rows']:,} | "
+            f"{t['total_partitions']} ({t['compacted_partitions']}) | "
+            f"{t['hot_files_before']}→{t['hot_files_after']} | "
+            f"{t['scoped_compact']:.2f} s"
+            + (f" (**{gs:.1f}×**)" if gs is not None else "")
+            + f" | {t['full_rewrite']:.2f} s"
+            + (f" (**{gf:.1f}×**)" if gf is not None else "")
+            + " |"
+        )
+    return rows
+
+
 def replace_table(text: str, header: str, rows: list[str]) -> str:
     # header line, separator line, then existing rows up to the first
     # non-table line — replaced wholesale by the regenerated rows
@@ -91,7 +113,9 @@ def replace_table(text: str, header: str, rows: list[str]) -> str:
     return new
 
 
-def expected_tables() -> tuple[list[str], list[str], list[str], list[str]]:
+def expected_tables() -> tuple[
+    list[str], list[str], list[str], list[str], list[str]
+]:
     with open(os.path.join(ROOT, "SCALEBENCH.json")) as f:
         d = json.load(f)
     return (
@@ -99,11 +123,12 @@ def expected_tables() -> tuple[list[str], list[str], list[str], list[str]]:
         format_rows(d["relational_queries"]),
         format_cdc_rows(d.get("cdc_partitioned", {})),
         format_stream_rows(d.get("streaming_state", {})),
+        format_compaction_rows(d.get("compaction", {})),
     )
 
 
 def main() -> None:
-    heavy, rel, cdc, stream = expected_tables()
+    heavy, rel, cdc, stream, compact = expected_tables()
     path = os.path.join(ROOT, "README.md")
     with open(path) as f:
         text = f.read()
@@ -111,11 +136,13 @@ def main() -> None:
     text = replace_table(text, REL_HEADER, rel)
     text = replace_table(text, CDC_HEADER, cdc)
     text = replace_table(text, STREAM_HEADER, stream)
+    text = replace_table(text, COMPACT_HEADER, compact)
     with open(path, "w") as f:
         f.write(text)
     print(
         f"synced {len(heavy)} heavy + {len(rel)} relational + {len(cdc)} "
-        f"cdc + {len(stream)} streaming-state rows",
+        f"cdc + {len(stream)} streaming-state + {len(compact)} "
+        "compaction rows",
         file=sys.stderr,
     )
 
