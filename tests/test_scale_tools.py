@@ -652,3 +652,51 @@ def test_compact_partitions_layout_guard(spark, tmp_path):
     store.overwrite("t", spark.range(0, 10).select(F.col("id").alias("k")))
     with _pytest.raises(ValueError, match="not hive-partitioned"):
         store.compact_partitions("t", "p", max_files=1)
+
+
+def test_compact_partitions_random_bloat_property(spark, tmp_path):
+    """Seeded-random property sweep: arbitrary interleavings of
+    partitioned appends (varying file counts and partition subsets)
+    followed by compaction at a random threshold always preserve content
+    exactly, never leave a compacted partition above one file, and never
+    touch a below-threshold partition (inode evidence)."""
+    import random
+
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    rng = random.Random(101)
+    for trial in range(3):
+        store = TableStore(spark, str(tmp_path / f"whp{trial}"))
+        n_parts = rng.randrange(3, 6)
+        base = spark.range(0, 120 * n_parts).select(
+            F.col("id").alias("k"), (F.col("id") % n_parts).alias("p")
+        )
+        store.overwrite(
+            "t", base.repartition(n_parts, "p"), partition_by=["p"]
+        )
+        for _ in range(rng.randrange(2, 7)):
+            subset = rng.sample(range(n_parts), rng.randrange(1, n_parts))
+            store.append(
+                "t",
+                base.where(F.col("p").isin(subset)).limit(
+                    rng.randrange(10, 80)
+                ).repartition(rng.randrange(1, 4)),
+                partition_by=["p"],
+            )
+        want = sorted(map(tuple, store.read("t").collect()))
+        before = _pq_files_per_partition(store, "t", "p")
+        max_files = rng.randrange(1, 5)
+        compacted = store.compact_partitions("t", "p", max_files=max_files)
+        after = _pq_files_per_partition(store, "t", "p")
+
+        assert set(compacted) == {
+            n for n, fs in before.items() if len(fs) > max_files
+        }
+        for name in after:
+            if name in compacted:
+                assert len(after[name]) == 1
+            else:  # healthy partition: identical files by inode
+                assert {os.stat(f).st_ino for f in after[name]} == {
+                    os.stat(f).st_ino for f in before[name]
+                }
+        assert sorted(map(tuple, store.read("t").collect())) == want
