@@ -354,6 +354,7 @@ class TableStore:
         df: DataFrame,
         partition_col: str,
         also_replace: list | None = None,
+        max_records_per_file: int | None = None,
     ) -> list[str]:
         current = self._current_version(table)
         if current is None:
@@ -421,9 +422,10 @@ class TableStore:
         new_version = current + 1
         new_dir = self._data_dir(table, new_version)
         # 1. write the replacement partitions
-        df.write.mode("overwrite").partitionBy(
-            partition_col, *nested_cols
-        ).parquet(new_dir)
+        writer = df.write.mode("overwrite")
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy(partition_col, *nested_cols).parquet(new_dir)
         written = {
             name
             for name in os.listdir(new_dir)
@@ -673,7 +675,11 @@ class TableStore:
         return before
 
     def compact_partitions(
-        self, table: str, partition_col: str, max_files: int = 4
+        self,
+        table: str,
+        partition_col: str,
+        max_files: int = 4,
+        max_records_per_file: int | None = None,
     ) -> dict[str, int]:
         """Partition-scoped small-file compaction: rewrite ONLY the hive
         partitions holding more than ``max_files`` parquet files down to
@@ -696,9 +702,11 @@ class TableStore:
         O(table); this is O(offending partitions) — the same asymmetry as
         :meth:`overwrite_partitions` vs :meth:`overwrite`. One file per
         compacted partition is right while partitions are small-file
-        bound; once a single partition outgrows one task's output, cap
-        file size with the writer's ``maxRecordsPerFile`` instead of
-        raising ``max_files``.
+        bound; once a single partition outgrows one healthy file, set
+        ``max_records_per_file`` (forwarded to the writer's
+        ``maxRecordsPerFile``) so the rewrite splits it into full-size
+        files — and keep ``max_files`` ABOVE the resulting count per
+        partition, or every call re-rewrites those partitions.
 
         If a data-skipping stats manifest exists for the current version,
         the new version's manifest is refreshed INCREMENTALLY: hardlinked
@@ -762,7 +770,11 @@ class TableStore:
                 for v in (unquote(n[len(prefix):]) for n in offenders)
             ]
             self._overwrite_partitions_unlocked(
-                table, df, partition_col, also_replace=decoded
+                table,
+                df,
+                partition_col,
+                also_replace=decoded,
+                max_records_per_file=max_records_per_file,
             )
             old_stats_path = self._stats_path(table, current)
             if os.path.exists(old_stats_path):

@@ -700,3 +700,26 @@ def test_compact_partitions_random_bloat_property(spark, tmp_path):
                     os.stat(f).st_ino for f in before[name]
                 }
         assert sorted(map(tuple, store.read("t").collect())) == want
+
+
+def test_compact_partitions_max_records_per_file(spark, tmp_path):
+    """A partition too big for one healthy file splits at the record cap
+    during compaction (writer maxRecordsPerFile), content preserved."""
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "whr"))
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    store.overwrite("t", base.repartition(2, "p"), partition_by=["p"])
+    for _ in range(5):
+        store.append("t", base.limit(60).repartition(2), partition_by=["p"])
+    want = sorted(map(tuple, store.read("t").collect()))
+    compacted = store.compact_partitions(
+        "t", "p", max_files=4, max_records_per_file=200
+    )
+    assert set(compacted) == {"p=0", "p=1"}
+    after = _pq_files_per_partition(store, "t", "p")
+    # p=0 holds 500 base + appended rows -> ceil(rows/200) files, > 1
+    assert 2 <= len(after["p=0"]) <= 4
+    assert sorted(map(tuple, store.read("t").collect())) == want
