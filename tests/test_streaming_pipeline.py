@@ -384,3 +384,56 @@ def test_dedup_state_growth_bounded_vs_plain(spark, tmp_path):
     # the watermark horizon are evicted, so state plateaus
     assert bounded[0] == 60 and max(bounded) <= 120
     assert bounded[-1] <= 120 < plain[-1]
+
+
+def test_bounded_dedup_horizon_boundary(spark, tmp_path):
+    """Pins the guarantee boundary dedup_stream_bounded documents: a
+    duplicate RESTAMPED with a fresh event time arriving after its
+    original's state expired (original ts + delay < watermark) is
+    re-emitted — at-least-once beyond the horizon — while a restamped
+    duplicate whose original is still inside the horizon is dropped."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    def _run():
+        stream = SP.with_event_time(SP.transactions_file_stream(spark, src))
+        q = (
+            SP.dedup_stream_bounded(stream, watermark="1 day")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    # batch 1: tx1 on 03-01, tx2 on 03-05 -> watermark advances to 03-04,
+    # so tx1's dedup state (03-01 + 1 day < 03-04) expires
+    spark.createDataFrame(
+        [
+            (1, "2026-03-01", 1, 1, 1, 10.0, "visa", "success"),
+            (2, "2026-03-05", 1, 1, 1, 20.0, "visa", "success"),
+        ],
+        schemas.TRANSACTIONS,
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run()
+
+    # batch 2: both duplicates restamped to 03-05 (on time). tx1's state
+    # is gone -> re-emitted; tx2's state (03-05 + 1 day >= 03-04) lives
+    # -> dropped
+    spark.createDataFrame(
+        [
+            (1, "2026-03-05", 1, 1, 1, 10.0, "visa", "success"),
+            (2, "2026-03-05", 1, 1, 1, 20.0, "visa", "success"),
+        ],
+        schemas.TRANSACTIONS,
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run()
+
+    ids = sorted(
+        r["transaction_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert ids == [1, 1, 2]
