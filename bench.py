@@ -106,10 +106,12 @@ HEADLINE = [
     # fact-scale (no-global-sort) decile segmentation
     "streaming_cdc_partitioned_warehouse",
     "revenue_deciles_distributed",
-    # round-10 second wave: bounded-state streaming dedup and
-    # partition-scoped small-file compaction
+    # round-10 second wave: bounded-state streaming dedup,
+    # partition-scoped small-file compaction, and incrementally
+    # maintained quantiles (mergeable histogram state)
     "streaming_dedup_within_watermark",
     "compacted_partition_scan",
+    "incremental_value_quantiles",
 ]
 
 

@@ -22,7 +22,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["partial_agg", "merge_partials", "finalize_aggs"]
+__all__ = [
+    "partial_agg",
+    "merge_partials",
+    "finalize_aggs",
+    "histogram_partial",
+    "merge_histogram_partials",
+    "quantiles_from_histogram",
+    "distinct_partial",
+    "merge_distinct_partials",
+    "finalize_distinct",
+]
 
 #: partial-state columns maintained per (group, measure). All four are
 #: commutative + associative, so any merge order/tree gives one answer.
@@ -78,4 +88,141 @@ def finalize_aggs(state: DataFrame, round_to: int = 2) -> DataFrame:
         r(F.col("sum") / F.col("cnt")).alias("value_avg"),
         r(F.col("min")).alias("value_min"),
         r(F.col("max")).alias("value_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable QUANTILE state (fixed-bin histogram) — round 10
+# ---------------------------------------------------------------------------
+# Exact quantiles are not decomposable (the classic non-monoid), so an
+# incrementally-maintained P50/P95 dashboard needs a mergeable sketch.
+# A fixed-bin histogram IS a monoid (bin-wise count sum), deterministic
+# (the same value lands in the same bin on any engine — no randomized sketch state), and its
+# quantile read-out has a hard error bound of one bin width. t-digest /
+# KLL trade bins for adaptivity but carry randomized, engine-specific
+# state; the fixed grid is what stays ORACLE-CHECKABLE cross-engine.
+
+
+def histogram_partial(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Aggregate ``df`` into mergeable histogram state per group:
+    ``(keys..., bin, cnt)``, sparse (absent bins mean zero). Values are
+    clamped into the edge bins so out-of-range rows are counted, not
+    lost (they degrade the edge quantiles' error, never correctness of
+    the count). NULL values are dropped, matching ``count(value)``
+    semantics. Map-side combined: the shuffle carries one row per
+    (partition, group, non-empty bin)."""
+    w = (float(hi) - float(lo)) / bins
+    v = F.col(value_col).cast("double")
+    b = F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("long")
+    clamped = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*keys, clamped.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histogram_partials(
+    states: list[DataFrame], keys: list[str]
+) -> DataFrame:
+    """Bin-wise count sum — the histogram monoid. State-sized exchange
+    (groups × non-empty bins), independent of how much history the
+    state summarizes."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def quantiles_from_histogram(
+    state: DataFrame,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    bins: int,
+    qs: list[float],
+) -> DataFrame:
+    """Finalize quantiles from histogram state: per group and q, the
+    UPPER EDGE of the first bin whose cumulative count reaches
+    ``ceil(q * total)`` — a deterministic type-1-style read-out every
+    engine reproduces bit-for-bit (integer bin index → one double
+    multiply-add), with error ≤ one bin width by construction. Returns
+    ``(keys..., q, q_value)``."""
+    from pyspark.sql import Window
+
+    w = (float(hi) - float(lo)) / bins
+    cum = F.sum("cnt").over(
+        Window.partitionBy(*keys).orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    tot = F.sum("cnt").over(Window.partitionBy(*keys))
+    c = state.select(*keys, "bin", cum.alias("cum"), tot.alias("tot"))
+    qcol = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    return (
+        c.select(*keys, "bin", "cum", "tot", qcol)
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("tot")))
+        .groupBy(*keys, "q")
+        .agg(
+            F.round(
+                F.lit(float(lo)) + (F.min("bin") + 1) * F.lit(w), 2
+            ).alias("q_value")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable DISTINCT-COUNT state (HLL sketch) — round 10
+# ---------------------------------------------------------------------------
+# Exact distinct is the other classic non-monoid (merging requires the
+# key sets themselves). Spark 3.5+ ships Apache DataSketches HLL as
+# first-class aggregates, so distinct-count state becomes a binary
+# column maintained per group at O(2^lgK) bytes — mergeable across
+# batches with hll_union_agg, estimated at read time. No SQL oracle
+# (DuckDB has no DataSketches); evidence is pytest: merge-split
+# invariance and a relative-error bound vs exact distinct
+# (tests/test_incremental_aggs.py).
+
+
+def distinct_partial(
+    df: DataFrame, keys: list[str], value_col: str, lgk: int = 12
+) -> DataFrame:
+    """Aggregate ``df`` into HLL sketch state per group:
+    ``(keys..., sketch)``. lgK=12 → ~2 KiB/group, ~1.6% standard
+    error — the dashboard-grade default. The sketch aggregate accepts
+    int/long/string/binary only, so other types go in as their Spark
+    string rendering — stable within the engine (the identity being
+    counted is the rendered value)."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(
+            F.col(value_col).cast("string"), F.lit(lgk)
+        ).alias("sketch")
+    )
+
+
+def merge_distinct_partials(
+    states: list[DataFrame], keys: list[str]
+) -> DataFrame:
+    """Union sketches group-wise (the HLL monoid)."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys).agg(
+        F.hll_union_agg("sketch").alias("sketch")
+    )
+
+
+def finalize_distinct(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Estimate distinct counts from sketch state."""
+    return state.select(
+        *keys, F.hll_sketch_estimate("sketch").alias("distinct_est")
     )

@@ -48,10 +48,11 @@ _REGISTRY: dict[
     # (Q2/Q9/Q10/Q12/Q15/Q16/Q17/Q19/Q22), sampling, brute-force ANN,
     # embedding stats/preprocess, salted skew join, chunking, n-gram
     # contamination, BPE merge counting, tfidf, gap fill and both decile
-    # forms — plus the FOUR new round-10 builds
+    # forms — plus the FIVE new round-10 builds
     # (streaming_cdc_partitioned_warehouse, revenue_deciles_distributed,
-    # streaming_dedup_within_watermark, compacted_partition_scan).
-    # 35 slots demoted to tier 2, every one driver-graded green 2-9
+    # streaming_dedup_within_watermark, compacted_partition_scan,
+    # incremental_value_quantiles).
+    # 36 slots demoted to tier 2, every one driver-graded green 2-9
     # times and still oracle-checked every pytest run. After this
     # round's grading, every catalog entry has been driver-graded at
     # least once — the rotation program that began in round 7 closes.
@@ -198,10 +199,14 @@ _REGISTRY: dict[
         lq.epoch_shuffle_docs,
         lq.EPOCH_SHUFFLE_DOCS_ORACLE,
     ),
-    # round-9 promotion: explicit GROUPING SETS — never driver-graded
-    "grouping_sets_revenue": (
-        oq.grouping_sets_revenue,
-        oq.GROUPING_SETS_REVENUE_ORACLE,
+    # round-10 NEW (second wave): incrementally-maintained quantiles —
+    # mergeable fixed-bin histogram state (the non-decomposable-metric
+    # counterpart to incremental_monthly_revenue's monoid partials);
+    # takes grouping_sets_revenue's slot (graded green r09; the
+    # multi-grain agg family stays covered by cube/rollup in tier 2)
+    "incremental_value_quantiles": (
+        oq.incremental_value_quantiles,
+        oq.INCREMENTAL_VALUE_QUANTILES_ORACLE,
     ),
     # round-9 promotion: date-spine linear interpolation — never graded
     "interpolated_daily_values": (
@@ -334,8 +339,13 @@ _REGISTRY: dict[
     # ------------------------------------------------------------------
     # Tier 2 — same-family variants (past the graded window)
     # ------------------------------------------------------------------
-    # round-10 second-wave demotions (both graded green r09; displaced by
-    # the bounded-dedup and partition-compaction builds)
+    # round-10 second-wave demotions (each graded green r09; displaced by
+    # the bounded-dedup, partition-compaction and histogram-quantile
+    # builds)
+    "grouping_sets_revenue": (
+        oq.grouping_sets_revenue,
+        oq.GROUPING_SETS_REVENUE_ORACLE,
+    ),
     "asof_events_to_orders_fanout": (
         oq.asof_events_to_orders_fanout,
         oq.ASOF_EVENTS_TO_ORDERS_ORACLE,
@@ -746,7 +756,7 @@ TIER1_REQUIRED = frozenset(
         "tfidf_top_terms",
         "fuzzy_name_match",
         "epoch_shuffle_docs",
-        "grouping_sets_revenue",
+        "incremental_value_quantiles",
         "interpolated_daily_values",
         "cdc_patch_orders",
         "cdc_partitioned_apply_orders",

@@ -3336,6 +3336,71 @@ GROUP BY date_trunc('month', o_orderdate)
 """
 
 
+def incremental_value_quantiles(spark, sf_dir):
+    """Quantiles maintained INCREMENTALLY (round 10): exact quantiles
+    are not decomposable, so the maintained state is a fixed-bin
+    histogram — a true monoid (bin-wise count sum), deterministic on
+    any engine, error bounded by one bin width. Orders split into three
+    deterministic batches; each contributes histogram partials
+    (operators/incremental.py histogram_partial), the partials merge,
+    and P50/P90/P99 per order priority read out as the upper edge of
+    the first bin whose cumulative count reaches ceil(q·total). The
+    oracle replays the IDENTICAL binned-rank arithmetic in SQL over the
+    whole table in one pass — merge-split invariance (pinned in
+    tests/test_incremental_aggs.py) makes the three-batch state equal
+    the one-pass histogram, and the read-out is engine-exact (integer
+    bin index → one multiply-add). Refresh cost in production is
+    O(batch + groups·bins), independent of history size."""
+    from ..operators.incremental import (
+        histogram_partial,
+        merge_histogram_partials,
+        quantiles_from_histogram,
+    )
+
+    LO, HI, BINS = 0.0, 600_000.0, 600
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    parts = [
+        histogram_partial(
+            o.where(k % 3 == m),
+            ["o_orderpriority"],
+            "o_totalprice",
+            LO,
+            HI,
+            BINS,
+        )
+        for m in (0, 1, 2)
+    ]
+    state = merge_histogram_partials(parts, ["o_orderpriority"])
+    return quantiles_from_histogram(
+        state, ["o_orderpriority"], LO, HI, BINS, [0.5, 0.9, 0.99]
+    )
+
+
+INCREMENTAL_VALUE_QUANTILES_ORACLE = """
+WITH b AS (
+  SELECT o_orderpriority,
+         LEAST(GREATEST(CAST(floor(CAST(o_totalprice AS DOUBLE) / 1000.0)
+                             AS BIGINT), 0), 599) AS bin,
+         count(*) AS cnt
+  FROM orders GROUP BY 1, 2
+), c AS (
+  SELECT o_orderpriority, bin,
+         sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY o_orderpriority) AS tot
+  FROM b
+), qs AS (
+  SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) t(q)
+)
+SELECT o_orderpriority, q, round((min(bin) + 1) * 1000.0, 2) AS q_value
+FROM c, qs
+WHERE cum >= ceil(q * tot)
+GROUP BY o_orderpriority, q
+"""
+
+
 # ---------------------------------------------------------------------------
 # CDC apply — fold an ordered change log (binlog/Debezium shape) into a
 # snapshot: last-writer-wins upserts + delete tombstones

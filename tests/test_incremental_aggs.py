@@ -88,3 +88,143 @@ def test_refresh_plan_is_history_free(spark, sf_dir):
     # the checkpointed state RDD, not a second table scan
     assert plan.count("Relation") - plan.count("LogicalRDD") <= 1
     assert "LogicalRDD" in plan
+
+
+def test_histogram_merge_split_invariance(spark, sf_dir):
+    """Any K-way split of orders merges to the same histogram state —
+    and the same quantile read-out — as a single pass (the monoid
+    property the incremental quantile refresh rests on)."""
+    import os
+    import random
+
+    from ecommerce_full_etl_process_spark.operators.incremental import (
+        histogram_partial,
+        merge_histogram_partials,
+        quantiles_from_histogram,
+    )
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    keys = ["o_orderpriority"]
+    args = ("o_totalprice", 0.0, 600_000.0, 600)
+    whole = histogram_partial(o, keys, *args)
+    want_state = sorted(map(tuple, whole.collect()))
+    want_q = sorted(
+        map(
+            tuple,
+            quantiles_from_histogram(
+                whole, keys, 0.0, 600_000.0, 600, [0.5, 0.9]
+            ).collect(),
+        )
+    )
+    rng = random.Random(7)
+    for _ in range(3):
+        kways = rng.randrange(2, 5)
+        pivot = rng.randrange(1, 1000)
+        parts = [
+            histogram_partial(
+                o.where((F.col("o_orderkey") + pivot) % kways == m),
+                keys,
+                *args,
+            )
+            for m in range(kways)
+        ]
+        merged = merge_histogram_partials(parts, keys)
+        assert sorted(map(tuple, merged.collect())) == want_state
+        got_q = sorted(
+            map(
+                tuple,
+                quantiles_from_histogram(
+                    merged, keys, 0.0, 600_000.0, 600, [0.5, 0.9]
+                ).collect(),
+            )
+        )
+        assert got_q == want_q
+
+
+def test_histogram_quantile_error_bound_and_clamping(spark):
+    """The read-out is within one bin width of the exact quantile, and
+    out-of-range values are clamped into edge bins (counted, never
+    lost)."""
+    from ecommerce_full_etl_process_spark.operators.incremental import (
+        histogram_partial,
+        merge_histogram_partials,
+        quantiles_from_histogram,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.lit("g").alias("g"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    lo, hi, bins, w = 0.0, 1000.0, 50, 20.0
+    state = histogram_partial(df, ["g"], "v", lo, hi, bins)
+    got = {
+        r["q"]: r["q_value"]
+        for r in quantiles_from_histogram(
+            state, ["g"], lo, hi, bins, [0.25, 0.5, 0.95]
+        ).collect()
+    }
+    exact = {0.25: 249.0, 0.5: 499.0, 0.95: 949.0}
+    for q, e in exact.items():
+        assert abs(got[q] - e) <= w + 1, (q, got[q], e)
+
+    # clamping: rows far outside [lo, hi) land in the edge bins
+    wild = df.unionByName(
+        spark.range(0, 100).select(
+            F.lit("g").alias("g"), F.lit(1e9).alias("v")
+        )
+    ).unionByName(
+        spark.range(0, 100).select(
+            F.lit("g").alias("g"), F.lit(-1e9).alias("v")
+        )
+    )
+    st = merge_histogram_partials(
+        [histogram_partial(wild, ["g"], "v", lo, hi, bins)], ["g"]
+    ).collect()
+    total = sum(r["cnt"] for r in st)
+    assert total == 5200  # nothing lost
+    assert {r["bin"] for r in st} <= set(range(bins))
+
+
+def test_hll_distinct_split_invariance_and_error(spark, sf_dir):
+    """HLL sketch state: any split merges to the same estimate as one
+    pass (same lgK), and the estimate lands within 5% of exact distinct
+    at lgK=12."""
+    import os
+
+    from ecommerce_full_etl_process_spark.operators.incremental import (
+        distinct_partial,
+        finalize_distinct,
+        merge_distinct_partials,
+    )
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    keys = ["o_orderpriority"]
+    whole = {
+        r["o_orderpriority"]: r["distinct_est"]
+        for r in finalize_distinct(
+            distinct_partial(o, keys, "o_custkey"), keys
+        ).collect()
+    }
+    k = F.col("o_orderkey")
+    parts = [
+        distinct_partial(o.where(k % 3 == m), keys, "o_custkey")
+        for m in (0, 1, 2)
+    ]
+    merged = {
+        r["o_orderpriority"]: r["distinct_est"]
+        for r in finalize_distinct(
+            merge_distinct_partials(parts, keys), keys
+        ).collect()
+    }
+    assert merged == whole
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy(*keys)
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for g, n in exact.items():
+        assert abs(merged[g] - n) / n < 0.05, (g, merged[g], n)
