@@ -112,6 +112,7 @@ HEADLINE = [
     "streaming_dedup_within_watermark",
     "compacted_partition_scan",
     "incremental_value_quantiles",
+    "streaming_quantile_maintenance_state",
 ]
 
 

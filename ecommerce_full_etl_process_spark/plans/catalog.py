@@ -48,11 +48,11 @@ _REGISTRY: dict[
     # (Q2/Q9/Q10/Q12/Q15/Q16/Q17/Q19/Q22), sampling, brute-force ANN,
     # embedding stats/preprocess, salted skew join, chunking, n-gram
     # contamination, BPE merge counting, tfidf, gap fill and both decile
-    # forms — plus the FIVE new round-10 builds
+    # forms — plus the SIX new round-10 builds
     # (streaming_cdc_partitioned_warehouse, revenue_deciles_distributed,
     # streaming_dedup_within_watermark, compacted_partition_scan,
-    # incremental_value_quantiles).
-    # 36 slots demoted to tier 2, every one driver-graded green 2-9
+    # incremental_value_quantiles, streaming_quantile_maintenance_state).
+    # 37 slots demoted to tier 2, every one driver-graded green 2-9
     # times and still oracle-checked every pytest run. After this
     # round's grading, every catalog entry has been driver-graded at
     # least once — the rotation program that began in round 7 closes.
@@ -208,10 +208,15 @@ _REGISTRY: dict[
         oq.incremental_value_quantiles,
         oq.INCREMENTAL_VALUE_QUANTILES_ORACLE,
     ),
-    # round-9 promotion: date-spine linear interpolation — never graded
-    "interpolated_daily_values": (
-        oq.interpolated_daily_values,
-        oq.INTERPOLATED_DAILY_VALUES_ORACLE,
+    # round-10 NEW (second wave): the streaming quantile-maintenance
+    # loop — histogram monoid state under the exactly-once
+    # state-embedded-marker protocol; same oracle as the batch form, so
+    # the key grades algebra + plumbing together. Takes
+    # interpolated_daily_values' slot (graded green r09; the date-spine
+    # family stays covered by gap_filled_daily_order_counts in tier 1)
+    "streaming_quantile_maintenance_state": (
+        sp.streaming_quantile_maintenance_state,
+        oq.INCREMENTAL_VALUE_QUANTILES_ORACLE,
     ),
     # round-9 promotion: partial-column (patch) CDC apply — per-column
     # argmax over surviving patches with delete-horizon semantics
@@ -342,6 +347,10 @@ _REGISTRY: dict[
     # round-10 second-wave demotions (each graded green r09; displaced by
     # the bounded-dedup, partition-compaction and histogram-quantile
     # builds)
+    "interpolated_daily_values": (
+        oq.interpolated_daily_values,
+        oq.INTERPOLATED_DAILY_VALUES_ORACLE,
+    ),
     "grouping_sets_revenue": (
         oq.grouping_sets_revenue,
         oq.GROUPING_SETS_REVENUE_ORACLE,
@@ -757,7 +766,7 @@ TIER1_REQUIRED = frozenset(
         "fuzzy_name_match",
         "epoch_shuffle_docs",
         "incremental_value_quantiles",
-        "interpolated_daily_values",
+        "streaming_quantile_maintenance_state",
         "cdc_patch_orders",
         "cdc_partitioned_apply_orders",
         "cdc_partitioned_versioned_orders",

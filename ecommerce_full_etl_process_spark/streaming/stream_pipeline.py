@@ -1193,6 +1193,171 @@ GROUP BY event_type
 """
 
 
+def apply_quantile_state_batch(
+    spark: SparkSession,
+    store,
+    batch_df: DataFrame,
+    batch_id: int,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    state_table: str = "quantile_state",
+) -> bool:
+    """Merge ONE micro-batch's histogram partials into the persisted
+    quantile state, effectively-once — the streaming form of the
+    ``incremental_value_quantiles`` refresh, running the exact
+    state-embedded-marker protocol of :func:`apply_agg_state_batch`
+    (max(last_batch) replay skip; state + marker commit in ONE atomic
+    versioned overwrite, so no torn pair is reachable). Per batch: one
+    map-side-combined histogram aggregate of the batch plus a bin-wise
+    merge over two state-sized frames (groups × non-empty bins,
+    independent of history size)."""
+    from ..operators.incremental import (
+        histogram_partial,
+        merge_histogram_partials,
+    )
+
+    batch = batch_df.localCheckpoint(eager=True)
+    if not batch.take(1):
+        return False
+    states = []
+    if store.exists(state_table):
+        state = store.read(state_table)
+        if state.take(1):
+            applied = state.agg(F.max("last_batch")).collect()[0][0]
+            if applied is not None and applied >= batch_id:
+                return False  # at-least-once replay of an applied batch
+            states.append(state.drop("last_batch"))
+    states.append(histogram_partial(batch, keys, value_col, lo, hi, bins))
+    new_state = (
+        merge_histogram_partials(states, keys)
+        if len(states) > 1
+        else states[0]
+    ).withColumn("last_batch", F.lit(batch_id).cast("long"))
+    store.overwrite(state_table, new_state)
+    return True
+
+
+def run_streaming_quantile_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    warehouse_root: str,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    state_table: str = "quantile_state",
+):
+    """Continuous quantile-dashboard maintenance: a fact file stream
+    keeps the persisted histogram state current (one state-sized
+    bin-wise merge per micro-batch, never a history rescan); consumers
+    read the state and finalize with
+    ``operators.incremental.quantiles_from_histogram`` at any point —
+    the read-out equals a one-pass histogram over every row ingested so
+    far, with error ≤ one bin width versus the exact quantile."""
+    from ..sources.io import TableStore
+
+    store = TableStore(spark, warehouse_root)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_quantile_state_batch(
+            spark,
+            store,
+            batch_df,
+            batch_id,
+            keys,
+            value_col,
+            lo,
+            hi,
+            bins,
+            state_table,
+        )
+
+    schema = ", ".join(
+        [f"{k} string" for k in keys] + [f"{value_col} double"]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_quantile_maintenance_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Catalog entry (round 10): the streaming QUANTILE maintenance
+    loop end-to-end under the oracle gate — orders split into three
+    stream files, drained through
+    :func:`run_streaming_quantile_maintenance` (three foreachBatch
+    bin-wise state merges, each an atomic versioned overwrite with the
+    state-embedded batch marker), then P50/P90/P99 per order priority
+    finalized from the persisted histogram state. Histogram merging is
+    split-invariant and the read-out arithmetic is engine-exact, so the
+    result must equal the oracle's one-pass binned-rank replay over the
+    whole table (the same SQL that grades the batch form,
+    ``incremental_value_quantiles``) — grading the monoid algebra AND
+    the exactly-once plumbing in one key."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.incremental import quantiles_from_histogram
+    from ..sources.io import TableStore
+
+    LO, HI, BINS = 0.0, 600_000.0, 600
+    root = tempfile.mkdtemp(prefix="quant_maint_")
+    try:
+        src = os.path.join(root, "src")
+        o = spark.read.parquet(
+            os.path.join(sf_dir, "orders.parquet")
+        ).select(
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        o.repartition(3).write.parquet(src)
+        q = run_streaming_quantile_maintenance(
+            spark,
+            src,
+            os.path.join(root, "ckpt"),
+            os.path.join(root, "wh"),
+            ["o_orderpriority"],
+            "o_totalprice",
+            LO,
+            HI,
+            BINS,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_quantile_maintenance_state: AvailableNow query "
+                "did not finish within 300s"
+            )
+        state = TableStore(spark, os.path.join(root, "wh")).read(
+            "quantile_state"
+        )
+        return quantiles_from_histogram(
+            state.drop("last_batch"),
+            ["o_orderpriority"],
+            LO,
+            HI,
+            BINS,
+            [0.5, 0.9, 0.99],
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # CDC × MV composition (round-8): one foreachBatch loop maintains BOTH the
 # versioned snapshot (apply_cdc_versioned) and a group aggregate over it —

@@ -120,3 +120,95 @@ def test_empty_batch_skipped_without_marker_damage(spark, tmp_path):
     # marker still reflects batch 0; batch 2 applies normally
     assert apply_agg_state_batch(spark, store, b, 2, ["g"], "v")
     assert _finalized(spark, wh)["a"] == (2, 2.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Streaming QUANTILE maintenance (histogram monoid state under the same
+# state-embedded-marker protocol)
+# ---------------------------------------------------------------------------
+
+def _q_read(spark, wh, lo=0.0, hi=100.0, bins=10):
+    from ecommerce_full_etl_process_spark.operators.incremental import (
+        quantiles_from_histogram,
+    )
+
+    store = TableStore(spark, wh)
+    return {
+        (r["g"], r["q"]): r["q_value"]
+        for r in quantiles_from_histogram(
+            store.read("quantile_state").drop("last_batch"),
+            ["g"], lo, hi, bins, [0.5, 0.9],
+        ).collect()
+    }
+
+
+def _q_expected(spark, rows, lo=0.0, hi=100.0, bins=10):
+    from ecommerce_full_etl_process_spark.operators.incremental import (
+        histogram_partial,
+        quantiles_from_histogram,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    return {
+        (r["g"], r["q"]): r["q_value"]
+        for r in quantiles_from_histogram(
+            histogram_partial(df, ["g"], "v", lo, hi, bins),
+            ["g"], lo, hi, bins, [0.5, 0.9],
+        ).collect()
+    }
+
+
+def test_quantile_stream_equals_one_pass_and_restart(spark, tmp_path):
+    from ecommerce_full_etl_process_spark.streaming.stream_pipeline import (
+        run_streaming_quantile_maintenance,
+    )
+
+    src = str(tmp_path / "qsrc")
+    ckpt = str(tmp_path / "qckpt")
+    wh = str(tmp_path / "qwh")
+    os.makedirs(src)
+    f1 = [("a", float(v)) for v in range(0, 60)] + [("b", 5.0)]
+    f2 = [("a", float(v)) for v in range(60, 100)] + [("b", 95.0)]
+    _write_file(spark, src, f1)
+    _write_file(spark, src, f2)
+    q = run_streaming_quantile_maintenance(
+        spark, src, ckpt, wh, ["g"], "v", 0.0, 100.0, 10
+    )
+    q.awaitTermination()
+    assert _q_read(spark, wh) == _q_expected(spark, f1 + f2)
+
+    # restart: only the new file applies (no double counting shifts
+    # the cumulative ranks)
+    f3 = [("a", 99.0), ("c", 50.0)]
+    _write_file(spark, src, f3)
+    q = run_streaming_quantile_maintenance(
+        spark, src, ckpt, wh, ["g"], "v", 0.0, 100.0, 10
+    )
+    q.awaitTermination()
+    assert _q_read(spark, wh) == _q_expected(spark, f1 + f2 + f3)
+
+
+def test_quantile_replay_of_applied_batch_is_noop(spark, tmp_path):
+    from ecommerce_full_etl_process_spark.streaming.stream_pipeline import (
+        apply_quantile_state_batch,
+    )
+
+    wh = str(tmp_path / "qwh2")
+    store = TableStore(spark, wh)
+    b = spark.createDataFrame(
+        [("a", 10.0), ("a", 90.0)], "g string, v double"
+    )
+    args = (["g"], "v", 0.0, 100.0, 10)
+    assert apply_quantile_state_batch(spark, store, b, 0, *args)
+    before = sorted(map(tuple, store.read("quantile_state").collect()))
+    assert not apply_quantile_state_batch(spark, store, b, 0, *args)
+    assert sorted(
+        map(tuple, store.read("quantile_state").collect())
+    ) == before
+    # next id applies exactly once: bins (1, 9) reach cnt 2 each
+    assert apply_quantile_state_batch(spark, store, b, 1, *args)
+    state = {
+        (r["g"], r["bin"]): r["cnt"]
+        for r in store.read("quantile_state").collect()
+    }
+    assert state == {("a", 1): 2, ("a", 9): 2}
