@@ -113,6 +113,7 @@ HEADLINE = [
     "compacted_partition_scan",
     "incremental_value_quantiles",
     "streaming_quantile_maintenance_state",
+    "similarity_topk_ivf_incremental",
 ]
 
 

@@ -363,6 +363,60 @@ def _kmeans_numpy_loop(
     return centroids, out_assign
 
 
+def assign_to_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "numpy",
+) -> DataFrame:
+    """Assign vectors to FROZEN centroids — the incremental IVF index
+    maintenance path: new embeddings arriving after training join the
+    index via one nearest-centroid map pass (O(batch × k), one Spark
+    job), never a re-clustering of the corpus. Same kernels and the
+    same lowest-cid tie-break as training (``kmeans_lite``), so an
+    appended vector lands exactly where training would have put it.
+    Returns ``(id, cid)`` rows, union-able with the training
+    assignments for :func:`ivf_topk`."""
+    v = embeddings.select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    if kernel == "numpy":
+        import pandas as pd
+        from pyspark.sql.types import LongType
+
+        cmat = [
+            [float(x) for x in r["cv"]]
+            for r in centroids.orderBy("cid").collect()
+        ]
+
+        @F.pandas_udf(LongType())
+        def _nearest(vec: pd.Series) -> pd.Series:
+            import numpy as np
+
+            if len(vec) == 0:
+                return pd.Series([], dtype="int64")
+            m = np.array(list(vec), dtype=np.float64)
+            c = np.array(cmat, dtype=np.float64)
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (m @ c.T)
+            return pd.Series(d2.argmin(axis=1).astype("int64"))
+
+        return v.select("id", _nearest(F.col("v")).alias("cid"))
+    dist2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "id", F.struct(dist2.alias("d"), F.col("cid").alias("cid")).alias("s")
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.min("s").alias("best"))
+        .select("id", F.col("best.cid").alias("cid"))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query: DataFrame,

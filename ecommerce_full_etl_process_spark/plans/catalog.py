@@ -48,11 +48,12 @@ _REGISTRY: dict[
     # (Q2/Q9/Q10/Q12/Q15/Q16/Q17/Q19/Q22), sampling, brute-force ANN,
     # embedding stats/preprocess, salted skew join, chunking, n-gram
     # contamination, BPE merge counting, tfidf, gap fill and both decile
-    # forms — plus the SIX new round-10 builds
+    # forms — plus the SEVEN new round-10 builds
     # (streaming_cdc_partitioned_warehouse, revenue_deciles_distributed,
     # streaming_dedup_within_watermark, compacted_partition_scan,
-    # incremental_value_quantiles, streaming_quantile_maintenance_state).
-    # 37 slots demoted to tier 2, every one driver-graded green 2-9
+    # incremental_value_quantiles, streaming_quantile_maintenance_state,
+    # similarity_topk_ivf_incremental).
+    # 38 slots demoted to tier 2, every one driver-graded green 2-9
     # times and still oracle-checked every pytest run. After this
     # round's grading, every catalog entry has been driver-graded at
     # least once — the rotation program that began in round 7 closes.
@@ -159,11 +160,14 @@ _REGISTRY: dict[
         lq.CORPUS_PREP_PIPELINE_ORACLE,
     ),
     "pii_scrub_docs": (lq.pii_scrub_docs, lq.PII_SCRUB_DOCS_ORACLE),
-    # round-9 promotion: int8 embedding quantization (scale/zero-point
-    # codec + reconstruction error bounds)
-    "embedding_quantization": (
-        lq.embedding_quantization,
-        lq.EMBEDDING_QUANTIZATION_ORACLE,
+    # round-10 NEW (second wave): incremental IVF index maintenance —
+    # frozen-centroid assignment of late-arriving vectors, all-cell
+    # probe proves exact top-k over the appended index; takes
+    # embedding_quantization's slot (graded green r09; the ANN family
+    # stays covered in-window by similarity_topk_bruteforce)
+    "similarity_topk_ivf_incremental": (
+        lq.similarity_topk_ivf_incremental,
+        lq.SIMILARITY_TOPK_IVF_INCREMENTAL_ORACLE,
     ),
     # round-9 promotion: PMI collocation mining — never driver-graded
     "bigram_pmi": (lq.bigram_pmi, lq.BIGRAM_PMI_ORACLE),
@@ -350,6 +354,10 @@ _REGISTRY: dict[
     "interpolated_daily_values": (
         oq.interpolated_daily_values,
         oq.INTERPOLATED_DAILY_VALUES_ORACLE,
+    ),
+    "embedding_quantization": (
+        lq.embedding_quantization,
+        lq.EMBEDDING_QUANTIZATION_ORACLE,
     ),
     "grouping_sets_revenue": (
         oq.grouping_sets_revenue,
@@ -757,7 +765,7 @@ TIER1_REQUIRED = frozenset(
         "semantic_dedup_components",
         "corpus_prep_pipeline",
         "pii_scrub_docs",
-        "embedding_quantization",
+        "similarity_topk_ivf_incremental",
         "bigram_pmi",
         "repeated_ngram_spans",
         "repetition_stats_docs",

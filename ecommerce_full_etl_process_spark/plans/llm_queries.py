@@ -1037,6 +1037,33 @@ def similarity_topk_ivf(spark, sf_dir):
 SIMILARITY_TOPK_IVF_ORACLE = SIMILARITY_TOPK_BRUTEFORCE_ORACLE
 
 
+def similarity_topk_ivf_incremental(spark, sf_dir):
+    """INCREMENTAL IVF index maintenance end-to-end through the oracle
+    gate (round 10): centroids train on the vec_id % 3 != 0 two-thirds
+    of the corpus, the remaining third arrives LATER and joins the
+    index via frozen-centroid assignment
+    (operators/similarity.py assign_to_centroids — one O(batch × k)
+    map pass, never a re-clustering), and the query probes all cells of
+    the unioned index so the rescore set is the full corpus: the result
+    must equal exact brute-force top-k over EVERYTHING, proving the
+    appended vectors are findable and placed where training would have
+    put them. Partial probing over an appended index is covered by
+    tests/test_kmeans_ivf.py."""
+    e = _embs(spark, sf_dir)
+    train = e.where(F.col("vec_id") % 3 != 0)
+    late = e.where(F.col("vec_id") % 3 == 0)
+    q = e.where(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("q")
+    )
+    cents, assigns = S.kmeans_lite(train, k=8, iters=2)
+    appended = S.assign_to_centroids(late, cents)
+    index = assigns.unionByName(appended)
+    return S.ivf_topk(e, q, cents, index, k=10, nprobe=8)
+
+
+SIMILARITY_TOPK_IVF_INCREMENTAL_ORACLE = SIMILARITY_TOPK_BRUTEFORCE_ORACLE
+
+
 # ---------------------------------------------------------------------------
 # contamination screening + mixture sampling (training-data curation ops)
 # ---------------------------------------------------------------------------

@@ -109,3 +109,66 @@ def test_ivf_index_persists_through_tablestore(spark, embs, tmp_path):
         ).collect()
     ]
     assert stored == fresh and len(stored) == 10
+
+
+def test_assign_to_centroids_matches_training_rule(spark, sf_dir):
+    """Frozen-centroid assignment places a vector exactly where the
+    training pass would: both kernels agree with each other and with a
+    full-corpus kmeans assignment against the same centroids."""
+    import os
+
+    from ecommerce_full_etl_process_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_lite,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents, _ = kmeans_lite(e, k=5, iters=2)
+    a_np = {
+        r["id"]: r["cid"]
+        for r in assign_to_centroids(e, cents, kernel="numpy").collect()
+    }
+    a_hof = {
+        r["id"]: r["cid"]
+        for r in assign_to_centroids(e, cents, kernel="hof").collect()
+    }
+    assert a_np == a_hof and len(a_np) == e.count()
+
+
+def test_ivf_incremental_append_exact_with_full_probe(spark, sf_dir):
+    """Index built on 2/3 of the corpus + frozen-centroid append of the
+    late 1/3: probing all cells returns the exact brute-force top-k over
+    EVERYTHING (appended vectors findable), and a partial probe still
+    returns k results from probed cells only."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_full_etl_process_spark.operators.similarity import (
+        assign_to_centroids,
+        brute_force_topk,
+        ivf_topk,
+        kmeans_lite,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    train = e.where(F.col("vec_id") % 3 != 0)
+    late = e.where(F.col("vec_id") % 3 == 0)
+    q = e.where(F.col("vec_id") == 7).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("q")
+    )
+    cents, assigns = kmeans_lite(train, k=5, iters=2)
+    index = assigns.unionByName(assign_to_centroids(late, cents))
+    assert index.count() == e.count()
+
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivf_topk(e, q, cents, index, k=10, nprobe=5).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in brute_force_topk(e, q, k=10).collect()
+    ]
+    assert got == want
+    partial = ivf_topk(e, q, cents, index, k=10, nprobe=2).collect()
+    assert len(partial) == 10
