@@ -114,6 +114,12 @@ HEADLINE = [
     "incremental_value_quantiles",
     "streaming_quantile_maintenance_state",
     "similarity_topk_ivf_incremental",
+    # round-11 additions: adaptive (range-free) quantile state, the
+    # driver-gradeable incremental HLL distinct state, and the streaming
+    # ANN ingest (frozen-centroid assignment into a persisted IVF index)
+    "adaptive_quantile_state",
+    "incremental_distinct_counts",
+    "streaming_ivf_ingest",
 ]
 
 

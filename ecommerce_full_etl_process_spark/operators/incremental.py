@@ -29,6 +29,9 @@ __all__ = [
     "histogram_partial",
     "merge_histogram_partials",
     "quantiles_from_histogram",
+    "adaptive_histogram_partial",
+    "merge_adaptive_histogram_partials",
+    "quantiles_from_adaptive_histogram",
     "distinct_partial",
     "merge_distinct_partials",
     "finalize_distinct",
@@ -118,6 +121,14 @@ def histogram_partial(
     the count). NULL values are dropped, matching ``count(value)``
     semantics. Map-side combined: the shuffle carries one row per
     (partition, group, non-empty bin)."""
+    if bins < 1:
+        raise ValueError(f"histogram_partial: bins must be >= 1 (got {bins})")
+    if not float(hi) > float(lo):
+        # a zero/negative width would clamp every row into bin 0 and yield
+        # a wrong-but-plausible quantile state — fail loudly instead
+        raise ValueError(
+            f"histogram_partial: hi must exceed lo (got lo={lo!r}, hi={hi!r})"
+        )
     w = (float(hi) - float(lo)) / bins
     v = F.col(value_col).cast("double")
     b = F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("long")
@@ -175,6 +186,148 @@ def quantiles_from_histogram(
         .agg(
             F.round(
                 F.lit(float(lo)) + (F.min("bin") + 1) * F.lit(w), 2
+            ).alias("q_value")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADAPTIVE mergeable quantile state (width-doubling histogram) — round 11
+# ---------------------------------------------------------------------------
+# The fixed-grid form above needs an a-priori [lo, hi]: at 100 TB with
+# drifting value ranges, out-of-range rows clamp into the edge bins and
+# the edge-quantile error degrades silently. The adaptive form keeps the
+# anchor ``lo`` fixed but picks each partial's bin WIDTH from its own
+# per-group max: width = base_width * 2^d, the smallest power-of-2
+# multiple whose grid STRICTLY covers the group's values. Power-of-2
+# widths over a shared anchor make coarsening LOSSLESS:
+#
+#     floor(floor((v - lo)/w) / m) == floor((v - lo)/(m*w))   (integer m)
+#
+# so merging re-bins every state to the coarsest width present (per
+# group) by an exact integer shift — the merged state is bit-identical
+# to histogramming all rows at that width in one pass, which is exactly
+# what the DuckDB oracle replays. Width selection uses pure comparisons
+# over 2^d (d = 0..40 — covers a 10^12× range blow-up), no log2/float
+# transcendentals, so both engines pick the same d from the same max.
+# Error stays ≤ one (final) bin width; state is (groups × ≤bins) rows.
+
+
+def _covering_width(gmax: Column, lo: float, bins: int, base_width: float):
+    """Smallest width = base_width * 2^d (d in 0..40) whose ``bins``-bin
+    grid anchored at ``lo`` STRICTLY covers ``gmax`` (bins*width > gmax-lo,
+    so the top value's bin index is ≤ bins-1 with no clamping — clamping
+    would break the lossless-coarsening identity). Comparison-only: no
+    log2, so the choice is reproducible on any engine."""
+    span = F.lit(float(bins) * float(base_width))
+    d = F.element_at(
+        F.filter(
+            F.sequence(F.lit(0), F.lit(40)),
+            lambda i: span * F.pow(F.lit(2.0), i.cast("double"))
+            > gmax - F.lit(float(lo)),
+        ),
+        1,
+    )
+    return F.lit(float(base_width)) * F.pow(F.lit(2.0), d.cast("double"))
+
+
+def adaptive_histogram_partial(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    bins: int,
+    base_width: float,
+) -> DataFrame:
+    """Aggregate ``df`` into width-tagged mergeable histogram state per
+    group: ``(keys..., bin, cnt, width)``. No upper range is required —
+    the width is derived per group from the batch's own max (one extra
+    group-cardinality-sized aggregate + a broadcastable join back, both
+    keyed identically to the final groupBy). Values below ``lo`` clamp
+    into bin 0 (counted, documented — ``lo`` is a floor anchor like 0
+    for prices, not a guess at the max). NULLs are dropped, matching
+    ``count(value)`` semantics."""
+    if bins < 1:
+        raise ValueError(
+            f"adaptive_histogram_partial: bins must be >= 1 (got {bins})"
+        )
+    if not float(base_width) > 0:
+        raise ValueError(
+            "adaptive_histogram_partial: base_width must be > 0 "
+            f"(got {base_width!r})"
+        )
+    v = F.col(value_col).cast("double")
+    rows = df.where(v.isNotNull()).select(*keys, v.alias("_v"))
+    widths = rows.groupBy(*keys).agg(
+        _covering_width(F.max("_v"), lo, bins, base_width).alias("width")
+    )
+    b = F.floor((F.col("_v") - F.lit(float(lo))) / F.col("width")).cast(
+        "long"
+    )
+    return (
+        rows.join(widths, keys)
+        .groupBy(*keys, F.greatest(b, F.lit(0)).alias("bin"), "width")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_adaptive_histogram_partials(
+    states: list[DataFrame], keys: list[str]
+) -> DataFrame:
+    """Merge width-tagged histogram states: per group, coarsen every
+    state to the LARGEST width present (``bin' = floor(bin / (target /
+    width))`` — target/width is an exact power of 2, so the shift is
+    exact), then bin-wise count sum. State-sized exchange; widths may
+    differ per group (each group's grid tracks its own range)."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    from pyspark.sql import Window
+
+    target = F.max("width").over(Window.partitionBy(*keys))
+    rebinned = merged.select(
+        *keys,
+        F.floor(F.col("bin") / (target / F.col("width")))
+        .cast("long")
+        .alias("bin"),
+        target.alias("width"),
+        "cnt",
+    )
+    return rebinned.groupBy(*keys, "bin", "width").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def quantiles_from_adaptive_histogram(
+    state: DataFrame,
+    keys: list[str],
+    lo: float,
+    qs: list[float],
+) -> DataFrame:
+    """Same deterministic type-1-style read-out as
+    :func:`quantiles_from_histogram`, but the bin width comes from the
+    state itself (constant per group after merge). Returns
+    ``(keys..., q, q_value)`` with error ≤ one (group-final) bin
+    width."""
+    from pyspark.sql import Window
+
+    cum = F.sum("cnt").over(
+        Window.partitionBy(*keys).orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    tot = F.sum("cnt").over(Window.partitionBy(*keys))
+    c = state.select(
+        *keys, "bin", "width", cum.alias("cum"), tot.alias("tot")
+    )
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    return (
+        c.select(*keys, "bin", "width", "cum", "tot", qcol)
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("tot")))
+        .groupBy(*keys, "q")
+        .agg(
+            F.round(
+                F.lit(float(lo)) + (F.min("bin") + 1) * F.max("width"), 2
             ).alias("q_value")
         )
     )

@@ -385,10 +385,14 @@ def assign_to_centroids(
         import pandas as pd
         from pyspark.sql.types import LongType
 
-        cmat = [
-            [float(x) for x in r["cv"]]
-            for r in centroids.orderBy("cid").collect()
-        ]
+        # collect (cid, vector) pairs and map argmin POSITIONS back to the
+        # real cids: kmeans_lite emits contiguous 0..k-1, but a filtered or
+        # user-supplied centroids frame need not, and the positional index
+        # would silently mislabel every assignment (the HOF branch below
+        # always returned real cids — the two kernels must agree)
+        rows = centroids.orderBy("cid").collect()
+        cids = [int(r["cid"]) for r in rows]
+        cmat = [[float(x) for x in r["cv"]] for r in rows]
 
         @F.pandas_udf(LongType())
         def _nearest(vec: pd.Series) -> pd.Series:
@@ -399,7 +403,8 @@ def assign_to_centroids(
             m = np.array(list(vec), dtype=np.float64)
             c = np.array(cmat, dtype=np.float64)
             d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (m @ c.T)
-            return pd.Series(d2.argmin(axis=1).astype("int64"))
+            pos = d2.argmin(axis=1)
+            return pd.Series(np.array(cids, dtype="int64")[pos])
 
         return v.select("id", _nearest(F.col("v")).alias("cid"))
     dist2 = F.aggregate(

@@ -5,20 +5,19 @@ Every operator from SURVEY.md §2 that is implemented gets a named entry;
 oracle SQL is omitted only for genuinely non-SQL-expressible operators
 (the driver then records a weaker rows-only check).
 
-Ordering contract: the correctness driver grades the FIRST 50 entries, so
-the registry is laid out in two tiers.
+Ordering contract: the correctness driver grades the FIRST 50 entries of
+``spark_queries()``/``oracle_queries()``. Through round 10 the window was
+the _REGISTRY insertion order (one slot per operator family, rotated each
+round until every entry had been graded at least once — closed in round
+10). From round 11 the window is the explicit ``TIER1`` list below,
+selected STALENESS-FIRST: the 50 entries whose last driver grade is
+oldest, so no entry's last grade ages past ~4 rounds. ``_REGISTRY``
+insertion order no longer affects grading; it remains grouped by family
+for readability (historical tier comments preserved).
 
-- Tier 1 (positions 0-49): exactly one entry per unique operator family —
-  every SURVEY §2 row, every LLM-pipeline operator (dedup/minhash/simhash/
-  connected components/curation/packing/similarity/text-stats), SCD2 merge,
-  change-comparison join, multimodal, streaming.
-- Tier 2 (positions 50+): same-family variants (cube vs rollup, unpivot vs
-  pivot, session_window vs sessionize, brute-force vs bucketed top-k, ...)
-  that add breadth but would waste a graded slot.
-
-``tests/test_catalog_plan_lint.py`` asserts the tier-1 window really
-contains every required family so a careless insert can't silently push an
-operator out of the graded window.
+``tests/test_catalog_plan_lint.py`` asserts the window really contains
+every TIER1_REQUIRED name so a careless edit can't silently push an
+entry out of the graded window.
 """
 
 from __future__ import annotations
@@ -738,73 +737,133 @@ _REGISTRY: dict[
         oq.promo_revenue_share,
         oq.PROMO_REVENUE_SHARE_ORACLE,
     ),
+    # ------------------------------------------------------------------
+    # round-11 NEW builds
+    # ------------------------------------------------------------------
+    # adaptive (width-doubling) quantile state — lifts the round-10
+    # a-priori-[lo,hi] caveat: per-group power-of-2 bin widths chosen by
+    # pure comparisons, lossless coarsening on merge (verdict item 4)
+    "adaptive_quantile_state": (
+        oq.adaptive_quantile_state,
+        oq.ADAPTIVE_QUANTILE_STATE_ORACLE,
+    ),
+    # incrementally-maintained HLL distinct counts, driver-gradeable via
+    # the exact-contract pattern (verdict item 3)
+    "incremental_distinct_counts": (
+        oq.incremental_distinct_counts,
+        oq.INCREMENTAL_DISTINCT_COUNTS_ORACLE,
+    ),
+    # streaming ANN ingest — frozen-centroid assignment per micro-batch
+    # into a persisted IVF index, exactly-once two-table appends; the
+    # all-cell probe over the (training ∪ streamed) index must equal
+    # exact brute force (verdict item 7)
+    "streaming_ivf_ingest": (
+        sp.streaming_ivf_ingest,
+        lq.SIMILARITY_TOPK_BRUTEFORCE_ORACLE,
+    ),
 }
 
-# Families that MUST sit inside the graded window (lint-enforced).
-TIER1_REQUIRED = frozenset(
-    {
-        # round-10 window: 15 retained + the 31 never-graded promotions
-        # (both waves) + 4 new round-10 builds (streaming CDC warehouse,
-        # distributed deciles, bounded-state streaming dedup, partition
-        # compaction) — after this round every catalog entry has been
-        # driver-graded at least once
-        "flagship_revenue_by_nation",
-        "returned_item_revenue",
-        "product_type_profit",
-        "top_revenue_supplier",
-        "streaming_dedup_within_watermark",
-        "scd2_merge_customers",
-        "streaming_cdc_partitioned_warehouse",
-        "data_quality_expectations",
-        "quality_filter_docs",
-        "gap_filled_daily_order_counts",
-        "customer_revenue_deciles",
-        "revenue_deciles_distributed",
-        "line_dedup_corpus",
-        "simhash_banded_neardups",
-        "semantic_dedup_components",
-        "corpus_prep_pipeline",
-        "pii_scrub_docs",
-        "similarity_topk_ivf_incremental",
-        "bigram_pmi",
-        "repeated_ngram_spans",
-        "repetition_stats_docs",
-        "unicode_normalize_docs",
-        "tfidf_top_terms",
-        "fuzzy_name_match",
-        "epoch_shuffle_docs",
-        "incremental_value_quantiles",
-        "streaming_quantile_maintenance_state",
-        "cdc_patch_orders",
-        "cdc_partitioned_apply_orders",
-        "cdc_partitioned_versioned_orders",
-        "cdc_mv_maintenance_state",
-        "compacted_partition_scan",
-        "nation_market_share",
-        "bucketed_colocated_revenue",
-        "important_part_revenue",
-        "shipping_delay_priority_mix",
-        "part_supplier_diversity",
-        "small_quantity_revenue",
-        "disjunctive_promo_revenue",
-        "best_price_supplier_per_part",
-        "stratified_sample_docs",
-        "similarity_topk_bruteforce",
-        "embedding_dimension_stats",
-        "salted_join_revenue",
-        "weighted_source_sample",
-        "chunk_documents",
-        "contamination_ngram_overlap",
-        "bpe_merge_candidates",
-        "embedding_preprocess",
-        "lapsed_high_balance_customers",
-    }
-)
+# ---------------------------------------------------------------------------
+# The graded window, round-11 rotation (staleness-first re-grading policy).
+#
+# "Graded at least once" closed in round 10; the standing target is now
+# "no entry's last driver grade older than ~4 rounds". This list IS the
+# window: spark_queries()/oracle_queries() emit these names first, so the
+# driver grades exactly these 50. Composition (last-grade data from
+# CORRECTNESS_r01..r10):
+#   - 20 stalest entries — 16 last graded in round 1, 4 in round 5;
+#   - 13 entries last graded in round 6;
+#   - 14 entries last graded in round 7 (of 17 — asof_events_to_orders
+#     and the semi/anti join pair wait for round 12 with the round-8
+#     cohort: their families are heavily multi-graded and each shares its
+#     oracle or family with entries graded r08-r10);
+#   - the 3 new round-11 builds (adaptive quantile state, gradeable HLL
+#     distinct state, streaming IVF ingest).
+# Every demoted round-10 entry was graded green in round 10 itself and
+# stays oracle-checked in every pytest run (tests/test_catalog_oracle.py).
+# ---------------------------------------------------------------------------
+TIER1: list[str] = [
+    # --- last graded round 1 (16) ---
+    "pricing_summary",
+    "shipping_priority",
+    "large_volume_customers",
+    "event_funnel",
+    "weekly_retention_cohorts",
+    "session_window_events",
+    "top_bigrams",
+    "order_value_histogram",
+    "median_order_values",
+    "cube_revenue",
+    "unpivot_status_counts",
+    "intersect_except_users",
+    "cheapest_part_per_type",
+    "event_value_anomalies",
+    "dedup_exact_groups",
+    "doc_fingerprints",
+    # --- last graded round 5 (4) ---
+    "domain_predicate",
+    "null_blank_predicate",
+    "ngram_jaccard_planted_pairs",
+    "winnowing_overlap_pairs",
+    # --- last graded round 6 (13) ---
+    "approx_distinct_counts",
+    "calendar_decomposition",
+    "deterministic_sample",
+    "distinct_keys",
+    "groupby_count_desc",
+    "json_extract_events",
+    "max_key_allocation",
+    "null_aware_aggregates",
+    "projection_filter",
+    "rollup_revenue",
+    "running_customer_revenue",
+    "scd2_intervals_from_orders",
+    "sessionize_events",
+    # --- last graded round 7 (15 of 17) ---
+    "array_stats_embeddings",
+    "change_comparison_join",
+    "change_detect_events",
+    "conditional_counters",
+    "first_occurrence_dedup",
+    "latest_order_per_customer",
+    "minhash_incremental_pairs",
+    "order_value_quantiles",
+    "pivot_status_by_priority",
+    "rolling_hourly_user_value",
+    "string_functions",
+    "top_orders_by_value",
+    "union_split_streams",
+    "variant_extract_events",
+    # --- new round-11 builds (3) ---
+    "adaptive_quantile_state",
+    "incremental_distinct_counts",
+    "streaming_ivf_ingest",
+]
+
+# Families that MUST sit inside the graded window (lint-enforced) — with
+# the staleness-first policy the window IS the TIER1 list.
+TIER1_REQUIRED = frozenset(TIER1)
+
+_unknown = TIER1_REQUIRED - set(_REGISTRY)
+assert not _unknown, f"TIER1 names missing from _REGISTRY: {sorted(_unknown)}"
+assert len(TIER1) == len(TIER1_REQUIRED) == GRADED_WINDOW
+
+
+def _ordered_names() -> list[str]:
+    """Registry names with the graded window (TIER1) first; everything
+    else keeps its _REGISTRY insertion order. The driver grades the
+    first GRADED_WINDOW names of the returned dicts."""
+    rest = [n for n in _REGISTRY if n not in TIER1_REQUIRED]
+    return TIER1 + rest
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_queries() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        name: _REGISTRY[name][1]
+        for name in _ordered_names()
+        if _REGISTRY[name][1] is not None
+    }

@@ -3401,6 +3401,138 @@ GROUP BY o_orderpriority, q
 """
 
 
+def adaptive_quantile_state(spark, sf_dir):
+    """Quantile state with NO a-priori [lo, hi] (round 11, lifting the
+    round-10 caveat): each batch's histogram picks its own power-of-2
+    bin width from its per-group max (width = base·2^d chosen by pure
+    comparisons — no float transcendentals, so every engine picks the
+    same grid), and the merge losslessly coarsens to the widest grid
+    present (floor(bin/2^j) — exact for anchored power-of-2 grids).
+    The batches here split orders BY VALUE RANGE so batch 3's values
+    blow past batch 1's range by ~25× — the exact drifting-range shape
+    the fixed grid can't survive — and the merged state still equals a
+    one-pass histogram at the final width, which is what the oracle
+    replays (per-group width from the overall max: width selection is
+    monotone in the max, so max-over-batches of batch widths == the
+    width of the overall max). Error ≤ one final bin width by
+    construction; refresh cost O(batch + groups·bins)."""
+    from ..operators.incremental import (
+        adaptive_histogram_partial,
+        merge_adaptive_histogram_partials,
+        quantiles_from_adaptive_histogram,
+    )
+
+    LO, BINS, BASE_W = 0.0, 256, 16.0
+    keys = ["o_orderpriority"]
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    p = F.col("o_totalprice")
+    batches = [
+        o.where(p < 20_000),
+        o.where((p >= 20_000) & (p < 100_000)),
+        o.where(p >= 100_000),
+    ]
+    parts = [
+        adaptive_histogram_partial(
+            b, keys, "o_totalprice", LO, BINS, BASE_W
+        )
+        for b in batches
+    ]
+    state = merge_adaptive_histogram_partials(parts, keys)
+    return quantiles_from_adaptive_histogram(
+        state, keys, LO, [0.5, 0.9, 0.99]
+    )
+
+
+ADAPTIVE_QUANTILE_STATE_ORACLE = """
+WITH gm AS (
+  SELECT o_orderpriority, max(CAST(o_totalprice AS DOUBLE)) AS gmax
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT o_orderpriority,
+         16.0 * pow(2.0, (SELECT min(d)
+                          FROM range(0, 41) t(d)
+                          WHERE 256 * 16.0 * pow(2.0, d) > gmax - 0.0)) AS width
+  FROM gm
+), b AS (
+  SELECT o.o_orderpriority,
+         GREATEST(CAST(floor(CAST(o_totalprice AS DOUBLE) / width) AS BIGINT),
+                  CAST(0 AS BIGINT)) AS bin,
+         width,
+         count(*) AS cnt
+  FROM orders o JOIN w USING (o_orderpriority)
+  GROUP BY 1, 2, 3
+), c AS (
+  SELECT o_orderpriority, bin, width,
+         sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY o_orderpriority) AS tot
+  FROM b
+), qs AS (
+  SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) t(q)
+)
+SELECT o_orderpriority, q,
+       round(0.0 + (min(bin) + 1) * max(width), 2) AS q_value
+FROM c, qs
+WHERE cum >= ceil(q * tot)
+GROUP BY o_orderpriority, q
+"""
+
+
+def incremental_distinct_counts(spark, sf_dir):
+    """INCREMENTALLY-maintained distinct counts made driver-gradeable
+    (round 11, closing the round-10 gap): the HLL sketch state itself is
+    engine-specific (DuckDB has no DataSketches), so the graded contract
+    follows the approx_distinct_counts pattern — emit the EXACT distinct
+    (computable identically on both engines) plus a within_5pct boolean
+    asserting the merged-sketch estimate's error bound (lgK=12 → ~1.6%
+    typical, 5% is the contract). The state is genuinely maintained the
+    incremental way: three deterministic batches → per-batch
+    distinct_partial sketches → group-wise hll_union_agg merge →
+    estimate. Production refresh is O(batch + groups·2^lgK bytes),
+    independent of history; the exact side here exists only to GRADE the
+    sketch."""
+    from ..operators.incremental import (
+        distinct_partial,
+        finalize_distinct,
+        merge_distinct_partials,
+    )
+
+    keys = ["o_orderpriority"]
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    k = F.col("o_orderkey")
+    states = [
+        distinct_partial(o.where(k % 3 == m), keys, "o_custkey")
+        for m in (0, 1, 2)
+    ]
+    state = merge_distinct_partials(states, keys)
+    est = finalize_distinct(state, keys)
+    exact = o.groupBy(*keys).agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    return exact.join(est, keys).select(
+        *keys,
+        "exact_customers",
+        (
+            F.abs(
+                F.col("distinct_est").cast("double")
+                - F.col("exact_customers").cast("double")
+            )
+            <= 0.05 * F.col("exact_customers").cast("double")
+        ).alias("within_5pct"),
+    )
+
+
+INCREMENTAL_DISTINCT_COUNTS_ORACLE = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS within_5pct
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # CDC apply — fold an ordered change log (binlog/Debezium shape) into a
 # snapshot: last-writer-wins upserts + delete tombstones

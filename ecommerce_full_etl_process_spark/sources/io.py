@@ -355,6 +355,7 @@ class TableStore:
         partition_col: str,
         also_replace: list | None = None,
         max_records_per_file: int | None = None,
+        pre_flip=None,
     ) -> list[str]:
         current = self._current_version(table)
         if current is None:
@@ -494,6 +495,15 @@ class TableStore:
                             os.path.join(dirpath, fn),
                             os.path.join(ddir, fn),
                         )
+        # 2b. version-keyed side artifacts (e.g. the stats manifest) are
+        # written BEFORE the flip: a crash after _set_version but before
+        # a post-flip manifest write would leave the live version without
+        # stats, silently disabling file skipping until the next
+        # collect_stats. The stats path is keyed by version, so writing
+        # for the not-yet-live new_version is safe — readers of the
+        # current version never see it.
+        if pre_flip is not None:
+            pre_flip(new_version)
         # 3. atomic flip — readers switch whole-version, never partial
         self._set_version(table, new_version)
         # report real replacements: written dirs plus existing dirs
@@ -769,18 +779,18 @@ class TableStore:
                 None if v == "__HIVE_DEFAULT_PARTITION__" else v
                 for v in (unquote(n[len(prefix):]) for n in offenders)
             ]
-            self._overwrite_partitions_unlocked(
-                table,
-                df,
-                partition_col,
-                also_replace=decoded,
-                max_records_per_file=max_records_per_file,
-            )
-            old_stats_path = self._stats_path(table, current)
-            if os.path.exists(old_stats_path):
+            def _refresh_stats(new_version: int) -> None:
+                # runs via pre_flip — after the new version's files are
+                # fully written/hardlinked, BEFORE the flip — so a crash
+                # anywhere leaves either (old version + old stats) or
+                # (new version + new stats), never a live version whose
+                # manifest is missing
+                old_stats_path = self._stats_path(table, current)
+                if not os.path.exists(old_stats_path):
+                    return
                 with open(old_stats_path) as f:
                     old_files = json.load(f)["files"]
-                new_dir = self._data_dir(table, current + 1)
+                new_dir = self._data_dir(table, new_version)
                 per_file: dict[str, dict] = {}
                 for dirpath, _dirs, files in os.walk(new_dir):
                     for fname in files:
@@ -791,7 +801,16 @@ class TableStore:
                         per_file[rel] = old_files.get(rel) or (
                             self._footer_stats(fpath)
                         )
-                self._write_stats(table, current + 1, per_file)
+                self._write_stats(table, new_version, per_file)
+
+            self._overwrite_partitions_unlocked(
+                table,
+                df,
+                partition_col,
+                also_replace=decoded,
+                max_records_per_file=max_records_per_file,
+                pre_flip=_refresh_stats,
+            )
             return offenders
 
     def cluster_by(

@@ -712,6 +712,7 @@ def run_incremental(
     checkpoint_dir: str,
     out_dir: str,
     available_now: bool = True,
+    dedup: str = "bounded",
 ):
     """End-to-end streaming ingestion: stream → event-time → dedup →
     append-only parquet sink. Returns the started StreamingQuery.
@@ -720,10 +721,28 @@ def run_incremental(
     the append sink is exactly-once via checkpoint + file-sink manifest;
     ``foreachBatch`` + the batch pipeline is the upgrade path when SCD2
     dims must advance per micro-batch.
+
+    ``dedup`` selects the duplicate-suppression contract (the round-10
+    default switch from ``dropDuplicates`` to
+    ``dropDuplicatesWithinWatermark`` changed the OUTPUT contract, not
+    just the state bound, so callers get an explicit knob):
+
+    - ``"bounded"`` (default): state is O(keys inside the watermark
+      horizon) — the only shape a continuous ingester survives — but a
+      duplicate whose copies arrive MORE than the watermark delay apart
+      is re-emitted (at-least-once beyond the horizon).
+    - ``"unbounded"``: the pre-round-10 behavior — exactly-once output
+      for duplicates however far apart, paid for with state that grows
+      with every key ever seen (measured linear in
+      tests/test_stream_pipeline.py). Only for bounded replays/backfills.
     """
-    # bounded-state dedup: a continuous ingester must not hoard state for
-    # every key ever seen (see dedup_stream vs dedup_stream_bounded)
-    stream = dedup_stream_bounded(
+    if dedup not in ("bounded", "unbounded"):
+        raise ValueError(
+            f"run_incremental: dedup must be 'bounded' or 'unbounded'"
+            f" (got {dedup!r})"
+        )
+    dedup_fn = dedup_stream_bounded if dedup == "bounded" else dedup_stream
+    stream = dedup_fn(
         with_event_time(transactions_file_stream(spark, source_dir))
     )
     writer = (
@@ -893,6 +912,211 @@ def run_streaming_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def init_streaming_ivf_index(
+    store,
+    centroids: DataFrame,
+    train_vectors: DataFrame,
+    train_assignments: DataFrame,
+) -> None:
+    """Bootstrap the streaming ANN warehouse from a trained index:
+    frozen ``ivf_centroids``, the training corpus in ``vectors`` and its
+    cell assignments in ``ivf_assignments`` (both stamped batch_id -1 so
+    stream batches start at 0). ``train_vectors`` must carry
+    ``(vec_id, embedding)``; ``train_assignments`` ``(id, cid)`` as
+    :func:`~...operators.similarity.kmeans_lite` returns them."""
+    store.overwrite("ivf_centroids", centroids)
+    store.overwrite(
+        "vectors",
+        train_vectors.select(
+            "vec_id", "embedding", F.lit(-1).cast("long").alias("batch_id")
+        ),
+    )
+    store.overwrite(
+        "ivf_assignments",
+        train_assignments.select(
+            F.col("id").alias("vec_id"),
+            "cid",
+            F.lit(-1).cast("long").alias("batch_id"),
+        ),
+    )
+
+
+def run_streaming_ivf_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    warehouse_root: str,
+    kernel: str = "numpy",
+):
+    """Continuous embedding ingestion into a persisted IVF ANN index —
+    the ANN twin of :func:`run_streaming_dedup_ingest` (round 11,
+    carried round-10 verdict item 7): per micro-batch of
+    ``(vec_id, embedding)`` rows, assign each vector to its nearest
+    FROZEN centroid (``assign_to_centroids`` — one O(batch × k) Arrow
+    map pass, never a re-clustering) and append both the vectors and
+    their cell assignments, so queries over the growing corpus keep
+    probing cells instead of brute-forcing. Centroids are read once per
+    batch from the store (k tiny rows) and stay frozen — the measured
+    refresh policy (SCALEBENCH §ivf_refresh) governs when a re-train
+    pays.
+
+    Replay semantics: checkpointed ``foreachBatch`` is at-least-once and
+    the batch writes span TWO tables, so the appends follow the same
+    intent/commit marker protocol as the dedup ingester:
+
+    - ``batch_attempts`` first, then ``vectors`` + ``ivf_assignments``
+      (each row stamped with ``batch_id``), then ``batch_commits``;
+    - a batch_id already committed is skipped outright;
+    - an attempted-but-uncommitted batch_id is a torn previous attempt:
+      assignment is deterministic under frozen centroids, so the heal
+      appends only the vec_ids the dead attempt did not land (a
+      broadcast anti-join against the batch's own ids, stats-pruned,
+      paid only on the rare post-crash replay).
+
+    Scale shape: per batch, assignment is O(batch × k) with the k×d
+    centroid matrix broadcast/driver-resident; appends are batch-sized;
+    nothing re-scans or re-clusters the archive. The union-with-training
+    probe contract (appended vectors land exactly where training would
+    put them, all-cell probe == brute force) is pinned by the batch
+    entry's oracle and tests/test_kmeans_ivf.py; the streaming composition
+    is graded end-to-end by the ``streaming_ivf_ingest`` catalog entry.
+    """
+    from ..operators.similarity import assign_to_centroids
+    from ..sources.io import TableStore
+
+    store = TableStore(spark, warehouse_root)
+
+    def _marker_has(table: str, batch_id: int) -> bool:
+        return store.exists(table) and bool(
+            store.read(table).where(F.col("batch_id") == batch_id).take(1)
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("vec_id", "embedding").localCheckpoint(
+            eager=True
+        )
+        if not batch.take(1):
+            return
+        if _marker_has("batch_commits", batch_id):
+            return  # at-least-once replay of an already-committed batch
+        torn = _marker_has("batch_attempts", batch_id)
+        if not torn:
+            store.append(
+                "batch_attempts",
+                spark.createDataFrame([(batch_id,)], "batch_id long"),
+            )
+        batch_ids = batch.select("vec_id")
+        assigned = assign_to_centroids(
+            batch,
+            store.read("ivf_centroids"),
+            id_col="vec_id",
+            vec_col="embedding",
+            kernel=kernel,
+        ).select(
+            F.col("id").alias("vec_id"),
+            "cid",
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        vectors = batch.select(
+            "vec_id",
+            "embedding",
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+
+        def _fresh_only(table: str, df: DataFrame) -> DataFrame:
+            # on a torn replay, append only rows the dead attempt missed
+            if not (torn and store.exists(table)):
+                return df
+            present = (
+                store.read(table)
+                .join(F.broadcast(batch_ids), "vec_id", "left_semi")
+                .select("vec_id")
+            )
+            return df.join(F.broadcast(present), "vec_id", "left_anti")
+
+        store.append("vectors", _fresh_only("vectors", vectors))
+        store.append(
+            "ivf_assignments", _fresh_only("ivf_assignments", assigned)
+        )
+        # commit marker LAST: until this lands, a replay heals the batch
+        store.append(
+            "batch_commits",
+            spark.createDataFrame([(batch_id,)], "batch_id long"),
+        )
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry (round 11): the streaming ANN ingest END-TO-END
+    under the oracle gate. Centroids train on the vec_id % 3 != 0
+    two-thirds of the corpus (k=8), the remaining third arrives as TWO
+    stream files (split by vec_id parity) and drains through
+    :func:`run_streaming_ivf_ingest` — one frozen-centroid assignment
+    pass + exactly-once two-table appends per micro-batch — and the
+    query probes ALL cells of the persisted (training ∪ streamed) index
+    so the rescore set is the full corpus: the result must equal exact
+    brute-force top-k over EVERYTHING, proving streamed vectors are
+    findable, placed where training would put them, and landed exactly
+    once. Same oracle as the batch incremental entry; restart/replay/
+    torn-batch behavior is pinned by tests/test_streaming_ivf_ingest.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import ivf_topk, kmeans_lite
+    from ..sources.io import TableStore
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    train = e.where(F.col("vec_id") % 3 != 0)
+    late = e.where(F.col("vec_id") % 3 == 0)
+    q = e.where(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("q")
+    )
+    root = tempfile.mkdtemp(prefix="ivf_ingest_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        for m in (0, 1):
+            late.where(F.col("vec_id") % 2 == m).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        store = TableStore(spark, os.path.join(root, "wh"))
+        cents, assigns = kmeans_lite(train, k=8, iters=2)
+        init_streaming_ivf_index(store, cents, train, assigns)
+        stream_q = run_streaming_ivf_ingest(
+            spark, src, os.path.join(root, "ckpt"), os.path.join(root, "wh")
+        )
+        if not stream_q.awaitTermination(300):
+            stream_q.stop()
+            raise RuntimeError(
+                "streaming_ivf_ingest: AvailableNow query did not finish "
+                "within 300s"
+            )
+        corpus = store.read("vectors").select("vec_id", "embedding")
+        index = store.read("ivf_assignments").select(
+            F.col("vec_id").alias("id"), "cid"
+        )
+        out = ivf_topk(
+            corpus, q, store.read("ivf_centroids"), index, k=10, nprobe=8
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def streaming_hopping_rates(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -186,6 +186,116 @@ def test_histogram_quantile_error_bound_and_clamping(spark):
     assert {r["bin"] for r in st} <= set(range(bins))
 
 
+def test_histogram_partial_rejects_degenerate_ranges(spark):
+    """hi <= lo or bins < 1 must fail loudly, not clamp every row into
+    bin 0 and yield a wrong-but-plausible quantile state."""
+    import pytest
+
+    from ecommerce_full_etl_process_spark.operators.incremental import (
+        histogram_partial,
+    )
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    for lo, hi, bins in [(10.0, 10.0, 5), (10.0, 5.0, 5), (0.0, 1.0, 0)]:
+        with pytest.raises(ValueError):
+            histogram_partial(df, ["g"], "v", lo, hi, bins)
+
+
+def test_adaptive_histogram_survives_range_blowup(spark):
+    """The round-11 width-doubling state: batch 3's values blow past
+    batch 1's range by ~1000×, and the merged state still (a) equals a
+    one-pass histogram of all rows at the final width — the lossless
+    power-of-2 coarsening identity — and (b) reads out quantiles within
+    one FINAL bin width of exact."""
+    from ecommerce_full_etl_process_spark.operators.incremental import (
+        adaptive_histogram_partial,
+        merge_adaptive_histogram_partials,
+        quantiles_from_adaptive_histogram,
+    )
+
+    lo, bins, base_w = 0.0, 64, 1.0
+    # batch 1: 0..99; batch 2: 0..999; batch 3: 0..99999 — each batch's
+    # own grid is fine-grained for ITS range, the merge must coarsen
+    b1 = spark.range(0, 100).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    b2 = spark.range(0, 1000).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    b3 = spark.range(0, 100_000).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    parts = [
+        adaptive_histogram_partial(b, ["g"], "v", lo, bins, base_w)
+        for b in (b1, b2, b3)
+    ]
+    # batch widths really differ (the scenario is exercised)
+    widths = [p.select("width").distinct().collect()[0][0] for p in parts]
+    assert widths[0] < widths[1] < widths[2], widths
+    merged = merge_adaptive_histogram_partials(parts, ["g"])
+    onepass = adaptive_histogram_partial(
+        b1.unionByName(b2).unionByName(b3), ["g"], "v", lo, bins, base_w
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, onepass.collect())
+    )
+    final_w = merged.select("width").distinct().collect()[0][0]
+    got = {
+        r["q"]: r["q_value"]
+        for r in quantiles_from_adaptive_histogram(
+            merged, ["g"], lo, [0.5, 0.9, 0.99]
+        ).collect()
+    }
+    import numpy as np
+
+    vals = np.concatenate(
+        [np.arange(100), np.arange(1000), np.arange(100_000)]
+    ).astype(float)
+    for q in (0.5, 0.9, 0.99):
+        exact = float(np.quantile(vals, q))
+        assert abs(got[q] - exact) <= final_w + 1e-9, (q, got[q], exact)
+
+
+def test_adaptive_histogram_per_group_widths_and_below_anchor(spark):
+    """Widths are chosen PER GROUP (a small-valued group keeps its fine
+    grid even when another group's range explodes), and values below the
+    anchor clamp into bin 0 — counted, never lost."""
+    from ecommerce_full_etl_process_spark.operators.incremental import (
+        adaptive_histogram_partial,
+        merge_adaptive_histogram_partials,
+    )
+
+    df = spark.createDataFrame(
+        [("small", float(v)) for v in range(10)]
+        + [("big", float(v) * 1000) for v in range(10)]
+        + [("small", -5.0)],
+        "g string, v double",
+    )
+    state = merge_adaptive_histogram_partials(
+        [adaptive_histogram_partial(df, ["g"], "v", 0.0, 16, 1.0)], ["g"]
+    )
+    rows = state.collect()
+    w = {g: {r["width"] for r in rows if r["g"] == g} for g in ("small", "big")}
+    assert len(w["small"]) == 1 and len(w["big"]) == 1
+    assert max(w["small"]) < max(w["big"])
+    assert sum(r["cnt"] for r in rows) == 21  # the below-anchor row counted
+    assert all(r["bin"] >= 0 for r in rows)
+
+
+def test_adaptive_histogram_rejects_degenerate_params(spark):
+    import pytest
+
+    from ecommerce_full_etl_process_spark.operators.incremental import (
+        adaptive_histogram_partial,
+    )
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        adaptive_histogram_partial(df, ["g"], "v", 0.0, 0, 1.0)
+    with pytest.raises(ValueError):
+        adaptive_histogram_partial(df, ["g"], "v", 0.0, 16, 0.0)
+
+
 def test_hll_distinct_split_invariance_and_error(spark, sf_dir):
     """HLL sketch state: any split merges to the same estimate as one
     pass (same lgK), and the estimate lands within 5% of exact distinct

@@ -135,6 +135,36 @@ def test_assign_to_centroids_matches_training_rule(spark, sf_dir):
     assert a_np == a_hof and len(a_np) == e.count()
 
 
+def test_assign_to_centroids_non_contiguous_cids(spark, sf_dir):
+    """A FILTERED centroids frame (cids no longer contiguous 0..k-1)
+    must still label assignments with the REAL cids on both kernels —
+    the numpy kernel's raw argmin position would silently mislabel every
+    row here (round-11 advice fix)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_full_etl_process_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_lite,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents, _ = kmeans_lite(e, k=5, iters=2)
+    # drop cids 0 and 2 → surviving cids {1, 3, 4} at positions {0, 1, 2}
+    kept = cents.where(F.col("cid").isin(1, 3, 4))
+    a_np = {
+        r["id"]: r["cid"]
+        for r in assign_to_centroids(e, kept, kernel="numpy").collect()
+    }
+    a_hof = {
+        r["id"]: r["cid"]
+        for r in assign_to_centroids(e, kept, kernel="hof").collect()
+    }
+    assert a_np == a_hof and len(a_np) == e.count()
+    assert set(a_np.values()) <= {1, 3, 4}
+
+
 def test_ivf_incremental_append_exact_with_full_probe(spark, sf_dir):
     """Index built on 2/3 of the corpus + frozen-centroid append of the
     late 1/3: probing all cells returns the exact brute-force top-k over

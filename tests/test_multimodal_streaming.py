@@ -103,6 +103,37 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     assert ids == [(1, 1), (2, 2), (3, 1)]
 
 
+def test_run_incremental_dedup_contract_knob(spark, tmp_path):
+    """Round-11 advice fix: the dedup contract is an explicit kwarg —
+    'unbounded' opts back into the pre-round-10 exactly-once-forever
+    behavior (dropDuplicates, state grows with every key ever seen);
+    an unknown value fails loudly."""
+    import pytest
+
+    with pytest.raises(ValueError, match="dedup must be"):
+        SP.run_incremental(
+            spark, "/nope", "/nope", "/nope", dedup="sometimes"
+        )
+
+    src = str(tmp_path / "txu_src")
+    chk = str(tmp_path / "txu_chk")
+    out = str(tmp_path / "txu_out")
+    _write_tx_batch(
+        spark,
+        src,
+        [
+            (1, "2026-02-02", 1, 1, 2, 20.0, "visa", "success"),
+            (1, "2026-02-02", 1, 1, 2, 20.0, "visa", "success"),  # dup
+            (2, "2026-02-02", 1, 2, 1, 10.0, "visa", "success"),
+        ],
+    )
+    q = SP.run_incremental(
+        spark, src, chk, out, available_now=True, dedup="unbounded"
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2
+
+
 def test_watermark_finalizes_closed_windows_only(spark, tmp_path):
     """Late-data policy (append mode + event-time watermark): after the
     watermark advances past a window's end, that window is finalized and

@@ -641,6 +641,64 @@ def test_compact_partitions_refreshes_stats_incrementally(spark, tmp_path):
     assert got == want > 0
 
 
+def test_compact_partitions_writes_stats_before_flip(spark, tmp_path):
+    """Round-11 advice fix: the refreshed stats manifest must land BEFORE
+    the version flip — a crash between the flip and a post-flip manifest
+    write would leave the live version stats-less, silently disabling
+    file skipping. Simulated by failing _set_version itself: the new
+    version's manifest must already be on disk while the pointer still
+    names the old version (stats are version-keyed, so the early write is
+    invisible to current readers)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from ecommerce_full_etl_process_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "whf"))
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    store.overwrite("t", base.repartition(2, "p"), partition_by=["p"])
+    for _ in range(5):
+        store.append(
+            "t",
+            base.where(F.col("p") == 0).limit(20).repartition(2),
+            partition_by=["p"],
+        )
+    store.collect_stats("t")
+    old_version = store._current_version("t")
+
+    real_set = store._set_version
+
+    def _boom(table, version):
+        raise RuntimeError("injected crash at the flip")
+
+    store._set_version = _boom
+    try:
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            store.compact_partitions("t", "p", max_files=4)
+    finally:
+        store._set_version = real_set
+    # pointer untouched, old version + old stats still the live pair...
+    assert store._current_version("t") == old_version
+    assert os.path.exists(store._stats_path("t", old_version))
+    # ...and the NEW version's manifest already exists pre-flip
+    new_stats_path = store._stats_path("t", old_version + 1)
+    assert os.path.exists(new_stats_path)
+    with open(new_stats_path) as f:
+        per_file = _json.load(f)["files"]
+    assert per_file  # non-empty: written from the fully-landed new files
+    # a rerun (no injected crash) completes and the live pair is coherent
+    compacted = store.compact_partitions("t", "p", max_files=4)
+    assert set(compacted) == {"p=0"}
+    live = store._current_version("t")
+    assert os.path.exists(store._stats_path("t", live))
+    got = store.read_where("t", "k", 0, 3).count()
+    want = store.read("t").where(F.col("k").between(0, 3)).count()
+    assert got == want > 0
+
+
 def test_compact_partitions_layout_guard(spark, tmp_path):
     """A flat (unpartitioned) table raises instead of silently reporting
     nothing to compact."""
