@@ -120,6 +120,7 @@ HEADLINE = [
     "adaptive_quantile_state",
     "incremental_distinct_counts",
     "streaming_ivf_ingest",
+    "streaming_adaptive_quantile_state",
 ]
 
 

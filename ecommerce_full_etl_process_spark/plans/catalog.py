@@ -761,6 +761,14 @@ _REGISTRY: dict[
         sp.streaming_ivf_ingest,
         lq.SIMILARITY_TOPK_BRUTEFORCE_ORACLE,
     ),
+    # range-free STREAMING quantile maintenance — the adaptive
+    # width-doubling state under the state-embedded-marker protocol;
+    # stream files split by value range so the grid must coarsen
+    # mid-stream; same oracle as the batch adaptive form
+    "streaming_adaptive_quantile_state": (
+        sp.streaming_adaptive_quantile_state,
+        oq.ADAPTIVE_QUANTILE_STATE_ORACLE,
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -773,12 +781,15 @@ _REGISTRY: dict[
 # CORRECTNESS_r01..r10):
 #   - 20 stalest entries — 16 last graded in round 1, 4 in round 5;
 #   - 13 entries last graded in round 6;
-#   - 14 entries last graded in round 7 (of 17 — asof_events_to_orders
-#     and the semi/anti join pair wait for round 12 with the round-8
-#     cohort: their families are heavily multi-graded and each shares its
-#     oracle or family with entries graded r08-r10);
-#   - the 3 new round-11 builds (adaptive quantile state, gradeable HLL
-#     distinct state, streaming IVF ingest).
+#   - 13 entries last graded in round 7 (of 17 — asof_events_to_orders,
+#     the semi/anti join pair and variant_extract_events wait for round
+#     12 with the round-8 cohort: their families are heavily
+#     multi-graded and each shares its oracle or family with entries
+#     graded r06-r10, e.g. json_extract_events covers the JSON/variant
+#     family inside this window);
+#   - the 4 new round-11 builds (adaptive quantile state, gradeable HLL
+#     distinct state, streaming IVF ingest, range-free streaming
+#     quantile maintenance).
 # Every demoted round-10 entry was graded green in round 10 itself and
 # stays oracle-checked in every pytest run (tests/test_catalog_oracle.py).
 # ---------------------------------------------------------------------------
@@ -833,11 +844,11 @@ TIER1: list[str] = [
     "string_functions",
     "top_orders_by_value",
     "union_split_streams",
-    "variant_extract_events",
-    # --- new round-11 builds (3) ---
+    # --- new round-11 builds (4) ---
     "adaptive_quantile_state",
     "incremental_distinct_counts",
     "streaming_ivf_ingest",
+    "streaming_adaptive_quantile_state",
 ]
 
 # Families that MUST sit inside the graded window (lint-enforced) — with

@@ -1582,6 +1582,180 @@ def streaming_quantile_maintenance_state(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def apply_adaptive_quantile_state_batch(
+    spark: SparkSession,
+    store,
+    batch_df: DataFrame,
+    batch_id: int,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    bins: int,
+    base_width: float,
+    state_table: str = "adaptive_quantile_state",
+) -> bool:
+    """The RANGE-FREE streaming quantile refresh (round 11): like
+    :func:`apply_quantile_state_batch` but on the width-doubling
+    adaptive histogram, so no a-priori ``[lo, hi]`` is needed — a
+    micro-batch whose values blow past everything seen so far simply
+    arrives with a coarser per-group grid, and the merge LOSSLESSLY
+    coarsens the persisted state to match (power-of-2 widths over a
+    shared anchor; operators/incremental.py). Exactly-once via the same
+    state-embedded marker (state + last_batch commit in one atomic
+    versioned overwrite). Per batch: one group-max aggregate + one
+    map-side-combined histogram aggregate of the batch, then a bin-wise
+    merge over two state-sized frames."""
+    from ..operators.incremental import (
+        adaptive_histogram_partial,
+        merge_adaptive_histogram_partials,
+    )
+
+    batch = batch_df.localCheckpoint(eager=True)
+    if not batch.take(1):
+        return False
+    states = []
+    if store.exists(state_table):
+        state = store.read(state_table)
+        if state.take(1):
+            applied = state.agg(F.max("last_batch")).collect()[0][0]
+            if applied is not None and applied >= batch_id:
+                return False  # at-least-once replay of an applied batch
+            states.append(state.drop("last_batch"))
+    states.append(
+        adaptive_histogram_partial(
+            batch, keys, value_col, lo, bins, base_width
+        )
+    )
+    new_state = (
+        merge_adaptive_histogram_partials(states, keys)
+        if len(states) > 1
+        else states[0]
+    ).withColumn("last_batch", F.lit(batch_id).cast("long"))
+    store.overwrite(state_table, new_state)
+    return True
+
+
+def run_streaming_adaptive_quantile_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    warehouse_root: str,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    bins: int,
+    base_width: float,
+    state_table: str = "adaptive_quantile_state",
+):
+    """Continuous quantile-dashboard maintenance with NO a-priori value
+    range — the production form for metrics whose scale drifts (latency
+    regressions, price inflation, token-count growth): each micro-batch
+    picks its own per-group power-of-2 grid and the persisted state
+    coarsens losslessly when the range grows. Consumers finalize with
+    ``quantiles_from_adaptive_histogram`` at any point; error ≤ one
+    CURRENT bin width."""
+    from ..sources.io import TableStore
+
+    store = TableStore(spark, warehouse_root)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_adaptive_quantile_state_batch(
+            spark,
+            store,
+            batch_df,
+            batch_id,
+            keys,
+            value_col,
+            lo,
+            bins,
+            base_width,
+            state_table,
+        )
+
+    schema = ", ".join(
+        [f"{k} string" for k in keys] + [f"{value_col} double"]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_adaptive_quantile_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Catalog entry (round 11): the RANGE-FREE streaming quantile loop
+    end-to-end under the oracle gate. Orders stream as three files
+    split BY VALUE RANGE — batch 1 tops out below 20k, batch 3 blows
+    past it by ~25× — so the persisted state must coarsen its grid
+    mid-stream (the exact drifting-metric shape the fixed-grid loop
+    cannot survive without a guessed-right [lo, hi]). The merged state
+    equals a one-pass adaptive histogram at each group's final width
+    (lossless power-of-2 coarsening + width selection monotone in the
+    group max), so the same oracle SQL that grades the batch form
+    (``adaptive_quantile_state``) grades the streaming plumbing too."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.incremental import quantiles_from_adaptive_histogram
+    from ..sources.io import TableStore
+
+    LO, BINS, BASE_W = 0.0, 256, 16.0
+    root = tempfile.mkdtemp(prefix="aquant_maint_")
+    try:
+        src = os.path.join(root, "src")
+        o = spark.read.parquet(
+            os.path.join(sf_dir, "orders.parquet")
+        ).select(
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        p = F.col("o_totalprice")
+        slices = [
+            o.where(p < 20_000),
+            o.where((p >= 20_000) & (p < 100_000)),
+            o.where(p >= 100_000),
+        ]
+        for s in slices:
+            s.coalesce(1).write.mode("append").parquet(src)
+        q = run_streaming_adaptive_quantile_maintenance(
+            spark,
+            src,
+            os.path.join(root, "ckpt"),
+            os.path.join(root, "wh"),
+            ["o_orderpriority"],
+            "o_totalprice",
+            LO,
+            BINS,
+            BASE_W,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_adaptive_quantile_state: AvailableNow query "
+                "did not finish within 300s"
+            )
+        state = TableStore(spark, os.path.join(root, "wh")).read(
+            "adaptive_quantile_state"
+        )
+        return quantiles_from_adaptive_histogram(
+            state.drop("last_batch"),
+            ["o_orderpriority"],
+            LO,
+            [0.5, 0.9, 0.99],
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # CDC × MV composition (round-8): one foreachBatch loop maintains BOTH the
 # versioned snapshot (apply_cdc_versioned) and a group aggregate over it —

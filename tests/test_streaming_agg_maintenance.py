@@ -212,3 +212,107 @@ def test_quantile_replay_of_applied_batch_is_noop(spark, tmp_path):
         for r in store.read("quantile_state").collect()
     }
     assert state == {("a", 1): 2, ("a", 9): 2}
+
+
+# ---------------------------------------------------------------------------
+# Range-free (adaptive width-doubling) streaming quantile maintenance
+# (round 11) — the grid must coarsen mid-stream when a batch's values
+# blow past everything seen so far
+# ---------------------------------------------------------------------------
+
+def _aq_read(spark, wh, lo=0.0):
+    from ecommerce_full_etl_process_spark.operators.incremental import (
+        quantiles_from_adaptive_histogram,
+    )
+
+    store = TableStore(spark, wh)
+    return {
+        (r["g"], r["q"]): r["q_value"]
+        for r in quantiles_from_adaptive_histogram(
+            store.read("adaptive_quantile_state").drop("last_batch"),
+            ["g"], lo, [0.5, 0.9],
+        ).collect()
+    }
+
+
+def _aq_expected(spark, rows, lo=0.0, bins=16, base_w=1.0):
+    from ecommerce_full_etl_process_spark.operators.incremental import (
+        adaptive_histogram_partial,
+        quantiles_from_adaptive_histogram,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    return {
+        (r["g"], r["q"]): r["q_value"]
+        for r in quantiles_from_adaptive_histogram(
+            adaptive_histogram_partial(df, ["g"], "v", lo, bins, base_w),
+            ["g"], lo, [0.5, 0.9],
+        ).collect()
+    }
+
+
+def test_adaptive_quantile_stream_coarsens_grid_and_restarts(
+    spark, tmp_path
+):
+    """Batch 2's values blow past batch 1's range by 100×: the persisted
+    state must re-bin losslessly to the coarser grid, the finalized
+    quantiles must equal a one-pass adaptive histogram over everything
+    ingested, and a restart applies only new files."""
+    from ecommerce_full_etl_process_spark.streaming.stream_pipeline import (
+        run_streaming_adaptive_quantile_maintenance,
+    )
+
+    src = str(tmp_path / "aqsrc")
+    ckpt = str(tmp_path / "aqckpt")
+    wh = str(tmp_path / "aqwh")
+    os.makedirs(src)
+    f1 = [("a", float(v)) for v in range(0, 10)] + [("b", 5.0)]
+    f2 = [("a", float(v) * 100) for v in range(1, 11)] + [("b", 9.0)]
+    _write_file(spark, src, f1)
+    _write_file(spark, src, f2)
+    q = run_streaming_adaptive_quantile_maintenance(
+        spark, src, ckpt, wh, ["g"], "v", 0.0, 16, 1.0
+    )
+    q.awaitTermination()
+    assert _aq_read(spark, wh) == _aq_expected(spark, f1 + f2)
+    # group a's state coarsened past the batch-1 grid; group b (values
+    # ≤ 9 throughout) kept its fine base grid — widths are PER GROUP
+    store = TableStore(spark, wh)
+    widths = {
+        r["g"]: r["width"]
+        for r in store.read("adaptive_quantile_state")
+        .select("g", "width")
+        .distinct()
+        .collect()
+    }
+    assert widths["a"] > widths["b"] == 1.0, widths
+
+    # restart with one more range-blowing file: only the new file applies
+    f3 = [("a", 5000.0), ("b", 1.0)]
+    _write_file(spark, src, f3)
+    q = run_streaming_adaptive_quantile_maintenance(
+        spark, src, ckpt, wh, ["g"], "v", 0.0, 16, 1.0
+    )
+    q.awaitTermination()
+    assert _aq_read(spark, wh) == _aq_expected(spark, f1 + f2 + f3)
+
+
+def test_adaptive_quantile_replay_of_applied_batch_is_noop(spark, tmp_path):
+    from ecommerce_full_etl_process_spark.streaming.stream_pipeline import (
+        apply_adaptive_quantile_state_batch,
+    )
+
+    wh = str(tmp_path / "aqwh2")
+    store = TableStore(spark, wh)
+    b = spark.createDataFrame(
+        [("a", 3.0), ("a", 12.0)], "g string, v double"
+    )
+    args = (["g"], "v", 0.0, 16, 1.0)
+    assert apply_adaptive_quantile_state_batch(spark, store, b, 0, *args)
+    before = sorted(
+        map(tuple, store.read("adaptive_quantile_state").collect())
+    )
+    assert not apply_adaptive_quantile_state_batch(spark, store, b, 0, *args)
+    assert sorted(
+        map(tuple, store.read("adaptive_quantile_state").collect())
+    ) == before
