@@ -164,7 +164,132 @@ def summary_line(full: dict) -> str:
     )
 
 
+def _ab_worktree(base_commit: str) -> str:
+    """Materialize (once) a detached git worktree of ``base_commit`` under
+    ``.ab_worktrees/`` so the A/B runner can execute the OLD code in its
+    own process while HEAD stays checked out for the new side."""
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    sha = subprocess.check_output(
+        ["git", "rev-parse", base_commit], cwd=root, text=True
+    ).strip()
+    wt = os.path.join(root, ".ab_worktrees", sha[:12])
+    if not os.path.isdir(wt):
+        subprocess.check_call(
+            ["git", "worktree", "add", "--detach", wt, sha], cwd=root
+        )
+    return wt
+
+
+def _ab_run_once(workdir: str, subset: list[str]) -> dict:
+    """One full bench subprocess in ``workdir``; returns its bench_out.json.
+
+    A fresh process per sample is the point: each side pays identical JVM
+    start + warmup, so cross-run session residue (the round-5 drift) can't
+    favour either side, and host-noise bursts land on whichever side is
+    running *now* — which interleaving then averages out.
+    """
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_SUBSET"] = ",".join(subset)
+    env["SPARK_GRAFT_BENCH_REPEATS"] = env.get("SPARK_GRAFT_AB_INNER", "1")
+    env["SPARK_GRAFT_BENCH_MATERIALIZE"] = "1"
+    subprocess.run(
+        [sys.executable, os.path.join(workdir, "bench.py")],
+        cwd=workdir,
+        env=env,
+        check=True,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    with open(os.path.join(workdir, "bench_out.json")) as fh:
+        return json.load(fh)
+
+
+def ab_main(base_commit: str, subset: list[str], repeats: int) -> None:
+    """Interleaved A/B: HEAD vs ``base_commit``, min-of-``repeats`` a side.
+
+    Standing bench-protocol hardening (round-11 verdict item 8): this host's
+    identical-code runs vary up to 2.2x, so a regression claim needs HEAD
+    and base sampled *alternately* within the same noise window, not two
+    monolithic runs an hour apart. Odd repeats start base-first so slow
+    warm-up drift (page cache, CPU governor) can't systematically favour
+    the side that always runs second.
+    """
+    root = os.path.dirname(os.path.abspath(__file__))
+    base_wt = _ab_worktree(base_commit)
+    # SPARK_GRAFT_AB_HEAD pins the "head" side to a commit worktree too,
+    # so an A/B can keep running while the working tree is being edited.
+    head_pin = os.environ.get("SPARK_GRAFT_AB_HEAD", "")
+    sides = {"head": _ab_worktree(head_pin) if head_pin else root, "base": base_wt}
+    samples: dict[str, dict[str, dict[str, list[float]]]] = {
+        s: {"count": {}, "materialized": {}} for s in sides
+    }
+    for r in range(repeats):
+        order = ["head", "base"] if r % 2 == 0 else ["base", "head"]
+        for side in order:
+            out = _ab_run_once(sides[side], subset)
+            for metric, key in (
+                ("count", "queries"),
+                ("materialized", "queries_materialized"),
+            ):
+                for q, t in out.get(key, {}).items():
+                    samples[side][metric].setdefault(q, []).append(t)
+            print(
+                f"ab repeat {r + 1}/{repeats} {side}: "
+                + json.dumps(out.get("queries", {})),
+                flush=True,
+            )
+    table: dict[str, dict] = {}
+    for q in subset:
+        row: dict = {}
+        for metric in ("count", "materialized"):
+            h = samples["head"][metric].get(q)
+            b = samples["base"][metric].get(q)
+            if h and b:
+                row[metric] = {
+                    "head_min": round(min(h), 3),
+                    "base_min": round(min(b), 3),
+                    "head_samples": h,
+                    "base_samples": b,
+                    "ratio_min": round(min(h) / min(b), 3),
+                }
+        table[q] = row
+    result = {
+        "mode": "ab",
+        "base_commit": base_commit,
+        "repeats": repeats,
+        "sf_dir": SF_DIR,
+        "queries": table,
+    }
+    with open(os.path.join(root, "bench_ab_out.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
+    for q, row in table.items():
+        c = row.get("count", {})
+        m = row.get("materialized", {})
+        print(
+            f"{q}: count head {c.get('head_min')} vs base {c.get('base_min')}"
+            f" (x{c.get('ratio_min')}) | materialized head"
+            f" {m.get('head_min')} vs base {m.get('base_min')}"
+            f" (x{m.get('ratio_min')})"
+        )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab":
+        base = sys.argv[2]
+        subset = [
+            s.strip()
+            for s in os.environ.get("SPARK_GRAFT_BENCH_SUBSET", "").split(",")
+            if s.strip()
+        ]
+        if not subset:
+            raise SystemExit("--ab requires SPARK_GRAFT_BENCH_SUBSET")
+        ab_main(base, subset, int(os.environ.get("SPARK_GRAFT_AB_REPEATS", "5")))
+        return
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = catalog.spark_queries()
