@@ -213,20 +213,42 @@ def quantiles_from_histogram(
 # Error stays ≤ one (final) bin width; state is (groups × ≤bins) rows.
 
 
-def _covering_width(gmax: Column, lo: float, bins: int, base_width: float):
+def _covering_width(
+    gmax: Column, gmin: Column, lo: float, bins: int, base_width: float
+):
     """Smallest width = base_width * 2^d (d in 0..40) whose ``bins``-bin
-    grid anchored at ``lo`` STRICTLY covers ``gmax`` (bins*width > gmax-lo,
-    so the top value's bin index is ≤ bins-1 with no clamping — clamping
-    would break the lossless-coarsening identity). Comparison-only: no
-    log2, so the choice is reproducible on any engine."""
+    grid anchored at ``lo`` STRICTLY covers the group's span on BOTH
+    sides of the anchor (bins*width > gmax-lo and bins*width > lo-gmin,
+    so every bin index lies in [-bins, bins-1] with no clamping —
+    clamping would break the lossless-coarsening identity). Comparison-
+    only: no log2, so the choice is reproducible on any engine. If even
+    d=40 (a 10^12× range blow-up over the base grid) can't cover the
+    span, raise loudly — the silent alternative is a NULL width that
+    clamps every row into bin 0, the wrong-but-plausible state the
+    fixed-grid form's validation rejects up front."""
     span = F.lit(float(bins) * float(base_width))
-    d = F.element_at(
+    need = F.greatest(gmax - F.lit(float(lo)), F.lit(float(lo)) - gmin)
+    # try_element_at: under ANSI mode plain element_at on the empty
+    # filtered sequence throws a cryptic ArrayIndexOutOfBounds before the
+    # clear raise below could fire — NULL here, loud message there
+    d = F.try_element_at(
         F.filter(
             F.sequence(F.lit(0), F.lit(40)),
-            lambda i: span * F.pow(F.lit(2.0), i.cast("double"))
-            > gmax - F.lit(float(lo)),
+            lambda i: span * F.pow(F.lit(2.0), i.cast("double")) > need,
         ),
-        1,
+        F.lit(1),
+    )
+    d = F.when(d.isNotNull(), d).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "adaptive_histogram_partial: no covering width in "
+                    "base_width*2^[0..40] for group span "
+                ),
+                need.cast("string"),
+                F.lit(" — raise base_width or bins"),
+            )
+        )
     )
     return F.lit(float(base_width)) * F.pow(F.lit(2.0), d.cast("double"))
 
@@ -240,13 +262,17 @@ def adaptive_histogram_partial(
     base_width: float,
 ) -> DataFrame:
     """Aggregate ``df`` into width-tagged mergeable histogram state per
-    group: ``(keys..., bin, cnt, width)``. No upper range is required —
-    the width is derived per group from the batch's own max (one extra
-    group-cardinality-sized aggregate + a broadcastable join back, both
-    keyed identically to the final groupBy). Values below ``lo`` clamp
-    into bin 0 (counted, documented — ``lo`` is a floor anchor like 0
-    for prices, not a guess at the max). NULLs are dropped, matching
-    ``count(value)`` semantics."""
+    group: ``(keys..., bin, cnt, width)``. No value range is required —
+    the width is derived per group from the batch's own max AND min
+    (one extra group-cardinality-sized aggregate + a broadcastable join
+    back, both keyed identically to the final groupBy). ``lo`` is only
+    a shared grid ANCHOR (any fixed point, e.g. 0): values below it get
+    negative bin indices rather than clamping — floor division is exact
+    for negatives too, so the power-of-2 coarsening identity holds on
+    both sides and signed metrics (deltas, offsets, PnL) bin correctly
+    (round 12, lifting the round-11 floor-anchor caveat). State is ≤
+    2·bins rows per group. NULLs are dropped, matching ``count(value)``
+    semantics."""
     if bins < 1:
         raise ValueError(
             f"adaptive_histogram_partial: bins must be >= 1 (got {bins})"
@@ -259,14 +285,16 @@ def adaptive_histogram_partial(
     v = F.col(value_col).cast("double")
     rows = df.where(v.isNotNull()).select(*keys, v.alias("_v"))
     widths = rows.groupBy(*keys).agg(
-        _covering_width(F.max("_v"), lo, bins, base_width).alias("width")
+        _covering_width(
+            F.max("_v"), F.min("_v"), lo, bins, base_width
+        ).alias("width")
     )
     b = F.floor((F.col("_v") - F.lit(float(lo))) / F.col("width")).cast(
         "long"
     )
     return (
         rows.join(widths, keys)
-        .groupBy(*keys, F.greatest(b, F.lit(0)).alias("bin"), "width")
+        .groupBy(*keys, b.alias("bin"), "width")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 

@@ -259,7 +259,8 @@ def test_adaptive_histogram_survives_range_blowup(spark):
 def test_adaptive_histogram_per_group_widths_and_below_anchor(spark):
     """Widths are chosen PER GROUP (a small-valued group keeps its fine
     grid even when another group's range explodes), and values below the
-    anchor clamp into bin 0 — counted, never lost."""
+    anchor get NEGATIVE bin indices (round 12 — the old clamp-into-bin-0
+    silently corrupted signed metrics' low quantiles)."""
     from ecommerce_full_etl_process_spark.operators.incremental import (
         adaptive_histogram_partial,
         merge_adaptive_histogram_partials,
@@ -279,7 +280,74 @@ def test_adaptive_histogram_per_group_widths_and_below_anchor(spark):
     assert len(w["small"]) == 1 and len(w["big"]) == 1
     assert max(w["small"]) < max(w["big"])
     assert sum(r["cnt"] for r in rows) == 21  # the below-anchor row counted
-    assert all(r["bin"] >= 0 for r in rows)
+    below = [r for r in rows if r["g"] == "small" and r["bin"] < 0]
+    assert len(below) == 1 and below[0]["cnt"] == 1  # its own bin, not bin 0
+
+
+def test_adaptive_histogram_signed_merge_invariance_and_quantiles(spark):
+    """Round-12 signed-metric contract: batches split around the anchor
+    with wildly different ranges still merge to exactly the one-pass
+    histogram (the coarsening identity holds for negative bins because
+    floor division is exact there too), and quantile read-out stays
+    within one final bin width of exact — including quantiles that land
+    BELOW the anchor."""
+    import numpy as np
+
+    from ecommerce_full_etl_process_spark.operators.incremental import (
+        adaptive_histogram_partial,
+        merge_adaptive_histogram_partials,
+        quantiles_from_adaptive_histogram,
+    )
+
+    lo, bins, base_w = 0.0, 64, 1.0
+    b1 = spark.range(0, 200).select(
+        F.lit("g").alias("g"), (F.col("id") - 100).cast("double").alias("v")
+    )  # -100..99 — two-sided, fine grid
+    b2 = spark.range(0, 100).select(
+        F.lit("g").alias("g"),
+        (-(F.col("id") * 50)).cast("double").alias("v"),
+    )  # 0..-4950 — deep negative tail forcing a coarsen
+    parts = [
+        adaptive_histogram_partial(b, ["g"], "v", lo, bins, base_w)
+        for b in (b1, b2)
+    ]
+    merged = merge_adaptive_histogram_partials(parts, ["g"])
+    onepass = adaptive_histogram_partial(
+        b1.unionByName(b2), ["g"], "v", lo, bins, base_w
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, onepass.collect())
+    )
+    rows = merged.collect()
+    assert min(r["bin"] for r in rows) < 0  # negative side genuinely used
+    final_w = rows[0]["width"]
+    got = {
+        r["q"]: r["q_value"]
+        for r in quantiles_from_adaptive_histogram(
+            merged, ["g"], lo, [0.1, 0.5, 0.9]
+        ).collect()
+    }
+    vals = np.concatenate([np.arange(-100, 100), -np.arange(100) * 50.0])
+    for q in (0.1, 0.5, 0.9):
+        exact = float(np.quantile(vals, q))
+        assert abs(got[q] - exact) <= final_w + 1e-9, (q, got[q], exact)
+
+
+def test_covering_width_raises_loudly_when_span_exceeds_grid(spark):
+    """Round-12 advice fix: a span no d in 0..40 covers must raise, not
+    silently produce a NULL width that clamps every row into bin 0."""
+    import pytest
+
+    from ecommerce_full_etl_process_spark.operators.incremental import (
+        adaptive_histogram_partial,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 0.0), ("g", 1e18)], "g string, v double"
+    )
+    with pytest.raises(Exception, match="no covering width"):
+        # bins*base_width*2^40 = 1*1*2^40 ≈ 1.1e12 << 1e18
+        adaptive_histogram_partial(df, ["g"], "v", 0.0, 1, 1.0).collect()
 
 
 def test_adaptive_histogram_rejects_degenerate_params(spark):
