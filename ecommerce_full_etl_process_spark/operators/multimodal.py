@@ -7,12 +7,19 @@ decode / feature-extraction / frame-sampling run as Arrow-batched
 libraries (one python worker per partition, columnar Arrow transfer, no
 per-row pickling).
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
-decode kernels are STUBBED: ``decode=fake`` produces deterministic
-pseudo-features derived from the payload bytes (so tests can assert exact
-values); ``decode=real`` raises NotImplementedError at the call site where
-the codec would run. The Spark-side plumbing — schema, batching, partition
-behavior, UDF signatures — is real and tested.
+Decode tiers (round 12 lifted the env-gating for codec-free formats):
+``decode='real'`` runs a REAL dependency-free decoder — binary PNM
+(PPM/PGM) and 24-bit uncompressed BMP in pure numpy
+(:func:`decode_image`) — for feature extraction and resize;
+NotImplementedError remains only inside the decoder for formats that
+genuinely need a codec library (PNG/JPEG → ``decode='pil'``, video frame
+decode → ffmpeg). ``decode='fake'`` produces deterministic
+pseudo-features derived from the payload bytes (payloads that aren't
+images at all, e.g. the utf-8 doc-text stand-ins). The Spark-side
+plumbing — schema, batching, partition behavior, UDF signatures — is the
+same for every tier, and the real tier is oracle-graded end-to-end
+(``multimodal_real_decode``: synthetic closed-form PPMs whose decoded
+statistics DuckDB recomputes from the pixel formula).
 
 Round-6 cluster-readiness shim: ``decode="pil"`` on
 :func:`extract_features` / :func:`resize_images` runs REAL pixel work via
@@ -85,6 +92,169 @@ def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
     )
 
 
+def _make_image_codec():
+    """Dependency-free image codec (round-12 verdict item 7): decode for
+    binary PNM (PPM ``P6`` / PGM ``P5``) and 24-bit uncompressed BMP, and
+    a PPM/PGM encoder — pure numpy + struct, no PIL. Defined inside a
+    factory so the returned functions have ``<locals>`` qualnames:
+    cloudpickle then serializes them BY VALUE into mapInPandas kernels
+    (a plain module-level def would pickle by reference and require this
+    package on the executor workers' sys.path — the failure mode the
+    kernel-closure note in :func:`extract_features` documents)."""
+
+    def decode_image(b):
+        """``payload bytes -> (width, height, bands, HxWxB uint8 ndarray)``.
+        Formats genuinely needing a codec library (PNG/JPEG/...) raise
+        NotImplementedError — that branch is now ONLY for those."""
+        import numpy as np
+
+        if b[:2] in (b"P6", b"P5"):
+            pos, vals = 2, []
+            while len(vals) < 3:
+                while pos < len(b) and b[pos : pos + 1].isspace():
+                    pos += 1
+                if b[pos : pos + 1] == b"#":  # comment to end-of-line
+                    while pos < len(b) and b[pos : pos + 1] != b"\n":
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(b) and not b[pos : pos + 1].isspace():
+                    pos += 1
+                vals.append(int(b[start:pos]))
+            pos += 1  # exactly one whitespace byte after maxval
+            w, h, maxval = vals
+            if maxval != 255:
+                raise NotImplementedError("only 8-bit PNM (maxval 255)")
+            bands = 3 if b[:2] == b"P6" else 1
+            px = np.frombuffer(b, dtype=np.uint8, count=w * h * bands, offset=pos)
+            return w, h, bands, px.reshape(h, w, bands)
+        if b[:2] == b"BM":
+            import struct
+
+            data_off = struct.unpack_from("<I", b, 10)[0]
+            w, h = struct.unpack_from("<ii", b, 18)
+            bpp = struct.unpack_from("<H", b, 28)[0]
+            comp = struct.unpack_from("<I", b, 30)[0]
+            if bpp != 24 or comp != 0:
+                raise NotImplementedError("only 24-bit uncompressed BMP")
+            bottom_up = h > 0
+            h = abs(h)
+            row = ((w * 3 + 3) // 4) * 4  # rows pad to 4-byte boundaries
+            arr = np.frombuffer(
+                b, dtype=np.uint8, offset=data_off, count=row * h
+            ).reshape(h, row)
+            px = arr[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR -> RGB
+            if bottom_up:
+                px = px[::-1]
+            return w, h, 3, np.ascontiguousarray(px)
+        raise NotImplementedError(
+            "dependency-free decode supports binary PNM (P5/P6) and 24-bit "
+            "uncompressed BMP; other formats need decode='pil' (Pillow)"
+        )
+
+    def encode_pnm(px):
+        """``HxWxB uint8 ndarray -> PPM(P6)/PGM(P5) bytes`` (B=3 / B=1)."""
+        h, w, bands = px.shape
+        magic = b"P6" if bands == 3 else b"P5"
+        return magic + f"\n{w} {h}\n255\n".encode("ascii") + px.tobytes()
+
+    def luma_features(b, feature_dim):
+        """The decode='pil' feature layout computed via decode_image:
+        [w, h, bands, mean/255, min/255, max/255, spread/255, aspect]
+        over ITU-R 601-2 integer luma ((299R+587G+114B)//1000 — PIL's
+        convert("L") truncating formula, so the two paths agree)."""
+        import numpy as np
+
+        w, h, bands, px = decode_image(b)
+        if bands == 3:
+            p = px.astype(np.int64)
+            lum = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+        else:
+            lum = px[..., 0].astype(np.int64)
+        lo, hi = int(lum.min()), int(lum.max())
+        return [
+            float(w),
+            float(h),
+            float(bands),
+            int(lum.sum()) / (w * h) / 255.0,
+            lo / 255.0,
+            hi / 255.0,
+            (hi - lo) / 255.0,
+            w / max(h, 1),
+        ][:feature_dim]
+
+    return decode_image, encode_pnm, luma_features
+
+
+decode_image, encode_pnm, _luma_features = _make_image_codec()
+
+
+def synthetic_ppm_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-image media table: one PPM (P6) per document,
+    every pixel a closed-form function of (doc_id, x, y) — so a SQL
+    oracle can regenerate the pixels and recompute the DECODED statistics
+    exactly, grading the real decode path end-to-end. Arrow-batched
+    generation (mapInPandas), numpy-vectorized per image:
+
+        w = 8 + (doc_id % 5)*4, h = 8 + (doc_id % 3)*4
+        R = (7·id + 13·x + 31·y) % 256
+        G = (11·id + 3·x + 17·y) % 256
+        B = (5·id + 29·x + 23·y) % 256
+    """
+    gen_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+        ]
+    )
+    enc = encode_pnm  # local alias -> pickled by value (see _make_image_codec)
+
+    def _batches(it):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            payloads, ws, hs = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 8 + (did % 5) * 4
+                h = 8 + (did % 3) * 4
+                x = _np.arange(w)[None, :, None]
+                y = _np.arange(h)[:, None, None]
+                r = (7 * did + 13 * x + 31 * y) % 256
+                g = (11 * did + 3 * x + 17 * y) % 256
+                bl = (5 * did + 29 * x + 23 * y) % 256
+                px = _np.concatenate(
+                    _np.broadcast_arrays(r, g, bl), axis=2
+                ).astype(_np.uint8)
+                payloads.append(enc(px))
+                ws.append(w)
+                hs.append(h)
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "width": _pd.Series(ws, dtype="int32"),
+                    "height": _pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    flat = docs.select("doc_id").mapInPandas(_batches, schema=gen_schema)
+    return flat.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.col("width"),
+            F.col("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def _fake_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for a real feature extractor: FEATURE_DIM
     doubles derived from the md5 digest."""
@@ -95,16 +265,20 @@ def _fake_features(payload: bytes) -> list[float]:
 def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
-    ``decode='real'`` marks where an actual image/audio decoder would run —
-    unavailable in this environment (NotImplementedError). ``decode='pil'``
-    decodes the payload as an image with Pillow (if importable) and emits
-    real pixel statistics as the feature vector: [w, h, n_bands,
-    mean/255, min/255, max/255, extrema-spread, aspect] — deterministic,
-    so the skipped-unless-PIL test can pin exact values."""
+    ``decode='real'`` (round 12) runs the REAL dependency-free decoder —
+    binary PNM (P6/P5) and 24-bit uncompressed BMP via
+    :func:`decode_image` — and emits the same pixel-statistic layout as
+    the pil path: [w, h, n_bands, mean/255, min/255, max/255,
+    extrema-spread, aspect] over ITU-R 601-2 integer luma; formats
+    genuinely needing a codec library still raise NotImplementedError
+    inside the decoder. ``decode='pil'`` decodes with Pillow when
+    importable (any format PIL knows); both paths agree on PNM/BMP
+    inputs (tests/test_multimodal.py)."""
     if decode not in ("fake", "real", "pil"):
         raise ValueError(f"decode must be 'fake', 'real' or 'pil', got {decode!r}")
 
     feature_dim = FEATURE_DIM  # captured by value — see closure note below
+    real_features = _luma_features  # <locals> qualname -> pickled by value
 
     # NB the kernel must be a SELF-CONTAINED closure: any reference to a
     # module-level name makes cloudpickle serialize it by module reference,
@@ -146,13 +320,14 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                 ][:feature_dim]
 
         for pdf in it:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real media decode requires PIL/librosa/ffmpeg, "
-                    "not present in this container"
-                )
             payloads = pdf["payload"]
-            if decode == "pil":
+            if decode == "real":
+                feats = payloads.map(
+                    lambda b: real_features(b, feature_dim)
+                    if b is not None
+                    else None
+                )
+            elif decode == "pil":
                 feats = payloads.map(_pil_features)
             else:
                 feats = payloads.map(
@@ -231,16 +406,19 @@ def resize_images(
     """Image resize to a fixed (width, height) — the standard
     pre-training normalization step. Arrow-batched 1→1 mapInPandas; the
     Spark-side plumbing (schema, batch shape, metadata update) is real,
-    the pixel work is env-gated like the other multimodal kernels:
-    ``decode='real'`` is where PIL's ``Image.resize`` would run
-    (NotImplementedError here — no PIL in the container); ``decode='pil'``
-    runs it for real when Pillow imports (re-encoded as PNG bytes); the
+    and so is the pixel work for codec-free formats (round 12):
+    ``decode='real'`` decodes PNM/24-bit-BMP via :func:`decode_image`,
+    nearest-neighbour-resamples the pixel grid in numpy, and re-encodes
+    as PPM/PGM — NotImplementedError now fires only inside the decoder,
+    for formats genuinely needing a codec library. ``decode='pil'``
+    resizes with Pillow when it imports (re-encoded as PNG bytes); the
     ``fake`` path emits a deterministic byte-resample of the payload sized
     ``width·height`` bytes (1 byte/px stand-in), so downstream batch
     sizing and storage accounting behave like the real thing."""
     if decode not in ("fake", "real", "pil"):
         raise ValueError(f"decode must be 'fake', 'real' or 'pil', got {decode!r}")
     w, h = int(width), int(height)
+    dec, enc = decode_image, encode_pnm  # by-value pickling aliases
 
     def _batches(it):
         import pandas as _pd
@@ -265,12 +443,17 @@ def resize_images(
                 img.resize((w, h)).save(out, format="PNG")
                 return out.getvalue()
 
+        def _real_resize(b):
+            if b is None:
+                return None
+            import numpy as _np
+
+            w0, h0, _bands, px = dec(b)
+            xs = (_np.arange(w) * w0) // w  # nearest-neighbour index map
+            ys = (_np.arange(h) * h0) // h
+            return enc(_np.ascontiguousarray(px[ys][:, xs]))
+
         for pdf in it:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real image resize requires PIL, not present in this "
-                    "container"
-                )
 
             def _resample(b):
                 if b is None:
@@ -281,12 +464,15 @@ def resize_images(
                 # nearest-neighbour byte resample: index stretch/shrink
                 return bytes(b[(i * len(b)) // n] for i in range(n))
 
+            kernel = {
+                "pil": _pil_resize,
+                "real": _real_resize,
+                "fake": _resample,
+            }[decode]
             yield _pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": pdf["payload"].map(
-                        _pil_resize if decode == "pil" else _resample
-                    ),
+                    "payload": pdf["payload"].map(kernel),
                     "width": _pd.Series([w] * len(pdf), dtype="int32"),
                     "height": _pd.Series([h] * len(pdf), dtype="int32"),
                 }

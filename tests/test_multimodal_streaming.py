@@ -39,12 +39,107 @@ def test_extract_features_deterministic(media, spark):
     assert len(rows) == 50
 
 
-def test_extract_features_real_decode_stubbed(media):
+def test_extract_features_real_decode_rejects_unknown_formats(media):
+    """decode='real' is a real decoder since round 12, but these media
+    payloads are utf-8 doc text — not PNM/BMP — so the decoder must
+    refuse them loudly (NotImplementedError naming the supported set),
+    never emit garbage statistics."""
     with pytest.raises(Exception) as exc_info:
         M.extract_features(media, decode="real").collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_decode_image_pnm_roundtrip_and_bmp():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    w, h, bands, out = M.decode_image(M.encode_pnm(px))
+    assert (w, h, bands) == (7, 5, 3)
+    assert np.array_equal(out, px)
+    gray = rng.integers(0, 256, size=(4, 6, 1), dtype=np.uint8)
+    w, h, bands, out = M.decode_image(M.encode_pnm(gray))
+    assert (w, h, bands) == (6, 4, 1)
+    assert np.array_equal(out, gray)
+    # comments + multi-whitespace in the PNM header must parse
+    hdr_variant = b"P6\n# made by hand\n7  5\n255\n" + px.tobytes()
+    assert np.array_equal(M.decode_image(hdr_variant)[3], px)
+
+    # hand-built 24-bit BMP, bottom-up rows, 4-byte row padding
+    import struct
+
+    bw, bh = 3, 2  # row = 9 bytes -> padded to 12
+    rgb = np.arange(bw * bh * 3, dtype=np.uint8).reshape(bh, bw, 3)
+    row_size = ((bw * 3 + 3) // 4) * 4
+    body = b""
+    for y in range(bh - 1, -1, -1):  # bottom-up
+        row = rgb[y][:, ::-1].tobytes()  # BGR on disk
+        body += row + b"\x00" * (row_size - len(row))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, bw, bh, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    w, h, bands, out = M.decode_image(header + body)
+    assert (w, h, bands) == (bw, bh, 3)
+    assert np.array_equal(out, rgb)
+
+    with pytest.raises(NotImplementedError, match="PNM"):
+        M.decode_image(b"\x89PNG\r\n\x1a\nnotreally")
+
+
+def test_extract_features_real_matches_hand_computed(spark):
+    import numpy as np
+
+    px = np.zeros((2, 4, 3), dtype=np.uint8)
+    px[..., 0] = 200  # R
+    px[..., 1] = 100  # G
+    px[..., 2] = 50   # B
+    lum = (299 * 200 + 587 * 100 + 114 * 50) // 1000  # ITU-R 601-2
+    media = spark.createDataFrame(
+        [(1, bytearray(M.encode_pnm(px)))], "media_id long, payload binary"
+    )
+    feats = M.extract_features(media, decode="real").collect()[0]["features"]
+    assert feats[:3] == [4.0, 2.0, 3.0]
+    assert abs(feats[3] - lum / 255.0) < 1e-12  # constant image: mean==px
+    assert feats[4] == feats[5] == lum / 255.0
+    assert feats[6] == 0.0
+    assert feats[7] == 2.0
+
+
+def test_resize_images_real_nearest_neighbour(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(M.encode_pnm(px)))], "media_id long, payload binary"
+    )
+    out = M.resize_images(media, 4, 3, decode="real").collect()[0]
+    w, h, bands, got = M.decode_image(bytes(out["payload"]))
+    assert (w, h, bands) == (4, 3, 3)
+    xs = (np.arange(4) * 8) // 4
+    ys = (np.arange(3) * 6) // 3
+    assert np.array_equal(got, px[ys][:, xs])
+
+
+def test_real_and_pil_paths_agree_on_ppm(spark):
+    """Parity gate for cluster images that DO have Pillow: the
+    dependency-free decoder and PIL must emit identical features for the
+    formats both understand (skips in this codec-free container)."""
+    pytest.importorskip("PIL")
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(M.encode_pnm(px)))], "media_id long, payload binary"
+    )
+    real = M.extract_features(media, decode="real").collect()[0]["features"]
+    pil = M.extract_features(media, decode="pil").collect()[0]["features"]
+    assert real == pytest.approx(pil, abs=1e-12)
 
 
 def test_sample_frames_expansion(media):
@@ -211,13 +306,13 @@ def test_resize_images_fake_path(spark, sf_dir):
     }
 
 
-def test_resize_images_real_path_env_gated(spark, sf_dir):
+def test_resize_images_real_path_rejects_unknown_formats(spark, sf_dir):
     import pytest
 
     from ecommerce_full_etl_process_spark.operators import multimodal as M
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2)
-    media = M.media_from_documents(docs)
+    media = M.media_from_documents(docs)  # utf-8 text payloads, not images
     with pytest.raises(Exception) as exc:
         M.resize_images(media, 4, 4, decode="real").collect()
     assert "NotImplementedError" in str(exc.value) or isinstance(
