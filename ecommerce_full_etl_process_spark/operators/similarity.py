@@ -191,9 +191,35 @@ def bucketed_topk(
     )
 
 
+def ivf_defaults(n_rows: int) -> tuple[int, int]:
+    """Recall-targeted IVF sizing: ``(n_cells, nprobe)`` for a corpus of
+    ``n_rows`` vectors.
+
+    - ``n_cells = max(16, round(sqrt(N)))`` — the classic IVF heuristic:
+      cell population ~sqrt(N) balances the centroid-ranking cost
+      (O(n_cells)) against the cell-rescore cost (O(N/n_cells · nprobe)).
+    - ``nprobe = ceil(n_cells / 2)`` — sized to hold **recall@10 ≥ 0.9 on
+      the WORST-CASE corpus**: the SCALEBENCH embeddings are uniform in
+      [-0.5, 0.5)^64, where neighbor structure is weakest and IVF prunes
+      worst. Measured on that corpus at N=30k (numpy replica of this
+      Lloyd's loop, 100 queries, 3 seeds): 50% probe → recall@10
+      0.93–0.95; 40% → 0.89–0.91 (below target on one seed); 25% → 0.83.
+      The old defaults (k=16, nprobe=1) measured 0.28 (SCALEBENCH
+      §ivf_refresh, round 11) — correct per the all-cell contract but
+      unusable ANN quality for a user who never touches the knobs.
+      Clustered real-world embedding corpora reach the same recall at a
+      far smaller probe fraction; these defaults are the safe floor, and
+      ``nprobe`` stays the explicit cost/recall knob.
+    """
+    import math
+
+    n_cells = max(16, int(round(math.sqrt(max(1, n_rows)))))
+    return n_cells, (n_cells + 1) // 2
+
+
 def kmeans_lite(
     embeddings: DataFrame,
-    k: int = 16,
+    k: int | None = None,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -228,12 +254,19 @@ def kmeans_lite(
     Returns (centroids(cid, cv), assignments(id, cid)). Scale shape: the
     full vectors shuffle ONCE (the initial hash-partition by id, cached);
     every iteration then moves only skinny rows.
+
+    ``k=None`` (the default since round 12) sizes the index via
+    :func:`ivf_defaults` — ``max(16, round(sqrt(N)))`` cells, costing one
+    count() job up front. Pass an explicit ``k`` to pin the layout (every
+    oracle-graded catalog entry does, so its grid is reproducible).
     """
     from pyspark.sql.window import Window
 
     v = embeddings.select(
         F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
     )
+    if k is None:
+        k, _ = ivf_defaults(v.count())
     # reused by every iteration below; no eager count — the cache fills
     # on the first Lloyd round's path (one fewer fixed job per training)
     pts = v.repartition("id").cache()
@@ -453,16 +486,22 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nprobe: int = 1,
+    nprobe: int | None = None,
     kernel: str = "numpy",
 ) -> DataFrame:
     """IVF multi-probe ANN: rank the query's ``nprobe`` nearest centroids,
     rescore only those cells' vectors exactly. Standard recall/cost trade —
     nprobe=1 is fastest, nprobe=n_cells degenerates to exact brute force.
-    Scale shape is unchanged by nprobe: centroids stay broadcast, the cell
-    prune is a broadcast semi-style join, and only the probed fraction of
-    the corpus is rescored. The centroid ranking (k tiny rows) stays on
-    the HOF fold; only the corpus rescore uses the Arrow kernel."""
+    ``nprobe=None`` (the default since round 12) probes ceil(n_cells/2) —
+    the :func:`ivf_defaults` sizing measured at recall@10 ≥ 0.9 on the
+    worst-case (uniform) SCALEBENCH corpus; the old default of 1 measured
+    0.28 there. Scale shape is unchanged by nprobe: centroids stay
+    broadcast, the cell prune is a broadcast semi-style join, and only the
+    probed fraction of the corpus is rescored. The centroid ranking (k
+    tiny rows) stays on the HOF fold; only the corpus rescore uses the
+    Arrow kernel."""
+    if nprobe is None:
+        nprobe = (centroids.count() + 1) // 2
     dist2 = F.aggregate(
         F.zip_with(F.col("q"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ecommerce_full_etl_process_spark.operators.similarity import (
+    ivf_defaults,
     ivf_topk,
     kmeans_lite,
 )
@@ -16,6 +17,38 @@ from ecommerce_full_etl_process_spark.operators.similarity import (
 @pytest.fixture(scope="module")
 def embs(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def test_ivf_defaults_recall_targeted_sizing():
+    """Round-12 defaults: sqrt-N cells (floor 16), half-cell probe —
+    the sizing measured at recall@10 >= 0.9 on the worst-case uniform
+    SCALEBENCH corpus (the old k=16/nprobe=1 defaults measured 0.28)."""
+    assert ivf_defaults(100) == (16, 8)
+    assert ivf_defaults(30_000) == (173, 87)
+    assert ivf_defaults(1_000_000) == (1000, 500)
+    assert ivf_defaults(0) == (16, 8)  # degenerate corpus still valid
+
+
+def test_kmeans_and_ivf_topk_defaults_apply(embs):
+    """k=None sizes the index via ivf_defaults; nprobe=None probes half
+    the cells — and half-cell probing is a superset of nprobe=1, so the
+    default must find at least what the tightest probe finds."""
+    cents, assigns = kmeans_lite(embs, iters=1)
+    n = embs.count()
+    assert cents.count() == ivf_defaults(n)[0]
+    q = embs.where(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("q")
+    )
+    got_default = {
+        r["vec_id"] for r in ivf_topk(embs, q, cents, assigns, k=5).collect()
+    }
+    got_tight = {
+        r["vec_id"]
+        for r in ivf_topk(embs, q, cents, assigns, k=5, nprobe=1).collect()
+    }
+    probed_frac_hits = len(got_default & got_tight)
+    assert probed_frac_hits >= 1  # the query's own cell is always probed
+    assert 0 in got_default  # self-recall under defaults
 
 
 def test_kmeans_deterministic_and_complete(embs):
