@@ -342,11 +342,15 @@ def minhash_lsh_pairs(
     # the cached shingle frame, so no extra materialization job is needed.
     # no distinct: left_semi ignores duplicate probe rows, so deduping
     # cand_ids would only add a shuffle (≈0.2s fixed AQE-stage cost per
-    # invocation) to shrink an already-candidate-sized broadcast
+    # invocation) to shrink the candidate-id probe side.
+    # No broadcast hint either (round-12 fix): a clone-heavy corpus can
+    # blow the candidate set past broadcast size, and a pinned-broadcast
+    # hint would then OOM the driver; AQE still picks a broadcast
+    # left-semi whenever the post-LSH candidate set actually fits.
     cand_ids = candidates.select(
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
     )
-    sh = shingled.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sh = shingled.join(cand_ids, "doc_id", "left_semi")
     pairs = (
         candidates.join(
             sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),

@@ -68,6 +68,31 @@ def test_hot_bucket_clone_corpus(spark):
     assert clone_pairs.where(F.col("jaccard_sim") < 1.0).count() == 0
 
 
+def test_hot_bucket_clone_corpus_without_broadcast(spark):
+    """Round-12 un-pin check: the candidate-id prune must NOT be a pinned
+    broadcast hint — on a clone-heavy corpus the candidate set can outgrow
+    broadcast size, and a forced broadcast would OOM the driver. With
+    broadcasts disabled entirely (the planner state a too-big candidate
+    set degrades to), the operator must still run and emit every pair —
+    i.e. the plan works under EITHER join strategy, AQE's choice."""
+    from ecommerce_full_etl_process_spark.operators.dedup import minhash_lsh_pairs
+
+    n_clones = 128
+    rows = [(i, "the same cloned document text repeated verbatim here") for i in range(n_clones)]
+    rows += [(10_000 + i, f"unique filler document number {i} totally different words {i * 7}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = minhash_lsh_pairs(df, "doc_id", "text")
+        clone_pairs = pairs.where(
+            (F.col("id_a") < 10_000) & (F.col("id_b") < 10_000)
+        )
+        assert clone_pairs.count() == n_clones * (n_clones - 1) // 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_connected_components_paths_agree(spark):
     """The driver union-find fast path and the distributed min-label loop
     must produce identical (node, comp) labels — chains, a star, a cycle,
