@@ -121,6 +121,12 @@ HEADLINE = [
     "incremental_distinct_counts",
     "streaming_ivf_ingest",
     "streaming_adaptive_quantile_state",
+    # round-12 additions: signed adaptive quantile state (negative-bin
+    # grid), real dependency-free image decode, and the default-parameter
+    # IVF recall contract (sqrt-N cells, half-cell probe)
+    "adaptive_quantile_state_signed",
+    "multimodal_real_decode",
+    "similarity_topk_ivf_recall",
 ]
 
 

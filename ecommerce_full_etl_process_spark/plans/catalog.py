@@ -769,86 +769,108 @@ _REGISTRY: dict[
         sp.streaming_adaptive_quantile_state,
         oq.ADAPTIVE_QUANTILE_STATE_ORACLE,
     ),
+    # ------------------------------------------------------------------
+    # round-12 NEW builds
+    # ------------------------------------------------------------------
+    # adaptive quantile state over a SIGNED metric — negative bin
+    # indices instead of a clamping floor anchor (verdict item 6)
+    "adaptive_quantile_state_signed": (
+        oq.adaptive_quantile_state_signed,
+        oq.ADAPTIVE_QUANTILE_STATE_SIGNED_ORACLE,
+    ),
+    # REAL (dependency-free PNM/BMP) image decode graded end-to-end over
+    # closed-form synthetic PPMs (verdict item 7)
+    "multimodal_real_decode": (
+        sq.multimodal_real_decode,
+        sq.MULTIMODAL_REAL_DECODE_ORACLE,
+    ),
+    # default-parameter IVF quality contract: exact top-10 payload +
+    # recall_ok >= 0.8 under the shipped ivf_defaults (verdict item 3)
+    "similarity_topk_ivf_recall": (
+        lq.similarity_topk_ivf_recall,
+        lq.SIMILARITY_TOPK_IVF_RECALL_ORACLE,
+    ),
 }
 
 # ---------------------------------------------------------------------------
-# The graded window, round-11 rotation (staleness-first re-grading policy).
+# The graded window, round-12 rotation (staleness-first re-grading policy).
 #
 # "Graded at least once" closed in round 10; the standing target is now
 # "no entry's last driver grade older than ~4 rounds". This list IS the
 # window: spark_queries()/oracle_queries() emit these names first, so the
 # driver grades exactly these 50. Composition (last-grade data from
-# CORRECTNESS_r01..r10):
-#   - 20 stalest entries — 16 last graded in round 1, 4 in round 5;
-#   - 13 entries last graded in round 6;
-#   - 13 entries last graded in round 7 (of 17 — asof_events_to_orders,
-#     the semi/anti join pair and variant_extract_events wait for round
-#     12 with the round-8 cohort: their families are heavily
-#     multi-graded and each shares its oracle or family with entries
-#     graded r06-r10, e.g. json_extract_events covers the JSON/variant
-#     family inside this window);
-#   - the 4 new round-11 builds (adaptive quantile state, gradeable HLL
-#     distinct state, streaming IVF ingest, range-free streaming
-#     quantile maintenance).
-# Every demoted round-10 entry was graded green in round 10 itself and
-# stays oracle-checked in every pytest run (tests/test_catalog_oracle.py).
+# CORRECTNESS_r01..r11):
+#   - the 4 entries last graded round 7 + all 14 last graded round 8 —
+#     the 18 stalest, heading the window per the r11 verdict;
+#   - 20 of the 34 remaining round-9-graded entries (the other 14 rotate
+#     in round 13, still 2 rounds inside the MAX_STALENESS=5 lint);
+#   - 9 CHANGED-CODE re-grades: entries graded green r09-r11 whose
+#     implementation files this round touched (incremental.py width
+#     selection + negative bins; similarity.py ivf_defaults;
+#     dedup.py broadcast un-pin; multimodal.py real decoder;
+#     stream_pipeline.py state-store hook + IVF torn-heal scope) — the
+#     re-grade-after-change policy from round 9;
+#   - the 3 new round-12 builds (signed adaptive quantile state, real
+#     multimodal decode, default-parameter IVF recall contract).
+# Every demoted entry was graded green in r10/r11 and stays
+# oracle-checked in every pytest run (tests/test_catalog_oracle.py).
 # ---------------------------------------------------------------------------
 TIER1: list[str] = [
-    # --- last graded round 1 (16) ---
-    "pricing_summary",
-    "shipping_priority",
-    "large_volume_customers",
-    "event_funnel",
-    "weekly_retention_cohorts",
-    "session_window_events",
-    "top_bigrams",
-    "order_value_histogram",
-    "median_order_values",
-    "cube_revenue",
-    "unpivot_status_counts",
-    "intersect_except_users",
-    "cheapest_part_per_type",
-    "event_value_anomalies",
-    "dedup_exact_groups",
-    "doc_fingerprints",
-    # --- last graded round 5 (4) ---
-    "domain_predicate",
-    "null_blank_predicate",
-    "ngram_jaccard_planted_pairs",
-    "winnowing_overlap_pairs",
-    # --- last graded round 6 (13) ---
-    "approx_distinct_counts",
-    "calendar_decomposition",
-    "deterministic_sample",
-    "distinct_keys",
-    "groupby_count_desc",
-    "json_extract_events",
-    "max_key_allocation",
-    "null_aware_aggregates",
-    "projection_filter",
-    "rollup_revenue",
-    "running_customer_revenue",
-    "scd2_intervals_from_orders",
-    "sessionize_events",
-    # --- last graded round 7 (15 of 17) ---
-    "array_stats_embeddings",
-    "change_comparison_join",
-    "change_detect_events",
-    "conditional_counters",
-    "first_occurrence_dedup",
-    "latest_order_per_customer",
-    "minhash_incremental_pairs",
-    "order_value_quantiles",
-    "pivot_status_by_priority",
-    "rolling_hourly_user_value",
-    "string_functions",
-    "top_orders_by_value",
-    "union_split_streams",
-    # --- new round-11 builds (4) ---
+    # --- last graded round 7 (4) ---
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "asof_events_to_orders",
+    "variant_extract_events",
+    # --- last graded round 8 (14) ---
+    "order_priority_counts",
+    "asof_events_to_orders_skewsafe",
+    "corpus_dedup_components",
+    "similarity_topk_bucketed",
+    "similarity_topk_quantized",
+    "streaming_event_counts",
+    "streaming_enriched_segment_counts",
+    "streaming_hopping_rates",
+    "cdc_apply_orders",
+    "zorder_pruned_scan",
+    "hopping_event_rates",
+    "table_stats_orders",
+    "local_supplier_volume",
+    "promo_revenue_share",
+    # --- last graded round 9 (20 of 34; the rest head round 13) ---
+    "interpolated_daily_values",
+    "embedding_quantization",
+    "grouping_sets_revenue",
+    "asof_events_to_orders_fanout",
+    "zorder_rank_pruned_scan",
+    "repeat_purchases_within_90d",
+    "contamination_screen",
+    "corpus_dedup_components_star",
+    "dedup_keep_best_quality",
+    "trigram_lm_scores",
+    "heavy_hitter_bigrams",
+    "streaming_click_purchase_join",
+    "streaming_agg_maintenance_state",
+    "incremental_monthly_revenue",
+    "bloom_filtered_orders",
+    "customer_order_distribution",
+    "surplus_part_suppliers",
+    "bilateral_trade_volume",
+    "filtered_incremental_scan",
+    "regex_predicate",
+    # --- changed-code re-grades (9) ---
     "adaptive_quantile_state",
-    "incremental_distinct_counts",
-    "streaming_ivf_ingest",
     "streaming_adaptive_quantile_state",
+    "streaming_ivf_ingest",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_incremental",
+    "minhash_lsh_neardups",
+    "multimodal_features",
+    "stateful_sessionize",
+    "streaming_dedup_within_watermark",
+    # --- new round-12 builds (3) ---
+    "adaptive_quantile_state_signed",
+    "multimodal_real_decode",
+    "similarity_topk_ivf_recall",
 ]
 
 # Families that MUST sit inside the graded window (lint-enforced) — with

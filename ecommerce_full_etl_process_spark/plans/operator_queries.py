@@ -3479,6 +3479,88 @@ GROUP BY o_orderpriority, q
 """
 
 
+def adaptive_quantile_state_signed(spark, sf_dir):
+    """Adaptive quantile state over a SIGNED metric (round 12, lifting
+    the round-11 floor-anchor caveat): the grid anchor stays a fixed
+    shared point (0 here) but values below it get NEGATIVE bin indices
+    instead of clamping into bin 0 — floor division is exact for
+    negatives, so the power-of-2 lossless-coarsening identity holds on
+    both sides of the anchor and the width now covers
+    max(gmax-lo, lo-gmin). The metric is the signed day offset of each
+    order date from 1998-01-01 (≈ -1100..+1300 days at any SF); batches split
+    by |offset| so batch 1's grid is 32× finer than batch 3's — the
+    merge must coarsen across the anchor. Oracle replays the one-pass
+    histogram at the final per-group width (width selection is monotone
+    in the two-sided span, so max-over-batches of widths == width of
+    the overall span)."""
+    from ..operators.incremental import (
+        adaptive_histogram_partial,
+        merge_adaptive_histogram_partials,
+        quantiles_from_adaptive_histogram,
+    )
+
+    LO, BINS, BASE_W = 0.0, 64, 1.0
+    keys = ["o_orderpriority"]
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), F.lit("1998-01-01").cast("date"))
+        .cast("double")
+        .alias("day_offset"),
+    )
+    d = F.abs(F.col("day_offset"))
+    batches = [
+        o.where(d < 30),
+        o.where((d >= 30) & (d < 400)),
+        o.where(d >= 400),
+    ]
+    parts = [
+        adaptive_histogram_partial(b, keys, "day_offset", LO, BINS, BASE_W)
+        for b in batches
+    ]
+    state = merge_adaptive_histogram_partials(parts, keys)
+    return quantiles_from_adaptive_histogram(
+        state, keys, LO, [0.1, 0.5, 0.9]
+    )
+
+
+ADAPTIVE_QUANTILE_STATE_SIGNED_ORACLE = """
+WITH v AS (
+  SELECT o_orderpriority,
+         CAST(datediff('day', DATE '1998-01-01', o_orderdate) AS DOUBLE) AS d
+  FROM orders
+), gm AS (
+  SELECT o_orderpriority, max(d) AS gmax, min(d) AS gmin
+  FROM v GROUP BY 1
+), w AS (
+  SELECT o_orderpriority,
+         1.0 * pow(2.0, (SELECT min(t.d)
+                         FROM range(0, 41) t(d)
+                         WHERE 64 * 1.0 * pow(2.0, t.d)
+                               > GREATEST(gmax - 0.0, 0.0 - gmin))) AS width
+  FROM gm
+), b AS (
+  SELECT v.o_orderpriority,
+         CAST(floor((v.d - 0.0) / width) AS BIGINT) AS bin,
+         width,
+         count(*) AS cnt
+  FROM v JOIN w USING (o_orderpriority)
+  GROUP BY 1, 2, 3
+), c AS (
+  SELECT o_orderpriority, bin, width,
+         sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY o_orderpriority) AS tot
+  FROM b
+), qs AS (
+  SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.1), (0.5), (0.9)) t(q)
+)
+SELECT o_orderpriority, q,
+       round(0.0 + (min(bin) + 1) * max(width), 2) AS q_value
+FROM c, qs
+WHERE cum >= ceil(q * tot)
+GROUP BY o_orderpriority, q
+"""
+
+
 def incremental_distinct_counts(spark, sf_dir):
     """INCREMENTALLY-maintained distinct counts made driver-gradeable
     (round 11, closing the round-10 gap): the HLL sketch state itself is

@@ -208,3 +208,56 @@ SELECT doc_id AS media_id,
        round((('0x' || substr(md5(text), 15, 2))::INT) / 255.0, 6) AS f7
 FROM documents
 """
+
+
+def multimodal_real_decode(spark, sf_dir):
+    """REAL image decode graded end-to-end (round 12, lifting the
+    env-gated-codec caveat): synthetic PPM(P6) images — one per document,
+    every pixel a closed-form function of (doc_id, x, y)
+    (operators/multimodal.synthetic_ppm_media) — go through the
+    dependency-free decoder (decode='real': PNM/BMP in pure numpy) and
+    the standard pixel-statistic feature layout; the oracle REGENERATES
+    the pixels from the same formula in SQL and recomputes the decoded
+    statistics, so a decoder bug (header parse, row order, luma formula)
+    is a value mismatch, not a skipped test. Scale shape: generation and
+    decode are both row-local Arrow mapInPandas passes — zero exchanges
+    beyond the scan."""
+    from ..operators.multimodal import extract_features, synthetic_ppm_media
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    media = synthetic_ppm_media(docs)
+    feats = extract_features(media, decode="real")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.element_at("features", 1).cast("long").alias("width"),
+        F.element_at("features", 2).cast("long").alias("height"),
+        F.round(F.element_at("features", 4), 6).alias("luma_mean"),
+        F.round(F.element_at("features", 5), 6).alias("luma_min"),
+        F.round(F.element_at("features", 6), 6).alias("luma_max"),
+        F.round(F.element_at("features", 8), 6).alias("aspect"),
+    )
+
+
+MULTIMODAL_REAL_DECODE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 8 + (doc_id % 5) * 4 AS w, 8 + (doc_id % 3) * 4 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         (299 * ((7*doc_id + 13*(i % w) + 31*(i // w)) % 256)
+        + 587 * ((11*doc_id + 3*(i % w) + 17*(i // w)) % 256)
+        + 114 * ((5*doc_id + 29*(i % w) + 23*(i // w)) % 256)) // 1000 AS L
+  FROM dims, UNNEST(range(w * h)) AS t(i)
+)
+SELECT doc_id AS media_id,
+       CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+              + 3 * w * h AS BIGINT) AS n_bytes,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       round(sum(L) / count(*) / 255.0, 6) AS luma_mean,
+       round(min(L) / 255.0, 6) AS luma_min,
+       round(max(L) / 255.0, 6) AS luma_max,
+       round(CAST(w AS DOUBLE) / h, 6) AS aspect
+FROM px GROUP BY doc_id, w, h
+"""
