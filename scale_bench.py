@@ -850,10 +850,13 @@ def main() -> None:
             root = tempfile.mkdtemp(prefix="stream_wh_")
             store = TableStore(spark, root)
             init_cdc_partitioned_warehouse(store, orders, "pk")
-            # fixed per-batch change set: ~1/200 of keys updated (hot
-            # partitions only — the locality a real CDC feed has), one
-            # deleted key slice, seq strictly advancing per batch
+            # per-batch change set: ~1/200 of keys updated (hot
+            # partitions only — the locality a real CDC feed has) PLUS a
+            # rotating delete slice (~1/211 of keys spread over the 30
+            # batches, so every batch carries genuine D ops and the
+            # snapshot monotonically sheds rows), seq strictly advancing
             upd = orders.where(k % 199 == 0).localCheckpoint(eager=True)
+            dele = orders.where(k % 211 == 0).localCheckpoint(eager=True)
             walls = []
             for b in range(N_BATCHES):
                 batch = upd.select(
@@ -864,6 +867,14 @@ def main() -> None:
                     ),
                     F.lit(b + 1).cast("long").alias("seq"),
                     F.lit("U").alias("op"),
+                ).unionByName(
+                    dele.where(k % N_BATCHES == b).select(
+                        "o_orderkey",
+                        "pk",
+                        F.lit(None).cast("double").alias("o_totalprice"),
+                        F.lit(b + 1).cast("long").alias("seq"),
+                        F.lit("D").alias("op"),
+                    )
                 ).select(
                     "o_orderkey", "pk", "o_totalprice", "seq", "op"
                 )
@@ -889,6 +900,7 @@ def main() -> None:
             streaming_warehouse = {
                 "n_batches": N_BATCHES,
                 "changes_per_batch": upd.count(),
+                "deletes_total": dele.count(),
                 "table_rows": scale_corpus.BASE_ORDERS * m,
                 "keep_versions": 3,
                 "compact_max_files": 4,
@@ -1087,6 +1099,33 @@ def main() -> None:
             entry["frozen_max_cell_frac"] = _max_cell_frac(index)
             entry["retrained_max_cell_frac"] = _max_cell_frac(r_assigns)
             ivf_refresh["append_100pct_drifted"] = entry
+            # round-12: the SHIPPED defaults (ivf_defaults: n_cells =
+            # max(16, sqrt N), nprobe = ceil(n_cells/2)) must hold
+            # recall@10 >= 0.9 on this worst-case uniform corpus — the
+            # round-11 verdict's quality gate for a user who never
+            # touches the knobs (the old k=16/nprobe=1 defaults measured
+            # 0.28 here). Measured on the training half, queries = the
+            # same 10 arbitrary corpus points as the frozen/retrain rows.
+            from ecommerce_full_etl_process_spark.operators.similarity import (  # noqa: E501
+                ivf_defaults,
+            )
+
+            dk, dnp = ivf_defaults(n_train)
+            t0 = time.perf_counter()
+            d_cents, d_assigns = kmeans_lite(train, k=dk, iters=3)
+            d_assigns = d_assigns.localCheckpoint(eager=True)
+            train_wall = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            rec = _recall_q(train, d_cents, d_assigns, dnp, q_ids)
+            ivf_refresh["defaults"] = {
+                "n_cells": dk,
+                "nprobe": dnp,
+                "corpus_rows": n_train,
+                "recall_at10": rec,
+                "meets_target_090": bool(rec >= 0.9),
+                "train_wall": round(train_wall, 3),
+                "probe_wall_10q": round(time.perf_counter() - t0, 3),
+            }
             ivf_refresh["k"] = K
             ivf_refresh["train_rows"] = n_train
             ivf_refresh["queries"] = len(q_ids)
