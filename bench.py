@@ -126,6 +126,7 @@ HEADLINE = [
     # IVF recall contract (sqrt-N cells, half-cell probe)
     "adaptive_quantile_state_signed",
     "multimodal_real_decode",
+    "multimodal_resize_decode",
     "similarity_topk_ivf_recall",
 ]
 

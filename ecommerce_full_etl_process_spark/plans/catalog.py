@@ -785,10 +785,16 @@ _REGISTRY: dict[
         sq.MULTIMODAL_REAL_DECODE_ORACLE,
     ),
     # default-parameter IVF quality contract: exact top-10 payload +
-    # recall_ok >= 0.8 under the shipped ivf_defaults (verdict item 3)
+    # mean recall_ok under the shipped ivf_defaults (verdict item 3)
     "similarity_topk_ivf_recall": (
         lq.similarity_topk_ivf_recall,
         lq.SIMILARITY_TOPK_IVF_RECALL_ORACLE,
+    ),
+    # full real-codec pipeline: decode -> numpy resample -> re-encode ->
+    # decode -> stats, oracle regenerates the resampled grid in SQL
+    "multimodal_resize_decode": (
+        sq.multimodal_resize_decode,
+        sq.MULTIMODAL_RESIZE_DECODE_ORACLE,
     ),
 }
 
@@ -802,7 +808,7 @@ _REGISTRY: dict[
 # CORRECTNESS_r01..r11):
 #   - the 4 entries last graded round 7 + all 14 last graded round 8 —
 #     the 18 stalest, heading the window per the r11 verdict;
-#   - 20 of the 34 remaining round-9-graded entries (the other 14 rotate
+#   - 19 of the 34 remaining round-9-graded entries (the other 15 rotate
 #     in round 13, still 2 rounds inside the MAX_STALENESS=5 lint);
 #   - 9 CHANGED-CODE re-grades: entries graded green r09-r11 whose
 #     implementation files this round touched (incremental.py width
@@ -810,8 +816,9 @@ _REGISTRY: dict[
 #     dedup.py broadcast un-pin; multimodal.py real decoder;
 #     stream_pipeline.py state-store hook + IVF torn-heal scope) — the
 #     re-grade-after-change policy from round 9;
-#   - the 3 new round-12 builds (signed adaptive quantile state, real
-#     multimodal decode, default-parameter IVF recall contract).
+#   - the 4 new round-12 builds (signed adaptive quantile state, real
+#     multimodal decode, the full decode→resize→decode pipeline, and the
+#     default-parameter IVF recall contract).
 # Every demoted entry was graded green in r10/r11 and stays
 # oracle-checked in every pytest run (tests/test_catalog_oracle.py).
 # ---------------------------------------------------------------------------
@@ -836,7 +843,7 @@ TIER1: list[str] = [
     "table_stats_orders",
     "local_supplier_volume",
     "promo_revenue_share",
-    # --- last graded round 9 (20 of 34; the rest head round 13) ---
+    # --- last graded round 9 (19 of 34; the rest head round 13) ---
     "interpolated_daily_values",
     "embedding_quantization",
     "grouping_sets_revenue",
@@ -856,7 +863,6 @@ TIER1: list[str] = [
     "surplus_part_suppliers",
     "bilateral_trade_volume",
     "filtered_incremental_scan",
-    "regex_predicate",
     # --- changed-code re-grades (9) ---
     "adaptive_quantile_state",
     "streaming_adaptive_quantile_state",
@@ -867,9 +873,10 @@ TIER1: list[str] = [
     "multimodal_features",
     "stateful_sessionize",
     "streaming_dedup_within_watermark",
-    # --- new round-12 builds (3) ---
+    # --- new round-12 builds (4) ---
     "adaptive_quantile_state_signed",
     "multimodal_real_decode",
+    "multimodal_resize_decode",
     "similarity_topk_ivf_recall",
 ]
 

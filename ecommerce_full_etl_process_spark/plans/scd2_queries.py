@@ -261,3 +261,57 @@ SELECT doc_id AS media_id,
        round(CAST(w AS DOUBLE) / h, 6) AS aspect
 FROM px GROUP BY doc_id, w, h
 """
+
+
+def multimodal_resize_decode(spark, sf_dir):
+    """The full real-codec pipeline graded end-to-end (round 12):
+    closed-form synthetic PPMs → REAL nearest-neighbour resize to a
+    fixed 12×10 (decode → numpy resample → PPM re-encode) → REAL decode
+    of the resized payloads → pixel statistics. The oracle regenerates
+    the resampled pixel grid directly from the source formula
+    (src_x = (x·w0)//12, src_y = (y·h0)//10 — the exact index map
+    resize_images uses), so a resample-index or re-encode bug is a
+    value mismatch. Two chained Arrow mapInPandas passes, both
+    row-local — zero exchanges beyond the scan."""
+    from ..operators.multimodal import (
+        extract_features,
+        resize_images,
+        synthetic_ppm_media,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    media = synthetic_ppm_media(docs)
+    resized = resize_images(media, 12, 10, decode="real")
+    feats = extract_features(
+        resized.select("media_id", "payload"), decode="real"
+    )
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("features", 4), 6).alias("luma_mean"),
+        F.round(F.element_at("features", 5), 6).alias("luma_min"),
+        F.round(F.element_at("features", 6), 6).alias("luma_max"),
+    )
+
+
+MULTIMODAL_RESIZE_DECODE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 8 + (doc_id % 5) * 4 AS w0, 8 + (doc_id % 3) * 4 AS h0
+  FROM documents
+), px AS (
+  SELECT doc_id,
+         (299 * ((7*doc_id + 13*((((i % 12)) * w0) // 12)
+                           + 31*((((i // 12)) * h0) // 10)) % 256)
+        + 587 * ((11*doc_id + 3*((((i % 12)) * w0) // 12)
+                           + 17*((((i // 12)) * h0) // 10)) % 256)
+        + 114 * ((5*doc_id + 29*((((i % 12)) * w0) // 12)
+                           + 23*((((i // 12)) * h0) // 10)) % 256)) // 1000 AS L
+  FROM dims, UNNEST(range(120)) AS t(i)
+)
+SELECT doc_id AS media_id,
+       CAST(13 + 360 AS BIGINT) AS n_bytes,
+       round(sum(L) / count(*) / 255.0, 6) AS luma_mean,
+       round(min(L) / 255.0, 6) AS luma_min,
+       round(max(L) / 255.0, 6) AS luma_max
+FROM px GROUP BY doc_id
+"""
