@@ -130,6 +130,14 @@ def format_ivf_rows(section: dict) -> list[str]:
             f"{t['recall_frozen_nprobe4']:.2f} | "
             f"**{t['recall_retrained_nprobe1']:.2f}** |"
         )
+    d = section.get("defaults")
+    if d:
+        met = "met" if d.get("meets_target_090") else "MISSED"
+        rows.append(
+            f"| shipped defaults (√N cells, ½-cell probe: "
+            f"np={d['nprobe']} of {d['n_cells']}) | {d['corpus_rows']:,} | "
+            f"{d['recall_at10']:.2f} | — | — | **≥0.9 target: {met}** |"
+        )
     return rows
 
 
