@@ -127,6 +127,8 @@ HEADLINE = [
     "adaptive_quantile_state_signed",
     "multimodal_real_decode",
     "multimodal_resize_decode",
+    "multimodal_audio_decode",
+    "multimodal_frame_sample",
     "similarity_topk_ivf_recall",
 ]
 

@@ -102,6 +102,49 @@ def _make_image_codec():
     package on the executor workers' sys.path — the failure mode the
     kernel-closure note in :func:`extract_features` documents)."""
 
+    def _parse_pnm_header(b, start):
+        """Parse a binary-PNM header at ``start``; returns
+        ``(w, h, bands, data_pos)``."""
+        magic = b[start : start + 2]
+        pos, vals = start + 2, []
+        while len(vals) < 3:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":  # comment to end-of-line
+                while pos < len(b) and b[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            begin = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(b[begin:pos]))
+        pos += 1  # exactly one whitespace byte after maxval
+        w, h, maxval = vals
+        if maxval != 255:
+            raise NotImplementedError("only 8-bit PNM (maxval 255)")
+        return w, h, (3 if magic == b"P6" else 1), pos
+
+    def split_pnm_stream(b):
+        """Split CONCATENATED binary-PNM frames (the engine's codec-free
+        video container: back-to-back PPM/PGM images) into per-frame byte
+        slices; each slice is itself a valid standalone PNM payload."""
+        frames, pos = [], 0
+        while pos < len(b):
+            if b[pos : pos + 2] not in (b"P6", b"P5"):
+                raise NotImplementedError(
+                    "PNM stream: expected a P5/P6 frame header at offset "
+                    f"{pos}"
+                )
+            w, h, bands, data_pos = _parse_pnm_header(b, pos)
+            end = data_pos + w * h * bands
+            if end > len(b):
+                raise NotImplementedError(
+                    f"PNM stream: truncated frame at offset {pos}"
+                )
+            frames.append(b[pos:end])
+            pos = end
+        return frames
+
     def decode_image(b):
         """``payload bytes -> (width, height, bands, HxWxB uint8 ndarray)``.
         Formats genuinely needing a codec library (PNG/JPEG/...) raise
@@ -109,23 +152,7 @@ def _make_image_codec():
         import numpy as np
 
         if b[:2] in (b"P6", b"P5"):
-            pos, vals = 2, []
-            while len(vals) < 3:
-                while pos < len(b) and b[pos : pos + 1].isspace():
-                    pos += 1
-                if b[pos : pos + 1] == b"#":  # comment to end-of-line
-                    while pos < len(b) and b[pos : pos + 1] != b"\n":
-                        pos += 1
-                    continue
-                start = pos
-                while pos < len(b) and not b[pos : pos + 1].isspace():
-                    pos += 1
-                vals.append(int(b[start:pos]))
-            pos += 1  # exactly one whitespace byte after maxval
-            w, h, maxval = vals
-            if maxval != 255:
-                raise NotImplementedError("only 8-bit PNM (maxval 255)")
-            bands = 3 if b[:2] == b"P6" else 1
+            w, h, bands, pos = _parse_pnm_header(b, 0)
             px = np.frombuffer(b, dtype=np.uint8, count=w * h * bands, offset=pos)
             return w, h, bands, px.reshape(h, w, bands)
         if b[:2] == b"BM":
@@ -183,10 +210,12 @@ def _make_image_codec():
             w / max(h, 1),
         ][:feature_dim]
 
-    return decode_image, encode_pnm, luma_features
+    return decode_image, encode_pnm, luma_features, split_pnm_stream
 
 
-decode_image, encode_pnm, _luma_features = _make_image_codec()
+decode_image, encode_pnm, _luma_features, split_pnm_stream = (
+    _make_image_codec()
+)
 
 
 def synthetic_ppm_media(docs: DataFrame) -> DataFrame:
@@ -250,6 +279,184 @@ def synthetic_ppm_media(docs: DataFrame) -> DataFrame:
             F.col("width"),
             F.col("height"),
             F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _make_audio_codec():
+    """Dependency-free audio codec (round 12): 16-bit PCM WAV decode and
+    encode in pure numpy + struct — no librosa/soundfile. Factory-scoped
+    for the same cloudpickle by-value reason as :func:`_make_image_codec`.
+    Compressed formats (MP3/OGG/FLAC) raise NotImplementedError — those
+    genuinely need a codec library."""
+
+    def decode_wav(b):
+        """``bytes -> (sample_rate, n_channels, int16 ndarray [n, ch])``."""
+        import struct
+
+        import numpy as np
+
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise NotImplementedError(
+                "dependency-free audio decode supports 16-bit PCM WAV only; "
+                "compressed formats need a codec library"
+            )
+        fmt = data = None
+        pos = 12
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            size = struct.unpack_from("<I", b, pos + 4)[0]
+            body = b[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # RIFF chunks pad to even sizes
+        if fmt is None or data is None:
+            raise NotImplementedError("WAV missing fmt/data chunk")
+        audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+        bits = struct.unpack_from("<H", fmt, 14)[0]
+        if audio_fmt != 1 or bits != 16:
+            raise NotImplementedError("only 16-bit PCM WAV (format tag 1)")
+        s = np.frombuffer(data, dtype="<i2")
+        return rate, n_ch, s.reshape(-1, n_ch)
+
+    def encode_wav(samples, rate):
+        """``int16 ndarray [n] or [n, ch] -> PCM16 WAV bytes``."""
+        import struct
+
+        import numpy as np
+
+        samples = np.asarray(samples, dtype="<i2")
+        if samples.ndim == 1:
+            samples = samples[:, None]
+        _n, ch = samples.shape
+        data = samples.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, ch, int(rate), int(rate) * ch * 2, ch * 2, 16)
+        body = (
+            b"WAVEfmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    return decode_wav, encode_wav
+
+
+decode_wav, encode_wav = _make_audio_codec()
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("mean_amp", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction over PCM16 WAV payloads via
+    the REAL dependency-free decoder: (sample_rate, n_samples, peak,
+    mean_amp, rms) per row — the standard loudness/clipping signals a
+    corpus-quality filter thresholds on. Row-local mapInPandas, zero
+    exchanges; unsupported formats raise inside the decoder."""
+    dec = decode_wav  # <locals> qualname -> pickled by value
+
+    def _batches(it):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "peak",
+                "mean_amp", "rms",
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(int(mid))
+                if b is None:
+                    for k in ("sample_rate", "n_samples", "peak",
+                              "mean_amp", "rms"):
+                        out[k].append(None)
+                    continue
+                rate, _ch, s = dec(bytes(b))
+                v = s.astype(_np.int64).ravel()
+                n = v.size
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(int(n))
+                out["peak"].append(int(_np.abs(v).max()) if n else 0)
+                out["mean_amp"].append(int(v.sum()) / n if n else None)
+                out["rms"].append(
+                    float(_np.sqrt(int((v * v).sum()) / n)) if n else None
+                )
+            yield _pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        _batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def synthetic_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-audio media table: one mono PCM16 WAV per
+    document, every sample a closed-form function of (doc_id, i) so a
+    SQL oracle can regenerate the waveform and recompute the decoded
+    statistics exactly:
+
+        n    = 256 + (doc_id % 7)·64
+        rate = 8000 + (doc_id % 3)·4000
+        s[i] = ((31·doc_id + 17·i) % 4096) − 2048   (sawtooth-like, exact
+                                                     integers — no float
+                                                     transcendentals)
+    """
+    gen_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_samples", T.IntegerType(), True),
+        ]
+    )
+    enc = encode_wav
+
+    def _batches(it):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            payloads, rates, ns = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 256 + (did % 7) * 64
+                rate = 8000 + (did % 3) * 4000
+                i = _np.arange(n, dtype=_np.int64)
+                s = ((31 * did + 17 * i) % 4096) - 2048
+                payloads.append(enc(s.astype("<i2"), rate))
+                rates.append(rate)
+                ns.append(n)
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "sample_rate": _pd.Series(rates, dtype="int32"),
+                    "n_samples": _pd.Series(ns, dtype="int32"),
+                }
+            )
+
+    flat = docs.select("doc_id").mapInPandas(_batches, schema=gen_schema)
+    return flat.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("audio").alias("kind"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("sample_rate"),
             F.lit(None).cast("int").alias("n_frames"),
         ).alias("meta"),
     )
@@ -358,9 +565,18 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
 
 def sample_frames(media: DataFrame, every_nth: int = 4, decode: str = "fake") -> DataFrame:
     """Frame sampling: one output row per sampled frame (a 1→N mapInPandas
-    expansion). Fake decode slices the payload deterministically."""
-    if decode == "real":
-        raise NotImplementedError("real video decode unavailable (no ffmpeg)")
+    expansion).
+
+    ``decode='real'`` (round 12) parses the payload as the engine's
+    codec-free video container — CONCATENATED binary-PNM frames
+    (:func:`split_pnm_stream`) — and emits every ``every_nth`` frame as
+    its own standalone PNM payload; the frame count comes from the
+    container itself, not metadata. Containers genuinely needing ffmpeg
+    (MP4/WebM/...) raise inside the splitter. ``decode='fake'`` keeps the
+    deterministic byte-slice stand-in driven by ``meta.n_frames``."""
+    if decode not in ("fake", "real"):
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+    split = split_pnm_stream  # <locals> qualname -> pickled by value
 
     # self-contained closure (see extract_features note)
     def _batches(it):
@@ -369,8 +585,15 @@ def sample_frames(media: DataFrame, every_nth: int = 4, decode: str = "fake") ->
         for pdf in it:
             out_ids, out_idx, out_payload = [], [], []
             for _, row in pdf.iterrows():
-                n = int(row["n_frames"] or 0)
                 payload = row["payload"] or b""
+                if decode == "real":
+                    frames = split(bytes(payload)) if payload else []
+                    for frame in range(0, len(frames), every_nth):
+                        out_ids.append(row["media_id"])
+                        out_idx.append(frame)
+                        out_payload.append(frames[frame])
+                    continue
+                n = int(row["n_frames"] or 0)
                 for frame in range(0, n, every_nth):
                     start = (frame * 7) % max(len(payload), 1)
                     out_ids.append(row["media_id"])
@@ -388,6 +611,74 @@ def sample_frames(media: DataFrame, every_nth: int = 4, decode: str = "fake") ->
         "media_id", "payload", F.col("meta.n_frames").alias("n_frames")
     )
     return src.mapInPandas(_batches, schema=FRAMES_SCHEMA)
+
+
+def synthetic_ppm_video(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-video media table: one concatenated-PNM
+    container per document — ``n_frames = 2 + (doc_id % 4)`` PPM frames,
+    every pixel a closed-form function of (doc_id, x, y, frame):
+
+        w = 8 + (doc_id % 3)·4, h = 8
+        R = (7·id + 13·x + 31·y + 41·f) % 256
+        G = (11·id + 3·x + 17·y + 41·f) % 256
+        B = (5·id + 29·x + 23·y + 41·f) % 256
+    """
+    gen_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("n_frames", T.IntegerType(), True),
+        ]
+    )
+    enc = encode_pnm
+
+    def _batches(it):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            payloads, ws, nf = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 8 + (did % 3) * 4
+                h = 8
+                frames = 2 + (did % 4)
+                x = _np.arange(w)[None, :, None]
+                y = _np.arange(h)[:, None, None]
+                parts = []
+                for f in range(frames):
+                    r = (7 * did + 13 * x + 31 * y + 41 * f) % 256
+                    g = (11 * did + 3 * x + 17 * y + 41 * f) % 256
+                    bl = (5 * did + 29 * x + 23 * y + 41 * f) % 256
+                    px = _np.concatenate([r, g, bl], axis=2).astype(
+                        _np.uint8
+                    )
+                    parts.append(enc(px))
+                payloads.append(b"".join(parts))
+                ws.append(w)
+                nf.append(frames)
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "width": _pd.Series(ws, dtype="int32"),
+                    "n_frames": _pd.Series(nf, dtype="int32"),
+                }
+            )
+
+    flat = docs.select("doc_id").mapInPandas(_batches, schema=gen_schema)
+    return flat.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("video").alias("kind"),
+            F.col("width"),
+            F.lit(8).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.col("n_frames"),
+        ).alias("meta"),
+    )
 
 
 RESIZED_SCHEMA = T.StructType(

@@ -796,6 +796,18 @@ _REGISTRY: dict[
         sq.multimodal_resize_decode,
         sq.MULTIMODAL_RESIZE_DECODE_ORACLE,
     ),
+    # REAL audio decode: PCM16 WAV round-trip over closed-form waveforms,
+    # oracle regenerates the samples and recomputes loudness stats
+    "multimodal_audio_decode": (
+        sq.multimodal_audio_decode,
+        sq.MULTIMODAL_AUDIO_DECODE_ORACLE,
+    ),
+    # REAL frame sampling: concatenated-PNM containers split + sampled +
+    # per-frame decoded, oracle regenerates the sampled frames' pixels
+    "multimodal_frame_sample": (
+        sq.multimodal_frame_sample,
+        sq.MULTIMODAL_FRAME_SAMPLE_ORACLE,
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -808,7 +820,7 @@ _REGISTRY: dict[
 # CORRECTNESS_r01..r11):
 #   - the 4 entries last graded round 7 + all 14 last graded round 8 —
 #     the 18 stalest, heading the window per the r11 verdict;
-#   - 19 of the 34 remaining round-9-graded entries (the other 15 rotate
+#   - 17 of the 34 remaining round-9-graded entries (the other 17 rotate
 #     in round 13, still 2 rounds inside the MAX_STALENESS=5 lint);
 #   - 9 CHANGED-CODE re-grades: entries graded green r09-r11 whose
 #     implementation files this round touched (incremental.py width
@@ -816,9 +828,10 @@ _REGISTRY: dict[
 #     dedup.py broadcast un-pin; multimodal.py real decoder;
 #     stream_pipeline.py state-store hook + IVF torn-heal scope) — the
 #     re-grade-after-change policy from round 9;
-#   - the 4 new round-12 builds (signed adaptive quantile state, real
-#     multimodal decode, the full decode→resize→decode pipeline, and the
-#     default-parameter IVF recall contract).
+#   - the 6 new round-12 builds (signed adaptive quantile state, the
+#     default-parameter IVF recall contract, and the real-codec
+#     multimodal family: decode, decode→resize→decode, PCM16-WAV audio,
+#     and container frame-sampling).
 # Every demoted entry was graded green in r10/r11 and stays
 # oracle-checked in every pytest run (tests/test_catalog_oracle.py).
 # ---------------------------------------------------------------------------
@@ -843,7 +856,7 @@ TIER1: list[str] = [
     "table_stats_orders",
     "local_supplier_volume",
     "promo_revenue_share",
-    # --- last graded round 9 (19 of 34; the rest head round 13) ---
+    # --- last graded round 9 (17 of 34; the rest head round 13) ---
     "interpolated_daily_values",
     "embedding_quantization",
     "grouping_sets_revenue",
@@ -860,8 +873,6 @@ TIER1: list[str] = [
     "incremental_monthly_revenue",
     "bloom_filtered_orders",
     "customer_order_distribution",
-    "surplus_part_suppliers",
-    "bilateral_trade_volume",
     "filtered_incremental_scan",
     # --- changed-code re-grades (9) ---
     "adaptive_quantile_state",
@@ -873,10 +884,12 @@ TIER1: list[str] = [
     "multimodal_features",
     "stateful_sessionize",
     "streaming_dedup_within_watermark",
-    # --- new round-12 builds (4) ---
+    # --- new round-12 builds (6) ---
     "adaptive_quantile_state_signed",
     "multimodal_real_decode",
     "multimodal_resize_decode",
+    "multimodal_audio_decode",
+    "multimodal_frame_sample",
     "similarity_topk_ivf_recall",
 ]
 

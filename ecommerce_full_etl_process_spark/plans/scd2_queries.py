@@ -294,6 +294,115 @@ def multimodal_resize_decode(spark, sf_dir):
     )
 
 
+def multimodal_frame_sample(spark, sf_dir):
+    """REAL frame sampling graded end-to-end (round 12): synthetic
+    concatenated-PNM video containers (2–5 closed-form PPM frames per
+    document) → sample_frames(decode='real') parses the container and
+    emits every 2nd frame as a standalone PPM → real decode of each
+    sampled frame → per-frame luma statistics. The oracle regenerates
+    the sampled frames' pixels from the (doc_id, x, y, frame) formula,
+    so a container-split, frame-boundary, or sampling-stride bug is a
+    value mismatch. Frame rows are keyed through the stat extractor by
+    the composite id ``media_id·16 + frame_idx`` (frame_idx < 16 by
+    construction) and unpacked in the final projection."""
+    from ..operators.multimodal import (
+        extract_features,
+        sample_frames,
+        synthetic_ppm_video,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    video = synthetic_ppm_video(docs)
+    frames = sample_frames(video, every_nth=2, decode="real")
+    tagged = frames.select(
+        (F.col("media_id") * 16 + F.col("frame_idx")).alias("media_id"),
+        F.col("frame_payload").alias("payload"),
+    )
+    feats = extract_features(tagged, decode="real")
+    composite = F.col("media_id")
+    return feats.select(
+        ((composite - composite % 16) / 16).cast("long").alias("media_id"),
+        (composite % 16).cast("long").alias("frame_idx"),
+        "n_bytes",
+        F.round(F.element_at("features", 4), 6).alias("luma_mean"),
+        F.round(F.element_at("features", 6), 6).alias("luma_max"),
+    )
+
+
+MULTIMODAL_FRAME_SAMPLE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 8 + (doc_id % 3) * 4 AS w, 2 + (doc_id % 4) AS nf
+  FROM documents
+), fr AS (
+  SELECT doc_id, w, f
+  FROM dims, UNNEST(range(nf)) AS t(f)
+  WHERE f % 2 = 0
+), px AS (
+  SELECT doc_id, w, f,
+         (299 * ((7*doc_id + 13*(i % w) + 31*(i // w) + 41*f) % 256)
+        + 587 * ((11*doc_id + 3*(i % w) + 17*(i // w) + 41*f) % 256)
+        + 114 * ((5*doc_id + 29*(i % w) + 23*(i // w) + 41*f) % 256))
+           // 1000 AS L
+  FROM fr, UNNEST(range(w * 8)) AS t(i)
+)
+SELECT doc_id AS media_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(10 + length(CAST(w AS VARCHAR)) + 3 * w * 8 AS BIGINT) AS n_bytes,
+       round(sum(L) / count(*) / 255.0, 6) AS luma_mean,
+       round(max(L) / 255.0, 6) AS luma_max
+FROM px GROUP BY doc_id, f, w
+"""
+
+
+def multimodal_audio_decode(spark, sf_dir):
+    """REAL audio decode graded end-to-end (round 12): synthetic mono
+    PCM16 WAVs — one per document, every sample a closed-form integer
+    function of (doc_id, i) (operators/multimodal.synthetic_wav_media) —
+    round-trip through the dependency-free WAV encoder/decoder and emit
+    the standard loudness statistics. The oracle regenerates the
+    waveform from the same formula in SQL, so a RIFF-parse, chunk-walk,
+    or int16 interpretation bug is a value mismatch. Together with the
+    image entries this makes decode/features real for every codec-free
+    modality; compressed formats stay behind NotImplementedError inside
+    the decoder."""
+    from ..operators.multimodal import (
+        extract_audio_features,
+        synthetic_wav_media,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    feats = extract_audio_features(synthetic_wav_media(docs))
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "peak",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+MULTIMODAL_AUDIO_DECODE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         256 + (doc_id % 7) * 64 AS n,
+         8000 + (doc_id % 3) * 4000 AS rate
+  FROM documents
+), s AS (
+  SELECT doc_id, n, rate,
+         ((31 * doc_id + 17 * i) % 4096) - 2048 AS v
+  FROM dims, UNNEST(range(n)) AS t(i)
+)
+SELECT doc_id AS media_id,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       round(sum(v) / count(*), 6) AS mean_amp,
+       round(sqrt(sum(v * v) / count(*)), 6) AS rms
+FROM s GROUP BY doc_id, n, rate
+"""
+
+
 MULTIMODAL_RESIZE_DECODE_ORACLE = """
 WITH dims AS (
   SELECT doc_id, 8 + (doc_id % 5) * 4 AS w0, 8 + (doc_id % 3) * 4 AS h0

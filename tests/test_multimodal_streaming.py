@@ -90,6 +90,80 @@ def test_decode_image_pnm_roundtrip_and_bmp():
         M.decode_image(b"\x89PNG\r\n\x1a\nnotreally")
 
 
+def test_wav_codec_roundtrip_and_rejections():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-32768, 32768, size=300, dtype=np.int16)
+    rate, ch, out = M.decode_wav(M.encode_wav(mono, 16000))
+    assert (rate, ch) == (16000, 1)
+    assert np.array_equal(out.ravel(), mono)
+    stereo = rng.integers(-32768, 32768, size=(100, 2), dtype=np.int16)
+    rate, ch, out = M.decode_wav(M.encode_wav(stereo, 44100))
+    assert (rate, ch) == (44100, 2)
+    assert np.array_equal(out, stereo)
+    with pytest.raises(NotImplementedError, match="PCM WAV"):
+        M.decode_wav(b"ID3\x04notanmp3frame")
+    # odd-sized chunk before data: the walker must honor RIFF padding
+    import struct
+
+    wav = M.encode_wav(mono[:4], 8000)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    padded = wav[:12] + extra + wav[12:]
+    padded = padded[:4] + struct.pack("<I", len(padded) - 8) + padded[8:]
+    rate, ch, out = M.decode_wav(padded)
+    assert rate == 8000 and np.array_equal(out.ravel(), mono[:4])
+
+
+def test_split_pnm_stream_and_real_frame_sampling(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    frames = [
+        rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+        for _ in range(5)
+    ]
+    container = b"".join(M.encode_pnm(f) for f in frames)
+    parts = M.split_pnm_stream(container)
+    assert len(parts) == 5
+    for part, f in zip(parts, frames):
+        assert np.array_equal(M.decode_image(part)[3], f)
+    with pytest.raises(NotImplementedError, match="frame header"):
+        M.split_pnm_stream(container + b"garbage")
+
+    media = spark.createDataFrame(
+        [(7, bytearray(container), ("video", 6, 4, None, 5))],
+        schema=M.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["frame_idx"]: bytes(r["frame_payload"])
+        for r in M.sample_frames(media, every_nth=2, decode="real").collect()
+    }
+    assert sorted(rows) == [0, 2, 4]  # frame count from the container
+    for idx, payload in rows.items():
+        assert np.array_equal(M.decode_image(payload)[3], frames[idx])
+
+
+def test_extract_audio_features_hand_computed(spark):
+    import numpy as np
+
+    s = np.array([0, 100, -200, 300], dtype=np.int16)
+    media = spark.createDataFrame(
+        [(1, bytearray(M.encode_wav(s, 12000))), (2, None)],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: r for r in M.extract_audio_features(media).collect()
+    }
+    r = rows[1]
+    assert (r["sample_rate"], r["n_samples"], r["peak"]) == (12000, 4, 300)
+    assert r["mean_amp"] == pytest.approx((0 + 100 - 200 + 300) / 4)
+    assert r["rms"] == pytest.approx(
+        (0 + 100**2 + 200**2 + 300**2) ** 0.5 / 2
+    )
+    assert rows[2]["n_samples"] is None
+
+
 def test_extract_features_real_matches_hand_computed(spark):
     import numpy as np
 
