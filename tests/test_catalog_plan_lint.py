@@ -82,6 +82,12 @@ def test_readme_count_matches_registry():
 # instead of surfacing as a 100 TB regression. Queries not listed get the
 # DEFAULT_SHUFFLE_CAP backstop.
 SHUFFLE_BUDGET = {
+    # the real-codec multimodal family is CHAINED ROW-LOCAL Arrow
+    # mapInPandas straight off the scan — zero exchanges is the design
+    # claim (README plan audit), so pin it at zero
+    "multimodal_real_decode": 0, "multimodal_resize_decode": 0,
+    "multimodal_audio_decode": 0, "multimodal_frame_sample": 0,
+    "multimodal_features": 0,
     "flagship_revenue_by_nation": 2, "filtered_incremental_scan": 0,
     "projection_filter": 0, "regex_predicate": 0,
     "price_tolerance_check": 1, "semi_join_customers_with_orders": 0,
