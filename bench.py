@@ -130,6 +130,7 @@ HEADLINE = [
     "multimodal_audio_decode",
     "multimodal_frame_sample",
     "similarity_topk_ivf_recall",
+    "content_defined_chunks",
 ]
 
 

@@ -597,6 +597,97 @@ def normalize_text(
     )
 
 
+def content_defined_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    divisor: int = 64,
+    modulus: int = 1 << 20,
+) -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync-style) — split each text at
+    positions where a rolling hash of the trailing ``window`` characters
+    hits ``h % divisor == 0``. Because boundaries depend only on LOCAL
+    content, an insertion near the start shifts only the chunks up to the
+    next boundary: every later chunk keeps its bytes AND its hash — the
+    property chunk-level dedup/delta-storage of a 100 TB corpus relies on
+    (fixed-size chunking loses all alignment after one insertion; pinned
+    by test). Expected chunk length ≈ ``divisor`` characters.
+
+    Hash: ``h_i = Σ_{j=0..window-1} codepoint(s[i-j]) · 31^j mod modulus``
+    — exact integer arithmetic a SQL oracle replays verbatim (no
+    byte-order or float ambiguity); a boundary AFTER 1-based position i
+    (i in [window, len)) closes the chunk at i. Returns
+    ``(id, chunk_idx, chunk_len, chunk_md5)``; every doc yields ≥ 1
+    chunk (short/empty docs are one whole-text chunk).
+
+    Scale shape: one Arrow mapInPandas pass, row-local (the rolling hash
+    is vectorized shifted-slice adds, the chunk md5s are computed in the
+    kernel) — ZERO exchanges, a pure scan at any corpus size.
+    """
+    if window < 1 or divisor < 1 or modulus < 1:
+        raise ValueError(
+            "content_defined_chunks: window/divisor/modulus must be >= 1 "
+            f"(got {window}, {divisor}, {modulus})"
+        )
+    w, dv, md = int(window), int(divisor), int(modulus)
+
+    # self-contained closure (see trigram_lm_scores note)
+    def _batches(it):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        pows = [pow(31, j, md) for j in range(w)]
+
+        for pdf in it:
+            ids, idxs, lens, md5s = [], [], [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    t = ""
+                n = len(t)
+                bounds = []
+                if n > w:
+                    cp = _np.frombuffer(
+                        t.encode("utf-32-le", errors="replace"),
+                        dtype=_np.uint32,
+                    ).astype(_np.int64)
+                    h = _np.zeros(n - w + 1, dtype=_np.int64)
+                    for j, pj in enumerate(pows):
+                        h += cp[w - 1 - j : n - j] * pj
+                    h %= md
+                    # h[k] covers 1-based positions k+1..k+w, boundary
+                    # after position k+w; exclude a boundary at i == n
+                    # (it would close an empty final chunk)
+                    bpos = _np.nonzero(h % dv == 0)[0] + w
+                    bounds = [int(b) for b in bpos if b < n]
+                start = 0
+                for ci, stop in enumerate(bounds + [n]):
+                    chunk = t[start:stop]
+                    ids.append(int(did))
+                    idxs.append(ci)
+                    lens.append(len(chunk))
+                    md5s.append(
+                        _hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    )
+                    start = stop
+            yield _pd.DataFrame(
+                {
+                    id_col: _pd.Series(ids, dtype="int64"),
+                    "chunk_idx": _pd.Series(idxs, dtype="int64"),
+                    "chunk_len": _pd.Series(lens, dtype="int64"),
+                    "chunk_md5": _pd.Series(md5s, dtype=object),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _batches,
+        schema=f"{id_col} long, chunk_idx long, chunk_len long, "
+        "chunk_md5 string",
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     (the canonical-form hash used for exact dedup across formatting)."""

@@ -808,6 +808,13 @@ _REGISTRY: dict[
         sq.multimodal_frame_sample,
         sq.MULTIMODAL_FRAME_SAMPLE_ORACLE,
     ),
+    # content-defined (rolling-hash) chunking — the shift-invariant
+    # chunker for chunk-level dedup/delta storage; exact-integer
+    # boundary rule replayed verbatim by the SQL oracle
+    "content_defined_chunks": (
+        lq.content_defined_chunks,
+        lq.CONTENT_DEFINED_CHUNKS_ORACLE,
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -820,7 +827,7 @@ _REGISTRY: dict[
 # CORRECTNESS_r01..r11):
 #   - the 4 entries last graded round 7 + all 14 last graded round 8 —
 #     the 18 stalest, heading the window per the r11 verdict;
-#   - 17 of the 34 remaining round-9-graded entries (the other 17 rotate
+#   - 16 of the 34 remaining round-9-graded entries (the other 18 rotate
 #     in round 13, still 2 rounds inside the MAX_STALENESS=5 lint);
 #   - 9 CHANGED-CODE re-grades: entries graded green r09-r11 whose
 #     implementation files this round touched (incremental.py width
@@ -828,10 +835,10 @@ _REGISTRY: dict[
 #     dedup.py broadcast un-pin; multimodal.py real decoder;
 #     stream_pipeline.py state-store hook + IVF torn-heal scope) — the
 #     re-grade-after-change policy from round 9;
-#   - the 6 new round-12 builds (signed adaptive quantile state, the
-#     default-parameter IVF recall contract, and the real-codec
-#     multimodal family: decode, decode→resize→decode, PCM16-WAV audio,
-#     and container frame-sampling).
+#   - the 7 new round-12 builds (signed adaptive quantile state, the
+#     default-parameter IVF recall contract, content-defined chunking,
+#     and the real-codec multimodal family: decode,
+#     decode→resize→decode, PCM16-WAV audio, container frame-sampling).
 # Every demoted entry was graded green in r10/r11 and stays
 # oracle-checked in every pytest run (tests/test_catalog_oracle.py).
 # ---------------------------------------------------------------------------
@@ -856,7 +863,7 @@ TIER1: list[str] = [
     "table_stats_orders",
     "local_supplier_volume",
     "promo_revenue_share",
-    # --- last graded round 9 (17 of 34; the rest head round 13) ---
+    # --- last graded round 9 (16 of 34; the rest head round 13) ---
     "interpolated_daily_values",
     "embedding_quantization",
     "grouping_sets_revenue",
@@ -872,7 +879,6 @@ TIER1: list[str] = [
     "streaming_agg_maintenance_state",
     "incremental_monthly_revenue",
     "bloom_filtered_orders",
-    "customer_order_distribution",
     "filtered_incremental_scan",
     # --- changed-code re-grades (9) ---
     "adaptive_quantile_state",
@@ -884,13 +890,14 @@ TIER1: list[str] = [
     "multimodal_features",
     "stateful_sessionize",
     "streaming_dedup_within_watermark",
-    # --- new round-12 builds (6) ---
+    # --- new round-12 builds (7) ---
     "adaptive_quantile_state_signed",
     "multimodal_real_decode",
     "multimodal_resize_decode",
     "multimodal_audio_decode",
     "multimodal_frame_sample",
     "similarity_topk_ivf_recall",
+    "content_defined_chunks",
 ]
 
 # Families that MUST sit inside the graded window (lint-enforced) — with

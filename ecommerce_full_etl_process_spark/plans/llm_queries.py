@@ -1275,6 +1275,56 @@ FROM (SELECT doc_id, n, unnest(range(0, nchunks)) AS gs FROM c)
 """
 
 
+def content_defined_chunks(spark, sf_dir):
+    """Content-defined chunking over the corpus (round 12): rolling-hash
+    boundaries (h % 64 == 0 over a trailing 8-char window, 31-base
+    polynomial mod 2^20 — exact integer arithmetic both engines replay
+    verbatim), every chunk emitted with its length and md5. The
+    shift-invariance that makes this the dedup/delta-storage chunker —
+    an insertion re-chunks only up to the next boundary — is pinned in
+    tests/test_textstats_units.py; the entry grades the boundary rule,
+    span reconstruction, and chunk hashing end-to-end against a SQL
+    replay. One row-local Arrow pass, zero exchanges."""
+    d = _docs(spark, sf_dir)
+    return T.content_defined_chunks(d, "doc_id", "text")
+
+
+_CDC_CHUNK_POWS = [pow(31, j, 1 << 20) for j in range(8)]
+
+CONTENT_DEFINED_CHUNKS_ORACLE = f"""
+WITH t AS (SELECT doc_id, text AS s, length(text) AS n FROM documents),
+pos AS (
+  SELECT doc_id, i,
+         ({' + '.join(f'ord(s[i-{j}]) * {p}' for j, p in enumerate(_CDC_CHUNK_POWS))}) % 1048576 AS h
+  FROM t, UNNEST(range(8, n)) u(i)
+),
+b AS (SELECT doc_id, CAST(i AS BIGINT) AS i FROM pos WHERE h % 64 = 0),
+spans AS (
+  SELECT doc_id,
+         coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS start,
+         i AS stop,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_idx
+  FROM b
+),
+lastspan AS (
+  SELECT t.doc_id,
+         coalesce(mx.mx, 0) + 1 AS start,
+         CAST(t.n AS BIGINT) AS stop,
+         coalesce(mx.cnt, 0) AS chunk_idx
+  FROM t LEFT JOIN (
+    SELECT doc_id, max(i) AS mx, count(*) AS cnt FROM b GROUP BY doc_id
+  ) mx USING (doc_id)
+),
+allspans AS (SELECT * FROM spans UNION ALL SELECT * FROM lastspan)
+SELECT a.doc_id,
+       CAST(a.chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(a.stop - a.start + 1 AS BIGINT) AS chunk_len,
+       md5(substr(t.s, CAST(a.start AS INT),
+                  CAST(a.stop - a.start + 1 AS INT))) AS chunk_md5
+FROM allspans a JOIN t USING (doc_id)
+"""
+
+
 def contamination_ngram_overlap(spark, sf_dir):
     """N-gram-tier contamination screen (the tier above verbatim-substring
     ``contamination_screen``): winnow-fingerprint a small probe set (eval

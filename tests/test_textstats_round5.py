@@ -353,3 +353,52 @@ def test_trigram_lm_kernels_identical(spark, sf_dir):
     }
     assert a == b and len(a) > 0
     assert -1 not in a and -2 not in a and -3 in a
+
+
+def test_content_defined_chunks_shift_invariance(spark):
+    """The CDC selling point: inserting a prefix re-chunks only the region
+    up to the first post-insertion boundary — every later chunk keeps its
+    exact bytes and md5 (fixed-size chunking would lose ALL alignment).
+    Also pins: every doc yields >= 1 chunk, chunk lens sum to doc len,
+    chunks reassemble the doc in order."""
+    import hashlib
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the windowsill and the rain keeps falling on the "
+        "old tin roof of the barn behind the orchard where apples rot "
+        "sweetly in the tall autumn grass near the broken fence"
+    ) * 3
+    shifted = "INSERTED PREAMBLE >>> " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted), (3, "tiny"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = T.content_defined_chunks(docs, "doc_id", "text").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did in (1, 2, 3, 4):
+        chunks = sorted(by_doc[did], key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in chunks] == list(range(len(chunks)))
+        text = {1: base, 2: shifted, 3: "tiny", 4: ""}[did]
+        assert sum(r["chunk_len"] for r in chunks) == len(text)
+        # chunks reassemble: walk spans and re-hash
+        start = 0
+        for r in chunks:
+            piece = text[start : start + r["chunk_len"]]
+            assert hashlib.md5(piece.encode()).hexdigest() == r["chunk_md5"]
+            start += r["chunk_len"]
+    assert len(by_doc[3]) == 1 and len(by_doc[4]) == 1  # short/empty: 1 chunk
+    # shift-invariance: the tail chunks of doc 2 equal doc 1's tail chunks
+    h1 = [r["chunk_md5"] for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"])]
+    h2 = [r["chunk_md5"] for r in sorted(by_doc[2], key=lambda r: r["chunk_idx"])]
+    assert len(h1) > 3, "fixture must produce several chunks"
+    # find the longest common suffix of chunk-hash sequences
+    k = 0
+    while k < min(len(h1), len(h2)) and h1[-1 - k] == h2[-1 - k]:
+        k += 1
+    assert k >= len(h1) - 2, (
+        "insertion must only disturb chunks before the first boundary; "
+        f"common suffix {k} of {len(h1)}"
+    )
