@@ -231,15 +231,21 @@ def minhash_lsh_pairs_incremental(
     cand_ids = candidates.select(
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
     )
-    # archive text touched ONLY for colliding docs: prune BEFORE shingling
+    # archive text touched ONLY for colliding docs: prune BEFORE shingling.
+    # No broadcast hint on either prune (round-13 fix, matching the batch
+    # path's round-12 change above): candidates are bounded by
+    # batch × collisions, but a clone-heavy BATCH against a clone-heavy
+    # archive can blow the candidate set past broadcast size, and a
+    # pinned hint would then OOM the driver; AQE still picks a broadcast
+    # left-semi whenever the post-LSH candidate set actually fits.
     old_sh = (
         corpus.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
         )
-        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .join(cand_ids, "doc_id", "left_semi")
         .select("doc_id", word_shingles(F.col("__text"), n).alias("shingles"))
     )
-    sh = new_sh.join(F.broadcast(cand_ids), "doc_id", "left_semi").unionByName(
+    sh = new_sh.join(cand_ids, "doc_id", "left_semi").unionByName(
         old_sh
     )
     pairs = candidates.join(

@@ -93,6 +93,47 @@ def test_hot_bucket_clone_corpus_without_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_incremental_clone_batch_without_broadcast(spark):
+    """Round-13 un-pin check for the INCREMENTAL path (the batch path got
+    this in round 12): a clone-heavy batch colliding with a clone-heavy
+    archive makes the candidate set quadratic in the clone count, so the
+    candidate-id prune must not be a pinned broadcast hint. With
+    broadcasts disabled entirely (the planner state a too-big candidate
+    set degrades to), the operator must still emit every (new,new) and
+    (new,archive) pair — the plan works under either join strategy."""
+    from ecommerce_full_etl_process_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    n_arch, n_new = 96, 64
+    clone = "the same cloned document text repeated verbatim here"
+    archive = spark.createDataFrame(
+        [(i, clone) for i in range(n_arch)]
+        + [(5_000 + i, f"archive filler doc {i} other words {i * 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100_000 + i, clone) for i in range(n_new)],
+        "doc_id long, text string",
+    )
+    index = minhash_band_index(archive, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = minhash_lsh_pairs_incremental(
+            batch, archive, index, "doc_id", "text"
+        )
+        expected = n_new * (n_new - 1) // 2 + n_new * n_arch
+        got = pairs.where(F.col("jaccard_sim") >= 1.0).count()
+        assert pairs.count() == expected, (pairs.count(), expected)
+        assert got == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_connected_components_paths_agree(spark):
     """The driver union-find fast path and the distributed min-label loop
     must produce identical (node, comp) labels — chains, a star, a cycle,
