@@ -118,7 +118,15 @@ def _make_image_codec():
             while pos < len(b) and not b[pos : pos + 1].isspace():
                 pos += 1
             vals.append(int(b[begin:pos]))
-        pos += 1  # exactly one whitespace byte after maxval
+        # the PNM spec mandates EXACTLY ONE whitespace byte between maxval
+        # and the raster; a CRLF or a comment here would silently shift the
+        # pixel offset and decode garbage — error instead (advice r12)
+        if not b[pos : pos + 1].isspace():
+            raise NotImplementedError(
+                "PNM header: expected a single whitespace byte after "
+                f"maxval, got {b[pos : pos + 1]!r} at offset {pos}"
+            )
+        pos += 1
         w, h, maxval = vals
         if maxval != 255:
             raise NotImplementedError("only 8-bit PNM (maxval 255)")
@@ -145,14 +153,180 @@ def _make_image_codec():
             pos = end
         return frames
 
-    def decode_image(b):
-        """``payload bytes -> (width, height, bands, HxWxB uint8 ndarray)``.
-        Formats genuinely needing a codec library (PNG/JPEG/...) raise
-        NotImplementedError — that branch is now ONLY for those."""
+    def _png_unfilter_row(f, line, prev, cur, bpp):
+        """Invert one scanline's PNG filter (spec §6: None/Sub/Up/
+        Average/Paeth) into ``cur``; ``prev`` is the reconstructed row
+        above. Sub is a per-lane mod-256 prefix sum (vectorized); Up is
+        a vector add; Average/Paeth carry a true sequential dependency
+        along the row, so they run as per-byte loops — correctness
+        first, and rows are short."""
         import numpy as np
 
+        if f == 0:
+            cur[:] = line
+        elif f == 2:  # Up — uint8 add wraps mod 256
+            np.add(line, prev, out=cur, casting="unsafe")
+        elif f == 1:  # Sub — per-lane prefix sum mod 256
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(
+                    line[lane::bpp], dtype=np.uint64
+                ) % 256
+        elif f == 3:  # Average
+            for i in range(len(line)):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                up = int(prev[i])
+                cur[i] = (int(line[i]) + ((a + up) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(len(line)):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                up = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+
+    def decode_png(b):
+        """Stdlib-zlib PNG decode (round-13 verdict item 5): non-
+        interlaced 8-bit grayscale (color type 0) and RGB (color type 2),
+        all five scanline filters. Chunk walk -> IHDR validation -> IDAT
+        concatenation -> zlib inflate -> per-row unfilter. Anything else
+        (palette, alpha, 16-bit, interlaced) still needs decode='pil'."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        pos, hdr, idat = 8, None, []
+        while pos + 8 <= len(b):
+            ln = struct.unpack_from(">I", b, pos)[0]
+            typ = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln  # length + type + payload + crc
+            if typ == b"IHDR":
+                if len(data) != 13:
+                    raise NotImplementedError(
+                        f"PNG: malformed IHDR ({len(data)} bytes, want 13)"
+                    )
+                hdr = struct.unpack(">IIBBBBB", data)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+        if hdr is None or not idat:
+            raise NotImplementedError("PNG: missing IHDR/IDAT chunk")
+        w, h, depth, ctype, comp, filt, interlace = hdr
+        if (depth, comp, filt, interlace) != (8, 0, 0, 0) or ctype not in (0, 2):
+            raise NotImplementedError(
+                "stdlib PNG decode supports non-interlaced 8-bit grayscale "
+                f"(color type 0) and RGB (2); got depth={depth} "
+                f"ctype={ctype} interlace={interlace} — use decode='pil'"
+            )
+        bands = 3 if ctype == 2 else 1
+        stride = w * bands
+        raw = zlib.decompress(b"".join(idat))
+        if len(raw) != (stride + 1) * h:
+            raise NotImplementedError(
+                f"PNG: inflated size {len(raw)} != {(stride + 1) * h} "
+                "(truncated or non-standard scanline layout)"
+            )
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            off = y * (stride + 1)
+            line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+            _png_unfilter_row(raw[off], line, prev, out[y], bands)
+            prev = out[y]
+        return w, h, bands, out.reshape(h, w, bands)
+
+    def encode_png(px, filters=None):
+        """``HxWxB uint8 ndarray -> PNG bytes`` (B=3 -> RGB, B=1 -> gray).
+        ``filters`` optionally assigns a per-row filter type (indexed
+        ``filters[y % len(filters)]``) so synthetic fixtures can exercise
+        every decode filter path; default is filter 0 throughout. The
+        filter TRANSFORMS (spec §6) are the exact inverses the decoder
+        applies, all vectorized here because encoding reads only
+        already-final pixel values."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        h, w, bands = px.shape
+        stride = w * bands
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if bands == 3 else 0, 0, 0, 0)
+        flat = px.reshape(h, stride).astype(np.int64)
+        zeros = np.zeros(bands, dtype=np.int64)
+        parts = []
+        prev = np.zeros(stride, dtype=np.int64)
+        for y in range(h):
+            cur = flat[y]
+            f = 0 if filters is None else int(filters[y % len(filters)])
+            left = np.concatenate([zeros, cur[:-bands]])
+            upleft = np.concatenate([zeros, prev[:-bands]])
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                enc = (cur - left) % 256
+            elif f == 2:
+                enc = (cur - prev) % 256
+            elif f == 3:
+                enc = (cur - (left + prev) // 2) % 256
+            elif f == 4:
+                p = left + prev - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - prev)
+                pc = np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prev, upleft),
+                )
+                enc = (cur - pred) % 256
+            else:
+                raise NotImplementedError(f"PNG filter type {f}")
+            parts.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+            prev = cur
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(parts), 6))
+            + chunk(b"IEND", b"")
+        )
+
+    def decode_image(b):
+        """``payload bytes -> (width, height, bands, HxWxB uint8 ndarray)``.
+        Formats genuinely needing a codec library (JPEG, interlaced or
+        non-8-bit PNG, ...) raise NotImplementedError — that branch is
+        now ONLY for those."""
+        import numpy as np
+
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(b)
         if b[:2] in (b"P6", b"P5"):
             w, h, bands, pos = _parse_pnm_header(b, 0)
+            # a standalone PNM payload is exactly header + raster; a CRLF
+            # after maxval (spec-violating, passes the single-whitespace
+            # check because '\r' IS whitespace) leaves one trailing byte
+            # and would shift every pixel — error instead of decoding
+            # garbage (advice r12)
+            if len(b) != pos + w * h * bands:
+                raise NotImplementedError(
+                    f"PNM payload length {len(b)} != header+raster "
+                    f"{pos + w * h * bands} (CRLF after maxval or a "
+                    "truncated/padded raster)"
+                )
             px = np.frombuffer(b, dtype=np.uint8, count=w * h * bands, offset=pos)
             return w, h, bands, px.reshape(h, w, bands)
         if b[:2] == b"BM":
@@ -175,8 +349,9 @@ def _make_image_codec():
                 px = px[::-1]
             return w, h, 3, np.ascontiguousarray(px)
         raise NotImplementedError(
-            "dependency-free decode supports binary PNM (P5/P6) and 24-bit "
-            "uncompressed BMP; other formats need decode='pil' (Pillow)"
+            "dependency-free decode supports binary PNM (P5/P6), 24-bit "
+            "uncompressed BMP, and non-interlaced 8-bit gray/RGB PNG; "
+            "other formats need decode='pil' (Pillow)"
         )
 
     def encode_pnm(px):
@@ -210,10 +385,10 @@ def _make_image_codec():
             w / max(h, 1),
         ][:feature_dim]
 
-    return decode_image, encode_pnm, luma_features, split_pnm_stream
+    return decode_image, encode_pnm, luma_features, split_pnm_stream, encode_png
 
 
-decode_image, encode_pnm, _luma_features, split_pnm_stream = (
+decode_image, encode_pnm, _luma_features, split_pnm_stream, encode_png = (
     _make_image_codec()
 )
 
@@ -230,6 +405,24 @@ def synthetic_ppm_media(docs: DataFrame) -> DataFrame:
         G = (11·id + 3·x + 17·y) % 256
         B = (5·id + 29·x + 23·y) % 256
     """
+    return _synthetic_image_media(docs, encode_pnm)
+
+
+def synthetic_png_media(docs: DataFrame) -> DataFrame:
+    """The :func:`synthetic_ppm_media` pixel formula in a PNG container
+    (round 13): same closed-form (doc_id, x, y) pixels, encoded via the
+    stdlib-zlib PNG encoder with the per-row filter cycling 0..4 — so ONE
+    graded entry exercises every scanline-filter inverse in the decoder
+    (None/Sub/Up/Average/Paeth) plus the chunk walk and inflate, while
+    the SQL oracle keeps regenerating pixels from the formula (the
+    container is invisible to the oracle: compressed payload length is
+    not SQL-derivable, so the PNG entry grades pixel statistics only)."""
+    return _synthetic_image_media(
+        docs, lambda px: encode_png(px, filters=[0, 1, 2, 3, 4])
+    )
+
+
+def _synthetic_image_media(docs: DataFrame, enc) -> DataFrame:
     gen_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -238,7 +431,7 @@ def synthetic_ppm_media(docs: DataFrame) -> DataFrame:
             T.StructField("height", T.IntegerType(), True),
         ]
     )
-    enc = encode_pnm  # local alias -> pickled by value (see _make_image_codec)
+    # `enc` has a <locals> qualname -> pickled by value (see _make_image_codec)
 
     def _batches(it):
         import numpy as _np

@@ -86,8 +86,13 @@ def test_decode_image_pnm_roundtrip_and_bmp():
     assert (w, h, bands) == (bw, bh, 3)
     assert np.array_equal(out, rgb)
 
-    with pytest.raises(NotImplementedError, match="PNM"):
+    # a PNG signature with a garbage chunk stream fails in the PNG
+    # decoder (round 13: PNG is now a real in-sandbox format)
+    with pytest.raises(NotImplementedError, match="PNG"):
         M.decode_image(b"\x89PNG\r\n\x1a\nnotreally")
+    # genuinely unknown formats still name the supported set
+    with pytest.raises(NotImplementedError, match="PNM"):
+        M.decode_image(b"\xff\xd8\xff\xe0notajpegreally")
 
 
 def test_wav_codec_roundtrip_and_rejections():
@@ -444,3 +449,102 @@ def test_pil_decode_raises_clear_importerror_when_absent(spark):
     )
     with pytest.raises(Exception, match="decode='pil' requires Pillow"):
         M.extract_features(media, decode="pil").collect()
+
+
+# ---------------------------------------------------------------------------
+# stdlib PNG codec (round 13)
+
+
+def test_png_round_trip_all_filters_and_shapes():
+    """encode_png -> decode_image recovers exact pixels for RGB and gray
+    across every scanline filter (the per-row ``filters`` knob cycles the
+    encoder through None/Sub/Up/Average/Paeth) and awkward shapes (1×1,
+    single-column, wide rows)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for bands in (1, 3):
+        for (w, h) in [(1, 1), (5, 7), (16, 12), (3, 64)]:
+            px = rng.integers(0, 256, size=(h, w, bands), dtype=np.uint8)
+            for filters in (None, [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+                b = M.encode_png(px, filters=filters)
+                w2, h2, b2, got = M.decode_image(b)
+                assert (w2, h2, b2) == (w, h, bands), (w, h, bands, filters)
+                assert np.array_equal(got, px), (w, h, bands, filters)
+
+
+def test_png_decode_rejects_unsupported_variants():
+    """Interlaced / 16-bit / palette / malformed PNGs raise
+    NotImplementedError (the decode='pil' escape hatch), never decode
+    garbage."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = M.encode_png(px)
+
+    def mutate_ihdr(b, depth=8, ctype=2, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, interlace)
+        chunk = (
+            struct.pack(">I", 13)
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        return b[:8] + chunk + b[8 + 12 + 13 :]
+
+    for bad in (
+        mutate_ihdr(good, depth=16),
+        mutate_ihdr(good, ctype=3),  # palette
+        mutate_ihdr(good, ctype=6),  # RGBA
+        mutate_ihdr(good, interlace=1),  # Adam7
+        good[:8] + good[8:20],  # truncated chunk stream
+    ):
+        with pytest.raises(NotImplementedError):
+            M.decode_image(bad)
+
+
+def test_png_luma_features_match_ppm_features(spark):
+    """The SAME pixels through the PNG container and the PPM container
+    must produce identical decoded features (the container is invisible
+    to the statistics) — pinned via the two synthetic media generators
+    over a handful of documents."""
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(6)], "doc_id long, text string"
+    )
+    ppm = M.extract_features(
+        M.synthetic_ppm_media(docs), decode="real"
+    ).select("media_id", "features")
+    png = M.extract_features(
+        M.synthetic_png_media(docs), decode="real"
+    ).select("media_id", "features")
+    a = {r["media_id"]: r["features"] for r in ppm.collect()}
+    b = {r["media_id"]: r["features"] for r in png.collect()}
+    assert set(a) == set(b)
+    for mid in a:
+        # n_bytes-independent positions: w,h,bands + all luma stats
+        assert a[mid] == b[mid], mid
+
+
+def test_png_pil_cross_check(spark):
+    """Pillow parity for the stdlib decoder (skips in this codec-free
+    container; on a cluster image with Pillow it pins that our unfilter
+    logic agrees with a reference implementation)."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    out = io.BytesIO()
+    Image.fromarray(px, mode="RGB").save(out, format="PNG")
+    w, h, bands, got = M.decode_image(out.getvalue())
+    assert (w, h, bands) == (13, 11, 3)
+    assert np.array_equal(got, px)
+    # and PIL decodes OUR encoder's output
+    with Image.open(io.BytesIO(M.encode_png(px, filters=[4]))) as img:
+        assert np.array_equal(np.asarray(img), px)
