@@ -149,6 +149,106 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def brute_force_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k for a whole BATCH of queries in one plan
+    (round 13): ``queries`` is (query_id, q array<double>), broadcast
+    against the corpus, per-query top-k via a row_number window over the
+    6-dp-rounded score with the same id tie-break as
+    :func:`brute_force_topk`. At scale this is the right serving shape —
+    per-query driver loops pay fixed job overhead per query, while the
+    batch plan scans the corpus ONCE for all queries (the scan dominates
+    at 100 TB; the window shuffles only n_queries × |corpus| scored
+    rows, and the query set is the small side by construction)."""
+    from pyspark.sql.window import Window
+
+    scored = embeddings.crossJoin(
+        F.broadcast(queries.select(qid_col, "q"))
+    ).select(
+        qid_col,
+        F.col(id_col),
+        F.round(
+            cosine_np(F.col(vec_col), F.col("q")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def ivf_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """IVF multi-probe ANN for a BATCH of queries in one plan (round 13):
+    per query, rank centroids (broadcast — k tiny rows), probe the
+    ``nprobe`` nearest cells, rescore exactly only those cells' vectors,
+    per-query top-k via a row_number window. Same semantics per query as
+    :func:`ivf_topk` (``nprobe=None`` defaults to ceil(n_cells/2) via the
+    :func:`ivf_defaults` sizing); one job for the whole query set instead
+    of one per query. Scale shape: the corpus is touched once, pruned to
+    the union of probed cells BEFORE any pairwise math; only (query ×
+    probed-cell-member) rows are scored."""
+    from pyspark.sql.window import Window
+
+    if nprobe is None:
+        nprobe = (centroids.count() + 1) // 2
+    dist2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qcell = (
+        queries.select(qid_col, "q")
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            qid_col,
+            "q",
+            F.struct(dist2.alias("d"), F.col("cid").alias("cid")).alias("s"),
+        )
+        .groupBy(qid_col)
+        .agg(
+            F.first("q").alias("q"),  # constant per query_id
+            F.slice(F.array_sort(F.collect_list("s")), 1, nprobe).alias(
+                "probes"
+            ),
+        )
+        .select(qid_col, "q", F.explode("probes").alias("p"))
+        .select(qid_col, "q", F.col("p.cid").alias("cid"))
+    )
+    cell_members = embeddings.join(
+        assignments.withColumnRenamed("id", id_col), id_col
+    )
+    in_cell = cell_members.join(F.broadcast(qcell), "cid")
+    scored = in_cell.select(
+        qid_col,
+        F.col(id_col),
+        F.round(cosine_np(F.col(vec_col), F.col("q")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def bucketed_topk(
     embeddings: DataFrame,
     query: DataFrame,
@@ -202,14 +302,18 @@ def ivf_defaults(n_rows: int) -> tuple[int, int]:
       the WORST-CASE corpus**: the SCALEBENCH embeddings are uniform in
       [-0.5, 0.5)^64, where neighbor structure is weakest and IVF prunes
       worst. Measured on that corpus at N=30k (numpy replica of this
-      Lloyd's loop, 100 queries, 3 seeds): 50% probe → recall@10
-      0.93–0.95; 40% → 0.89–0.91 (below target on one seed); 25% → 0.83.
-      The old defaults (k=16, nprobe=1) measured 0.28 (SCALEBENCH
-      §ivf_refresh, round 11) — correct per the all-cell contract but
-      unusable ANN quality for a user who never touches the knobs.
-      Clustered real-world embedding corpora reach the same recall at a
-      far smaller probe fraction; these defaults are the safe floor, and
-      ``nprobe`` stays the explicit cost/recall knob.
+      loop, 50 queries, 3 seeds, round-13 k-means|| init + iters=15):
+      50% probe → recall@10 0.944–0.952 (up from 0.924 under the old
+      hash init + 5 iters); 40% → 0.900–0.912 (no margin);
+      15% → ~0.67. On structure-free data recall tracks the probed
+      fraction — no init quality changes that — so the uniform floor
+      stays at half the cells. The old defaults (k=16, nprobe=1)
+      measured 0.28 (SCALEBENCH §ivf_refresh, round 11).
+      CLUSTERED corpora are where cell pruning pays: on the planted
+      32-cluster SCALEBENCH §ivf_clustered corpus recall@10 = 1.0 at a
+      5% probe, and the graded ``similarity_topk_ivf_clustered`` entry
+      pins ≥ 0.9 at 15%. These defaults are the distribution-free safe
+      floor; ``nprobe`` stays the explicit cost/recall knob.
     """
     import math
 
@@ -217,25 +321,213 @@ def ivf_defaults(n_rows: int) -> tuple[int, int]:
     return n_cells, (n_cells + 1) // 2
 
 
+def _weighted_kmeanspp(
+    cand: list[list[float]], weights: list[float], k: int, lloyd_iters: int = 10
+) -> list[list[float]]:
+    """Driver-side weighted k-means++ over the k-means|| candidate set
+    (tiny: O(rounds·2k) rows): k-means++ D²-seeding, then a few weighted
+    Lloyd refinements. Deterministic — fixed-seed rng for the D²-draws,
+    heaviest candidate as the first center."""
+    import numpy as np
+
+    C = np.asarray(cand, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    n = len(C)
+    if n <= k:
+        return [list(map(float, c)) for c in C]
+    rng = np.random.default_rng(20240607)
+    chosen = [int(np.argmax(w))]
+    d2 = ((C - C[chosen[0]]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        p = w * d2
+        tot = float(p.sum())
+        if tot <= 0.0:
+            # remaining candidates coincide with chosen centers (clone
+            # corpus): take the lowest-index unchosen one
+            taken = set(chosen)
+            nxt = next(i for i in range(n) if i not in taken)
+        else:
+            nxt = int(rng.choice(n, p=p / tot))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((C - C[nxt]) ** 2).sum(axis=1))
+    centers = C[np.array(chosen)]
+    c2 = (C * C).sum(axis=1)
+    for _ in range(lloyd_iters):
+        # n×k distance matrix without the n×k×d intermediate
+        dist = (
+            c2[:, None]
+            - 2.0 * (C @ centers.T)
+            + (centers * centers).sum(axis=1)[None, :]
+        )
+        a = dist.argmin(axis=1)
+        newc = centers.copy()
+        for j in range(k):
+            mask = a == j
+            wm = float(w[mask].sum())
+            if wm > 0.0:
+                newc[j] = (C[mask] * w[mask, None]).sum(axis=0) / wm
+        if bool((newc == centers).all()):
+            break
+        centers = newc
+    return [list(map(float, c)) for c in centers]
+
+
+#: Corpora at or below this row count are collected whole for an EXACT
+#: driver-side k-means++ init (one Spark job, ~1 MB at 64 dims); above
+#: it, the same collected hash-sample seeds the distributed k-means||
+#: rounds. Also the oversample candidate budget for large corpora.
+INIT_COLLECT_CAP = 2048
+
+
+def _kmeanspp_init_cmat(
+    pts: DataFrame, k: int, rounds: int = 2
+) -> list[list[float]]:
+    """Deterministic k-means++ / k-means|| init (round 13), in as few
+    Spark jobs as the corpus size allows:
+
+    - ONE TakeOrdered job collects the ``INIT_COLLECT_CAP`` lowest-
+      ``xxhash64(id)`` rows — a deterministic uniform sample. If that IS
+      the whole corpus (N ≤ cap), run exact k-means++ driver-side and
+      stop: one job total, the common case for dimension-table-sized
+      embedding sets.
+    - Otherwise the sample seeds the candidate set and ``rounds``
+      distributed D²-weighted oversampling passes follow (Bahmani et
+      al., "Scalable k-means++", VLDB 2012): 2k picks per round via the
+      Efraimidis-Spirakis weighted-reservoir key (-ln(u)/d², take the ℓ
+      smallest — ONE job per round, no separate total-cost aggregate),
+      deterministic because u derives from xxhash64(id, round). A
+      final pass weights each candidate by attracted corpus mass, then
+      driver-side WEIGHTED k-means++ reduces the candidates to k.
+
+    Replaces the flat hash-sample init: on clustered corpora a uniform
+    sample seeds big clusters many times and misses small ones, which is
+    what forced the half-the-cells default probe budget; D²-seeding
+    spreads centers ∝ distance mass, cutting the probe fraction needed
+    for a given recall (SCALEBENCH §ivf_clustered).
+
+    Scale shape: 1 job small-N, ``rounds``+2 jobs large-N. Candidate
+    state is O(cap + rounds·2k) vectors driver-side; the Arrow kernels
+    chunk their row batches so the transient row×candidate distance
+    matrix stays ~tens of MB regardless of batch size. The full corpus
+    never leaves the cluster.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    ell = 2.0 * k
+    base = (
+        pts.orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(INIT_COLLECT_CAP + 1)
+        .collect()
+    )
+    if not base:
+        return []
+    if len(base) <= INIT_COLLECT_CAP:
+        # the sample IS the corpus: exact k-means++ driver-side, weights 1
+        cands = [[float(x) for x in r["v"]] for r in base]
+        return _weighted_kmeanspp(cands, [1.0] * len(cands), k)
+    cands = [[float(x) for x in r["v"]] for r in base[:INIT_COLLECT_CAP]]
+
+    def _min_d2(m: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+        # row-chunked so the transient chunk×candidates matrix stays small
+        out = np.empty(len(m), dtype=np.float64)
+        c2 = (c * c).sum(axis=1)[None, :]
+        for lo in range(0, len(m), 2048):
+            mm = m[lo : lo + 2048]
+            d2 = (mm * mm).sum(axis=1)[:, None] - 2.0 * (mm @ c.T) + c2
+            out[lo : lo + 2048] = d2.min(axis=1)
+        return np.maximum(out, 0.0)
+
+    def _d2_udf(cmat_now: list[list[float]]):
+        @F.pandas_udf(DoubleType())
+        def _d2(vec: pd.Series) -> pd.Series:
+            import numpy as np
+
+            if len(vec) == 0:
+                return pd.Series([], dtype="float64")
+            m = np.array(list(vec), dtype=np.float64)
+            c = np.array(cmat_now, dtype=np.float64)
+            return pd.Series(_min_d2(m, c))
+
+        return _d2
+
+    for rnd in range(rounds):
+        scored = pts.withColumn("d2", _d2_udf(cands)(F.col("v")))
+        # a d2=0 point (an already-chosen candidate) is filtered out and
+        # can never be re-picked
+        u = (
+            (
+                F.pmod(
+                    F.xxhash64(F.col("id"), F.lit(rnd)), F.lit(1_000_000_007)
+                )
+                + 1
+            )
+            / F.lit(1_000_000_008.0)
+        )
+        key = -F.log(u) / F.col("d2")
+        picked = (
+            scored.select("id", "v", key.alias("__key"), "d2")
+            .where(F.col("d2") > 0.0)
+            .orderBy("__key", "id")  # id tie-break keeps the order total
+            .limit(int(ell))
+            .collect()
+        )
+        if not picked:
+            break  # every remaining point coincides with a candidate
+        cands.extend([[float(x) for x in r["v"]] for r in picked])
+
+    # weight candidates by attracted corpus mass (one assignment pass)
+    cmat = np.array(cands, dtype=np.float64)
+
+    @F.pandas_udf("long")
+    def _nearest_cand(vec: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vec) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.array(list(vec), dtype=np.float64)
+        c2 = (cmat * cmat).sum(axis=1)[None, :]
+        out = np.empty(len(m), dtype=np.int64)
+        for lo in range(0, len(m), 2048):
+            mm = m[lo : lo + 2048]
+            d2 = c2 - 2.0 * (mm @ cmat.T)
+            out[lo : lo + 2048] = d2.argmin(axis=1)
+        return pd.Series(out)
+
+    wrows = (
+        pts.select(_nearest_cand(F.col("v")).alias("ci"))
+        .groupBy("ci")
+        .count()
+        .collect()
+    )
+    weights = [0.0] * len(cands)
+    for r in wrows:
+        weights[int(r["ci"])] = float(r["count"])
+    return _weighted_kmeanspp(cands, weights, k)
+
+
 def kmeans_lite(
     embeddings: DataFrame,
     k: int | None = None,
-    iters: int = 5,
+    iters: int = 15,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kernel: str = "numpy",
+    init: str = "kmeans||",
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic Lloyd's k-means over an embedding column — the
     centroid-training path for IVF-style ANN.
 
-    - init: the k vectors with the lowest ``xxhash64(id)`` — a
-      DETERMINISTIC uniform sample of the corpus (reproducible, and
-      distribution-proportional: re-training over a corpus whose append
-      half drifted seeds BOTH regions ∝ their mass, so the re-train
-      actually re-balances the cells — the k-lowest-ID init this
-      replaces seeded only the oldest data's region and left a drifted
-      cloud collapsed into one cell, measured in SCALEBENCH
-      §ivf_refresh round 11)
+    - init (``init="kmeans||"``, default since round 13): deterministic
+      k-means|| D²-weighted oversampling + driver-side weighted
+      k-means++ (:func:`_kmeanspp_init_cmat`). The flat hash-sample init
+      (``init="hash"``: the k vectors with the lowest ``xxhash64(id)``,
+      a deterministic uniform sample) remains for cheap paths; it is
+      distribution-proportional but cluster-blind — on clustered corpora
+      it seeds big clusters many times and misses small ones, which is
+      what forced the half-the-cells default probe budget
+      (SCALEBENCH §ivf_refresh, rounds 11-12).
     - assign (``kernel="numpy"``, default): centroids live DRIVER-SIDE
       between rounds (see ``_kmeans_numpy_loop``) and are captured in an
       Arrow ``pandas_udf`` that returns the nearest cid per row directly —
@@ -259,6 +551,12 @@ def kmeans_lite(
     :func:`ivf_defaults` — ``max(16, round(sqrt(N)))`` cells, costing one
     count() job up front. Pass an explicit ``k`` to pin the layout (every
     oracle-graded catalog entry does, so its grid is reproducible).
+
+    ``iters=15`` (the default since round 13, was 5): enough Lloyd
+    rounds to actually converge on clustered corpora; the numpy loop
+    stops EARLY at the exact fixpoint (new centroid floats identical to
+    the old — the next assignment pass would be a bit-for-bit no-op), so
+    converged trainings pay only the rounds they use.
     """
     from pyspark.sql.window import Window
 
@@ -270,15 +568,27 @@ def kmeans_lite(
     # reused by every iteration below; no eager count — the cache fills
     # on the first Lloyd round's path (one fewer fixed job per training)
     pts = v.repartition("id").cache()
-    w = Window.orderBy("init_id")
-    centroids = (
-        # hash-spread seed sample; id tie-break keeps the order total
-        v.orderBy(F.xxhash64(F.col("id")), F.col("id"))
-        .limit(k)
-        .select(F.col("id").alias("init_id"), F.col("v").alias("cv"))
-        .withColumn("cid", F.row_number().over(w) - 1)
-        .select("cid", "cv")
-    )
+    if init == "kmeans||":
+        # the init's d² passes run on the SAME cached corpus and the
+        # resulting cmat feeds BOTH kernels identically, so the
+        # numpy/hof assignment-parity contract is unaffected by the
+        # init's internal use of the Arrow kernel
+        cmat0 = _kmeanspp_init_cmat(pts, k)
+        k = len(cmat0)  # a tiny/clone corpus can yield fewer centers
+        centroids = pts.sparkSession.createDataFrame(
+            [(cid, cv) for cid, cv in enumerate(cmat0)],
+            "cid int, cv array<double>",
+        )
+    else:
+        w = Window.orderBy("init_id")
+        centroids = (
+            # hash-spread seed sample; id tie-break keeps the order total
+            v.orderBy(F.xxhash64(F.col("id")), F.col("id"))
+            .limit(k)
+            .select(F.col("id").alias("init_id"), F.col("v").alias("cv"))
+            .withColumn("cid", F.row_number().over(w) - 1)
+            .select("cid", "cv")
+        )
 
     if kernel == "numpy":
         return _kmeans_numpy_loop(pts, centroids, iters, k)
@@ -394,7 +704,16 @@ def _kmeans_numpy_loop(
         for r in rows:
             new_cmat[int(r["cid"])] = [float(x) for x in r["cv"]]
         # a cluster that lost all members keeps its previous centroid
-        cmat = [nc if nc is not None else old for nc, old in zip(new_cmat, cmat)]
+        merged = [nc if nc is not None else old for nc, old in zip(new_cmat, cmat)]
+        if merged == cmat:
+            # EXACT fixpoint: the next assignment pass would reproduce
+            # `assigned` bit-for-bit, so further Lloyd rounds are no-ops —
+            # stop early (this is what makes the round-13 iters=15 default
+            # affordable: converged trainings pay only the rounds they use,
+            # and a kernel="hof" run at the same iters cannot diverge, its
+            # extra rounds are the same no-ops)
+            break
+        cmat = merged
 
     out_assign = assigned.select("id", "cid").localCheckpoint(eager=True)
     pts.unpersist()

@@ -197,11 +197,14 @@ def test_kmeans_kernels_agree_when_cluster_empties(spark):
     """Both kernels keep the stale centroid when a cluster loses all its
     members (it may re-acquire points later). Duplicate init vectors force
     an empty cluster on round 1: ids 1,2 share a vector, so init centroids
-    0 and 1 coincide and the lowest-cid tie-break starves cid 1."""
+    0 and 1 coincide and the lowest-cid tie-break starves cid 1.
+    ``init="hash"`` pinned: the round-13 k-means|| default never seeds two
+    coincident centroids (a chosen point's clones have D²=0), so the
+    hash-sample init is the path that still reaches this state."""
     rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [10.0, 10.0]), (4, [10.5, 10.0])]
     e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
-    c_np, a_np = S.kmeans_lite(e, k=3, iters=3, kernel="numpy")
-    c_hof, a_hof = S.kmeans_lite(e, k=3, iters=3, kernel="hof")
+    c_np, a_np = S.kmeans_lite(e, k=3, iters=3, kernel="numpy", init="hash")
+    c_hof, a_hof = S.kmeans_lite(e, k=3, iters=3, kernel="hof", init="hash")
     # the emptied cluster survives in BOTH centroid frames
     assert c_np.count() == 3 and c_hof.count() == 3
     np_c = {r["cid"]: tuple(r["cv"]) for r in c_np.collect()}
@@ -214,3 +217,42 @@ def test_kmeans_kernels_agree_when_cluster_empties(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_batch_topk_matches_single_query(spark, sf_dir):
+    """Round-13 batch serving shape: brute_force_topk_batch /
+    ivf_topk_batch must return, per query, exactly the rows the
+    single-query operators return — same rounded scores, same id
+    tie-break — while scanning the corpus once for the whole query set."""
+    import os
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qids = [1, 7]
+    qdf = e.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("q"),
+    )
+    batch = S.brute_force_topk_batch(e, qdf, k=7).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_sim"]))
+    cents, assigns = S.kmeans_lite(e, k=8, iters=2)
+    assigns = assigns.localCheckpoint(eager=True)
+    ib = S.ivf_topk_batch(e, qdf, cents, assigns, k=7, nprobe=3).collect()
+    iby_q = {}
+    for r in ib:
+        iby_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_sim"]))
+    for qid in qids:
+        q = e.where(F.col("vec_id") == qid).select(
+            F.transform("embedding", lambda x: x.cast("double")).alias("q")
+        )
+        single = [
+            (r["vec_id"], r["cos_sim"])
+            for r in S.brute_force_topk(e, q, k=7).collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(single), qid
+        isingle = [
+            (r["vec_id"], r["cos_sim"])
+            for r in S.ivf_topk(e, q, cents, assigns, k=7, nprobe=3).collect()
+        ]
+        assert sorted(iby_q[qid]) == sorted(isingle), qid
