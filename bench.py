@@ -131,6 +131,11 @@ HEADLINE = [
     "multimodal_frame_sample",
     "similarity_topk_ivf_recall",
     "content_defined_chunks",
+    # round-13 additions: stdlib-zlib PNG decode (all five scanline
+    # filters) and the clustered-corpus IVF recall contract at a 15%
+    # probe budget (batch top-k serving shape)
+    "multimodal_png_decode",
+    "similarity_topk_ivf_clustered",
 ]
 
 

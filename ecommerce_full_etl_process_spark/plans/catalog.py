@@ -815,89 +815,102 @@ _REGISTRY: dict[
         lq.content_defined_chunks,
         lq.CONTENT_DEFINED_CHUNKS_ORACLE,
     ),
+    # stdlib-zlib PNG decode (round 13): closed-form pixels in a PNG
+    # container whose per-row filter cycles 0..4 — grades the chunk
+    # walk, inflate, and all five scanline-filter inverses
+    "multimodal_png_decode": (
+        sq.multimodal_png_decode,
+        sq.MULTIMODAL_PNG_DECODE_ORACLE,
+    ),
+    # IVF on a planted clustered corpus at nprobe = 15% of cells
+    # (round 13): exact top-10 payload + mean recall@10 >= 0.9 —
+    # the evidence that cell pruning pays where corpora are clustered
+    "similarity_topk_ivf_clustered": (
+        lq.similarity_topk_ivf_clustered,
+        lq.SIMILARITY_TOPK_IVF_CLUSTERED_ORACLE,
+    ),
 }
 
 # ---------------------------------------------------------------------------
-# The graded window, round-12 rotation (staleness-first re-grading policy).
+# The graded window, round-13 rotation (staleness-first re-grading policy).
 #
 # "Graded at least once" closed in round 10; the standing target is now
 # "no entry's last driver grade older than ~4 rounds". This list IS the
 # window: spark_queries()/oracle_queries() emit these names first, so the
 # driver grades exactly these 50. Composition (last-grade data from
-# CORRECTNESS_r01..r11):
-#   - the 4 entries last graded round 7 + all 14 last graded round 8 —
-#     the 18 stalest, heading the window per the r11 verdict;
-#   - 16 of the 34 remaining round-9-graded entries (the other 18 rotate
-#     in round 13, still 2 rounds inside the MAX_STALENESS=5 lint);
-#   - 9 CHANGED-CODE re-grades: entries graded green r09-r11 whose
-#     implementation files this round touched (incremental.py width
-#     selection + negative bins; similarity.py ivf_defaults;
-#     dedup.py broadcast un-pin; multimodal.py real decoder;
-#     stream_pipeline.py state-store hook + IVF torn-heal scope) — the
-#     re-grade-after-change policy from round 9;
-#   - the 7 new round-12 builds (signed adaptive quantile state, the
-#     default-parameter IVF recall contract, content-defined chunking,
-#     and the real-codec multimodal family: decode,
-#     decode→resize→decode, PCM16-WAV audio, container frame-sampling).
-# Every demoted entry was graded green in r10/r11 and stays
+# CORRECTNESS_r01..r12):
+#   - the 18 remaining round-9-graded entries — the stalest cohort
+#     (staleness 4 of the MAX_STALENESS=5 lint), heading the window per
+#     the r12 verdict;
+#   - 21 of the 48 round-10-graded entries, in catalog order (the
+#     next-stalest cohort; the other 27 plus the r11s head round 14);
+#   - 9 CHANGED-CODE re-grades: entries whose implementation this round
+#     touched (similarity.py k-means|| init + iters=15 default + early
+#     stop -> every kmeans_lite consumer; dedup.py incremental-path
+#     broadcast un-pin; multimodal.py PNM header validation on the
+#     decode='real' path; the content_defined_chunks oracle NULL-text
+#     coalesce) — the re-grade-after-change policy from round 9;
+#   - the 2 new round-13 builds (stdlib-zlib PNG decode across all five
+#     scanline filters, and the clustered-corpus IVF recall contract at
+#     nprobe = 15% of cells).
+# Every demoted entry was graded green in r11/r12 and stays
 # oracle-checked in every pytest run (tests/test_catalog_oracle.py).
 # ---------------------------------------------------------------------------
 TIER1: list[str] = [
-    # --- last graded round 7 (4) ---
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "asof_events_to_orders",
-    "variant_extract_events",
-    # --- last graded round 8 (14) ---
-    "order_priority_counts",
-    "asof_events_to_orders_skewsafe",
-    "corpus_dedup_components",
-    "similarity_topk_bucketed",
-    "similarity_topk_quantized",
-    "streaming_event_counts",
-    "streaming_enriched_segment_counts",
-    "streaming_hopping_rates",
-    "cdc_apply_orders",
-    "zorder_pruned_scan",
-    "hopping_event_rates",
-    "table_stats_orders",
-    "local_supplier_volume",
-    "promo_revenue_share",
-    # --- last graded round 9 (16 of 34; the rest head round 13) ---
-    "interpolated_daily_values",
-    "embedding_quantization",
-    "grouping_sets_revenue",
-    "asof_events_to_orders_fanout",
-    "zorder_rank_pruned_scan",
-    "repeat_purchases_within_90d",
-    "contamination_screen",
-    "corpus_dedup_components_star",
-    "dedup_keep_best_quality",
-    "trigram_lm_scores",
-    "heavy_hitter_bigrams",
-    "streaming_click_purchase_join",
-    "streaming_agg_maintenance_state",
-    "incremental_monthly_revenue",
-    "bloom_filtered_orders",
-    "filtered_incremental_scan",
+    # --- last graded round 9 (all 18 remaining) ---
+    "bilateral_trade_volume",
+    "corpus_curation_stats",
+    "customer_order_distribution",
+    "dedup_exact_summary",
+    "discount_band_revenue",
+    "embedding_neardup_pairs",
+    "language_id_heuristic",
+    "multiformat_date_parse",
+    "price_tolerance_check",
+    "regex_predicate",
+    "simhash_planted_pairs",
+    "snapshot_diff_orders",
+    "suppliers_who_kept_waiting",
+    "surplus_part_suppliers",
+    "text_quality_stats",
+    "token_budget_packing",
+    "token_count_bpe",
+    "validation_rule_counts",
+    # --- last graded round 10 (21 of 48, catalog order) ---
+    "flagship_revenue_by_nation",
+    "returned_item_revenue",
+    "product_type_profit",
+    "top_revenue_supplier",
+    "scd2_merge_customers",
+    "streaming_cdc_partitioned_warehouse",
+    "data_quality_expectations",
+    "quality_filter_docs",
+    "gap_filled_daily_order_counts",
+    "customer_revenue_deciles",
+    "revenue_deciles_distributed",
+    "line_dedup_corpus",
+    "simhash_banded_neardups",
+    "semantic_dedup_components",
+    "corpus_prep_pipeline",
+    "pii_scrub_docs",
+    "bigram_pmi",
+    "repeated_ngram_spans",
+    "repetition_stats_docs",
+    "unicode_normalize_docs",
+    "tfidf_top_terms",
     # --- changed-code re-grades (9) ---
-    "adaptive_quantile_state",
-    "streaming_adaptive_quantile_state",
-    "streaming_ivf_ingest",
     "similarity_topk_ivf",
     "similarity_topk_ivf_incremental",
-    "minhash_lsh_neardups",
-    "multimodal_features",
-    "stateful_sessionize",
-    "streaming_dedup_within_watermark",
-    # --- new round-12 builds (7) ---
-    "adaptive_quantile_state_signed",
+    "similarity_topk_ivf_recall",
+    "streaming_ivf_ingest",
+    "minhash_incremental_pairs",
     "multimodal_real_decode",
     "multimodal_resize_decode",
-    "multimodal_audio_decode",
     "multimodal_frame_sample",
-    "similarity_topk_ivf_recall",
     "content_defined_chunks",
+    # --- new round-13 builds (2) ---
+    "multimodal_png_decode",
+    "similarity_topk_ivf_clustered",
 ]
 
 # Families that MUST sit inside the graded window (lint-enforced) — with

@@ -1088,23 +1088,16 @@ def similarity_topk_ivf_recall(spark, sf_dir):
     cents, assigns = S.kmeans_lite(e, k=n_cells, iters=2)
     assigns = assigns.localCheckpoint(eager=True)  # reused by every probe
     qids = [1, 3, 5, 7, 9]
-    exacts, approxs = [], []
-    for qid in qids:
-        q = e.where(F.col("vec_id") == qid).select(
-            F.transform("embedding", lambda x: x.cast("double")).alias("q")
-        )
-        tag = F.lit(qid).cast("long").alias("query_id")
-        exacts.append(S.brute_force_topk(e, q, k=10).select(tag, "*"))
-        approxs.append(
-            S.ivf_topk(e, q, cents, assigns, k=10, nprobe=nprobe).select(
-                tag, "vec_id"
-            )
-        )
-    exact, approx = exacts[0], approxs[0]
-    for x in exacts[1:]:
-        exact = exact.unionByName(x)
-    for x in approxs[1:]:
-        approx = approx.unionByName(x)
+    qdf = e.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("q"),
+    )
+    # batch serving shape (round 13): ONE plan scores all queries exactly
+    # and ONE probes all queries — no per-query driver loop
+    exact = S.brute_force_topk_batch(e, qdf, k=10)
+    approx = S.ivf_topk_batch(
+        e, qdf, cents, assigns, k=10, nprobe=nprobe
+    ).select("query_id", "vec_id")
     total_hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_hits_total")
     )
@@ -1115,6 +1108,89 @@ def similarity_topk_ivf_recall(spark, sf_dir):
         "cos_sim",
         (F.col("n_hits_total") >= F.lit(floor)).alias("recall_ok"),
     )
+
+
+def similarity_topk_ivf_clustered(spark, sf_dir):
+    """IVF where it actually pays (round 13, verdict item 2): a CLUSTERED
+    corpus probed at nprobe = 15% of cells. The uniform corpus the other
+    IVF entries grade is ANN's worst case — recall there tracks the probe
+    fraction almost linearly, which is why the shipped safe-floor default
+    probes half the cells. Real embedding corpora are clustered, and
+    there cell pruning wins: this entry plants a 32-cluster Gaussian-mix
+    structure DETERMINISTICALLY on top of the embeddings table
+    (vector[j] = center(vec_id % 32, j) + 0.15·embedding[j], with
+    center(c, j) = ((c·37 + j·11) % 17)/17 − 0.5 — closed-form, so the
+    oracle replays the exact same corpus), trains kmeans_lite with the
+    k-means|| init at ivf_defaults cell sizing, and probes only
+    ceil(0.15·n_cells) cells. Payload = the exact brute-force top-10 per
+    query over the planted corpus (fully DuckDB-reproducible);
+    ``recall_ok`` asserts mean recall@10 over the query set ≥ 0.9 at less
+    than a THIRD of the probe budget the uniform-corpus default needs for
+    that recall (SCALEBENCH §ivf_clustered carries the N=30k sweep)."""
+    e = _embs(spark, sf_dir)
+    planted = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                ((F.col("vec_id") % 32) * 37 + i * 11) % 17
+            ).cast("double")
+            / 17.0
+            - 0.5
+            + 0.15 * x.cast("double"),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)  # planted corpus reused by train + probes
+    n_cells, _ = S.ivf_defaults(planted.count())
+    nprobe = -(-n_cells * 15 // 100)  # ceil(0.15 * n_cells)
+    cents, assigns = S.kmeans_lite(planted, k=n_cells, iters=15)
+    assigns = assigns.localCheckpoint(eager=True)
+    qids = [2, 4, 6, 8, 10]
+    qdf = planted.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    # batch serving shape: ONE plan scores all queries (exact) and ONE
+    # probes all queries (IVF) — no per-query driver loop
+    exact = S.brute_force_topk_batch(planted, qdf, k=10)
+    approx = S.ivf_topk_batch(
+        planted, qdf, cents, assigns, k=10, nprobe=nprobe
+    ).select("query_id", "vec_id")
+    total_hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits_total")
+    )
+    floor = int(0.9 * len(qids) * 10)  # mean recall@10 >= 0.9
+    return exact.crossJoin(F.broadcast(total_hits)).select(
+        "query_id",
+        "vec_id",
+        "cos_sim",
+        (F.col("n_hits_total") >= F.lit(floor)).alias("recall_ok"),
+    )
+
+
+_PLANTED_SQL = (
+    "list_transform(embedding, (x, i) -> "
+    "((vec_id % 32) * 37 + (i - 1) * 11) % 17 / 17.0 - 0.5 "
+    "+ 0.15 * CAST(x AS DOUBLE))"
+)
+
+SIMILARITY_TOPK_IVF_CLUSTERED_ORACLE = f"""
+WITH planted AS (
+  SELECT vec_id, {_PLANTED_SQL} AS embedding FROM embeddings
+), qs AS (
+  SELECT vec_id AS query_id, embedding AS q
+  FROM planted WHERE vec_id IN (2, 4, 6, 8, 10)
+), scored AS (
+  SELECT qs.query_id, e.vec_id,
+         round({_cos_sql('e.embedding', 'qs.q')}, 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY qs.query_id
+           ORDER BY round({_cos_sql('e.embedding', 'qs.q')}, 6) DESC,
+                    e.vec_id ASC
+         ) AS rn
+  FROM planted e, qs
+)
+SELECT query_id, vec_id, cos_sim, TRUE AS recall_ok
+FROM scored WHERE rn <= 10
+"""
 
 
 SIMILARITY_TOPK_IVF_RECALL_ORACLE = f"""
@@ -1282,7 +1358,7 @@ def content_defined_chunks(spark, sf_dir):
     verbatim), every chunk emitted with its length and md5. The
     shift-invariance that makes this the dedup/delta-storage chunker —
     an insertion re-chunks only up to the next boundary — is pinned in
-    tests/test_textstats_units.py; the entry grades the boundary rule,
+    tests/test_textstats_round5.py; the entry grades the boundary rule,
     span reconstruction, and chunk hashing end-to-end against a SQL
     replay. One row-local Arrow pass, zero exchanges."""
     d = _docs(spark, sf_dir)
@@ -1292,7 +1368,12 @@ def content_defined_chunks(spark, sf_dir):
 _CDC_CHUNK_POWS = [pow(31, j, 1 << 20) for j in range(8)]
 
 CONTENT_DEFINED_CHUNKS_ORACLE = f"""
-WITH t AS (SELECT doc_id, text AS s, length(text) AS n FROM documents),
+WITH t AS (
+  -- coalesce matches the engine kernel, which maps NULL text to '' and
+  -- emits one empty chunk (latent today: the corpus has no NULL text)
+  SELECT doc_id, coalesce(text, '') AS s, length(coalesce(text, '')) AS n
+  FROM documents
+),
 pos AS (
   SELECT doc_id, i,
          ({' + '.join(f'ord(s[i-{j}]) * {p}' for j, p in enumerate(_CDC_CHUNK_POWS))}) % 1048576 AS h

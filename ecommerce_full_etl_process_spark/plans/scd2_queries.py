@@ -263,6 +263,59 @@ FROM px GROUP BY doc_id, w, h
 """
 
 
+def multimodal_png_decode(spark, sf_dir):
+    """Stdlib-zlib PNG decode graded end-to-end (round 13, closing the
+    last common in-sandbox image-format gap): the same closed-form
+    (doc_id, x, y) pixels as multimodal_real_decode, but in a PNG
+    container whose per-row scanline filter cycles 0..4
+    (operators/multimodal.synthetic_png_media) — so the graded pass
+    exercises the chunk walk, zlib inflate, and ALL FIVE filter
+    inverses (None/Sub/Up/Average/Paeth), not just the easy path. The
+    oracle regenerates the pixels from the formula and recomputes the
+    decoded statistics; n_bytes is omitted (a compressed payload length
+    is not SQL-derivable). A filter-inverse or inflate bug is a value
+    mismatch, not a skipped test. Scale shape: generation and decode are
+    both row-local Arrow mapInPandas passes — zero exchanges beyond the
+    scan. Pillow is now needed only for JPEG / interlaced / non-8-bit
+    formats."""
+    from ..operators.multimodal import extract_features, synthetic_png_media
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    media = synthetic_png_media(docs)
+    feats = extract_features(media, decode="real")
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).cast("long").alias("width"),
+        F.element_at("features", 2).cast("long").alias("height"),
+        F.round(F.element_at("features", 4), 6).alias("luma_mean"),
+        F.round(F.element_at("features", 5), 6).alias("luma_min"),
+        F.round(F.element_at("features", 6), 6).alias("luma_max"),
+        F.round(F.element_at("features", 8), 6).alias("aspect"),
+    )
+
+
+MULTIMODAL_PNG_DECODE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 8 + (doc_id % 5) * 4 AS w, 8 + (doc_id % 3) * 4 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         (299 * ((7*doc_id + 13*(i % w) + 31*(i // w)) % 256)
+        + 587 * ((11*doc_id + 3*(i % w) + 17*(i // w)) % 256)
+        + 114 * ((5*doc_id + 29*(i % w) + 23*(i // w)) % 256)) // 1000 AS L
+  FROM dims, UNNEST(range(w * h)) AS t(i)
+)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       round(sum(L) / count(*) / 255.0, 6) AS luma_mean,
+       round(min(L) / 255.0, 6) AS luma_min,
+       round(max(L) / 255.0, 6) AS luma_max,
+       round(CAST(w AS DOUBLE) / h, 6) AS aspect
+FROM px GROUP BY doc_id, w, h
+"""
+
+
 def multimodal_resize_decode(spark, sf_dir):
     """The full real-codec pipeline graded end-to-end (round 12):
     closed-form synthetic PPMs → REAL nearest-neighbour resize to a

@@ -87,7 +87,7 @@ SHUFFLE_BUDGET = {
     # claim (README plan audit), so pin it at zero
     "multimodal_real_decode": 0, "multimodal_resize_decode": 0,
     "multimodal_audio_decode": 0, "multimodal_frame_sample": 0,
-    "multimodal_features": 0,
+    "multimodal_features": 0, "multimodal_png_decode": 0,
     "flagship_revenue_by_nation": 2, "filtered_incremental_scan": 0,
     "projection_filter": 0, "regex_predicate": 0,
     "price_tolerance_check": 1, "semi_join_customers_with_orders": 0,
