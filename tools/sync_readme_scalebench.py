@@ -37,8 +37,14 @@ WAREHOUSE_HEADER = (
     "last-5 mean | last5/first5 | versions on disk |"
 )
 IVF_HEADER = (
-    "| append | corpus rows | frozen recall@10 np=1 | np=2 | np=4 | "
-    "re-trained np=1 |"
+    "| append | corpus rows | frozen recall@10 probe=5% | probe=15% | "
+    "probe=50% | re-trained probe=15% |"
+)
+IVF_CLUSTERED_HEADER = (
+    "| probe budget | nprobe | recall@10 | recall-pass wall (10 q) |"
+)
+ROCKSDB_HEADER = (
+    "| workload | provider | batches | state rows (max) | wall |"
 )
 
 
@@ -125,10 +131,10 @@ def format_ivf_rows(section: dict) -> list[str]:
         label = key[len("append_"):].replace("_", " ")
         rows.append(
             f"| {label} | {t['corpus_rows']:,} | "
-            f"{t['recall_frozen_nprobe1']:.2f} | "
-            f"{t['recall_frozen_nprobe2']:.2f} | "
-            f"{t['recall_frozen_nprobe4']:.2f} | "
-            f"**{t['recall_retrained_nprobe1']:.2f}** |"
+            f"{t['recall_frozen_probe5pct']:.2f} | "
+            f"{t['recall_frozen_probe15pct']:.2f} | "
+            f"{t['recall_frozen_probe50pct']:.2f} | "
+            f"**{t['recall_retrained_probe15pct']:.2f}** |"
         )
     d = section.get("defaults")
     if d:
@@ -137,6 +143,40 @@ def format_ivf_rows(section: dict) -> list[str]:
             f"| shipped defaults (√N cells, ½-cell probe: "
             f"np={d['nprobe']} of {d['n_cells']}) | {d['corpus_rows']:,} | "
             f"{d['recall_at10']:.2f} | — | — | **≥0.9 target: {met}** |"
+        )
+    return rows
+
+
+def format_ivf_clustered_rows(section: dict) -> list[str]:
+    rows = []
+    for key, t in section.items():
+        if not key.startswith("probe_"):
+            continue
+        label = key[len("probe_"):].replace("pct", "%")
+        rows.append(
+            f"| {label} of cells | {t['nprobe']} | "
+            f"**{t['recall_at10']:.2f}** | "
+            f"{t['recall_pass_wall_10q']:.2f} s |"
+        )
+    return rows
+
+
+def format_rocksdb_rows(section: dict) -> list[str]:
+    rows = []
+    for prov in ("hdfs", "rocksdb"):
+        t = section.get(f"sessionize_{prov}")
+        if not t:
+            continue
+        rows.append(
+            f"| sessionize soak | {prov} | {t['n_batches']} | "
+            f"{t['max_state_rows']:,} | {t['wall']:.1f} s |"
+        )
+    c = section.get("cdc_warehouse")
+    if c:
+        rows.append(
+            f"| CDC warehouse stream | {c['provider']} | {c['n_batches']} | "
+            f"TableStore-resident | {c['drain_wall']:.1f} s "
+            f"({c['mean_batch_wall']:.2f} s/batch) |"
         )
     return rows
 
@@ -159,7 +199,7 @@ def replace_table(text: str, header: str, rows: list[str]) -> str:
 
 def expected_tables() -> tuple[
     list[str], list[str], list[str], list[str], list[str], list[str],
-    list[str],
+    list[str], list[str], list[str],
 ]:
     with open(os.path.join(ROOT, "SCALEBENCH.json")) as f:
         d = json.load(f)
@@ -171,11 +211,15 @@ def expected_tables() -> tuple[
         format_compaction_rows(d.get("compaction", {})),
         format_warehouse_rows(d.get("streaming_warehouse", {})),
         format_ivf_rows(d.get("ivf_refresh", {})),
+        format_ivf_clustered_rows(d.get("ivf_clustered", {})),
+        format_rocksdb_rows(d.get("streaming_warehouse_rocksdb", {})),
     )
 
 
 def main() -> None:
-    heavy, rel, cdc, stream, compact, wh, ivf = expected_tables()
+    (
+        heavy, rel, cdc, stream, compact, wh, ivf, ivfc, rocks,
+    ) = expected_tables()
     path = os.path.join(ROOT, "README.md")
     with open(path) as f:
         text = f.read()
@@ -186,6 +230,8 @@ def main() -> None:
     text = replace_table(text, COMPACT_HEADER, compact)
     text = replace_table(text, WAREHOUSE_HEADER, wh)
     text = replace_table(text, IVF_HEADER, ivf)
+    text = replace_table(text, IVF_CLUSTERED_HEADER, ivfc)
+    text = replace_table(text, ROCKSDB_HEADER, rocks)
     with open(path, "w") as f:
         f.write(text)
     print(
