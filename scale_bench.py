@@ -1070,17 +1070,36 @@ def main() -> None:
                 q.stop()
                 raise RuntimeError("rocksdb CDC drain did not finish in 900s")
             drain_wall = time.perf_counter() - t0
-            n_rows = store.read("snapshot").count()
-            expected = (
-                orders.count() - dele.count()
-            )  # every delete slice applied exactly once
+            from ecommerce_full_etl_process_spark.operators.cdc import (
+                strip_versioned,
+            )
+
+            # LIVE rows (tombstones stripped): every deleted key stays
+            # dead except the dele∩upd overlap keys whose delete batch
+            # precedes the final update batch — those are legitimately
+            # resurrected by the later higher-seq update (delete-first
+            # only wins TIES)
+            n_rows = strip_versioned(
+                store.read("snapshot").drop("last_batch")
+            ).count()
+            overlap = [
+                r["o_orderkey"]
+                for r in dele.join(upd, "o_orderkey", "left_semi")
+                .select("o_orderkey")
+                .collect()
+            ]
+            resurrected = sum(
+                1 for kk in overlap if kk % N_BATCHES < N_BATCHES - 1
+            )
+            expected = orders.count() - dele.count() + resurrected
             streaming_warehouse_rocksdb["cdc_warehouse"] = {
                 "provider": "rocksdb",
                 "n_batches": N_BATCHES,
                 "drain_wall": round(drain_wall, 3),
                 "mean_batch_wall": round(drain_wall / N_BATCHES, 3),
-                "snapshot_rows": n_rows,
-                "snapshot_rows_expected": expected,
+                "snapshot_live_rows": n_rows,
+                "snapshot_live_rows_expected": expected,
+                "resurrected_by_later_update": resurrected,
                 "rows_match": bool(n_rows == expected),
             }
             for d in (log_dir, root, ckpt):
