@@ -397,7 +397,7 @@ INIT_COLLECT_CAP = 2048
 
 def _kmeanspp_init_cmat(
     pts: DataFrame, k: int, rounds: int = 2
-) -> list[list[float]]:
+) -> tuple[list[list[float]], list | None]:
     """Deterministic k-means++ / k-means|| init (round 13), in as few
     Spark jobs as the corpus size allows:
 
@@ -426,6 +426,12 @@ def _kmeanspp_init_cmat(
     chunk their row batches so the transient row×candidate distance
     matrix stays ~tens of MB regardless of batch size. The full corpus
     never leaves the cluster.
+
+    Returns ``(cmat, corpus)``: ``corpus`` is the collected ``(id, v)``
+    row list when the ONE sampling job proved the sample IS the whole
+    corpus (N ≤ cap) — round-13-opt: the caller can then finish the
+    entire Lloyd loop driver-side instead of paying one cluster job per
+    round for ≤2048 rows — and None for the large-N distributed path.
     """
     import numpy as np
     import pandas as pd
@@ -438,11 +444,11 @@ def _kmeanspp_init_cmat(
         .collect()
     )
     if not base:
-        return []
+        return [], []
     if len(base) <= INIT_COLLECT_CAP:
         # the sample IS the corpus: exact k-means++ driver-side, weights 1
         cands = [[float(x) for x in r["v"]] for r in base]
-        return _weighted_kmeanspp(cands, [1.0] * len(cands), k)
+        return _weighted_kmeanspp(cands, [1.0] * len(cands), k), base
     cands = [[float(x) for x in r["v"]] for r in base[:INIT_COLLECT_CAP]]
 
     def _min_d2(m: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
@@ -520,7 +526,57 @@ def _kmeanspp_init_cmat(
     weights = [0.0] * len(cands)
     for r in wrows:
         weights[int(r["ci"])] = float(r["count"])
-    return _weighted_kmeanspp(cands, weights, k)
+    return _weighted_kmeanspp(cands, weights, k), None
+
+
+def _kmeans_driver_finish(
+    spark, corpus_rows, cmat0: list[list[float]], iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Small-N Lloyd fast path (round-13 opt): when the init's ONE
+    sampling job already collected the whole corpus (N ≤
+    ``INIT_COLLECT_CAP``), run every Lloyd round driver-side in numpy —
+    zero additional Spark jobs — instead of one cluster job per round
+    over ≤2048 rows. Identical algorithm to ``_kmeans_numpy_loop``: same
+    squared-distance argmin with the lowest-cid first-index tie-break,
+    same keep-stale-centroid rule for emptied clusters, same exact-
+    fixpoint early stop, and assignments are (as there) the ones made
+    with the PRE-update centroids of the final round. The only numeric
+    difference is the per-cluster mean's float summation order (numpy
+    row order vs Spark's partial-aggregate merge order) — the same
+    class of last-ulp variation the distributed loop itself has across
+    partitionings, absorbed by the catalog-standard round(·, 6) and the
+    recall-floor contracts downstream."""
+    import numpy as np
+
+    ids = [r["id"] for r in corpus_rows]
+    if not ids:
+        return (
+            spark.createDataFrame([], "cid int, cv array<double>"),
+            spark.createDataFrame([], "id bigint, cid bigint"),
+        )
+    m = np.array([[float(x) for x in r["v"]] for r in corpus_rows])
+    cmat = np.asarray(cmat0, dtype=np.float64)
+    k = len(cmat)
+    a = None
+    for _ in range(iters):
+        d2 = (cmat * cmat).sum(axis=1)[None, :] - 2.0 * (m @ cmat.T)
+        a = d2.argmin(axis=1)
+        merged = cmat.copy()
+        for j in range(k):
+            mask = a == j
+            if mask.any():
+                merged[j] = m[mask].mean(axis=0)
+        if (merged == cmat).all():
+            break
+        cmat = merged
+    centroids = spark.createDataFrame(
+        [(cid, [float(x) for x in cv]) for cid, cv in enumerate(cmat)],
+        "cid int, cv array<double>",
+    )
+    assigns = spark.createDataFrame(
+        [(int(i), int(c)) for i, c in zip(ids, a)], "id bigint, cid bigint"
+    )
+    return centroids, assigns
 
 
 def kmeans_lite(
@@ -581,6 +637,39 @@ def kmeans_lite(
     )
     if k is None:
         k, _ = ivf_defaults(v.count())
+
+    if kernel == "numpy":
+        # round-13 opt: NO id-repartition here — the numpy kernel never
+        # joins by id (assignment is a map, the update is a groupBy), so
+        # the hash exchange bought nothing: at 100 TB it was a full extra
+        # shuffle of the vectors, and at bench SFs it turned every Lloyd
+        # job into shuffle-partition-count tiny tasks instead of the
+        # scan's natural splits (plans/r13/similarity_topk_ivf_*.txt).
+        # The hof kernel below keeps it: its per-round join by id reuses
+        # that partitioning.
+        pts = v.cache()
+        if init == "kmeans||":
+            cmat0, corpus = _kmeanspp_init_cmat(pts, k)
+            if corpus is not None:
+                # the ONE init job collected the whole corpus — finish
+                # every Lloyd round driver-side, zero further Spark jobs
+                pts.unpersist()
+                return _kmeans_driver_finish(
+                    v.sparkSession, corpus, cmat0, iters
+                )
+        else:
+            # hash-spread seed sample, cid ordered by sampled id — the
+            # same rows/order the window form produced, collected
+            # directly (one job) instead of a window + later re-collect
+            rows = (
+                pts.orderBy(F.xxhash64(F.col("id")), F.col("id"))
+                .limit(k)
+                .collect()
+            )
+            rows.sort(key=lambda r: r["id"])
+            cmat0 = [[float(x) for x in r["v"]] for r in rows]
+        return _kmeans_numpy_loop(pts, cmat0, iters, len(cmat0))
+
     # reused by every iteration below; no eager count — the cache fills
     # on the first Lloyd round's path (one fewer fixed job per training)
     pts = v.repartition("id").cache()
@@ -589,7 +678,7 @@ def kmeans_lite(
         # resulting cmat feeds BOTH kernels identically, so the
         # numpy/hof assignment-parity contract is unaffected by the
         # init's internal use of the Arrow kernel
-        cmat0 = _kmeanspp_init_cmat(pts, k)
+        cmat0, _corpus = _kmeanspp_init_cmat(pts, k)
         k = len(cmat0)  # a tiny/clone corpus can yield fewer centers
         centroids = pts.sparkSession.createDataFrame(
             [(cid, cv) for cid, cv in enumerate(cmat0)],
@@ -605,9 +694,6 @@ def kmeans_lite(
             .withColumn("cid", F.row_number().over(w) - 1)
             .select("cid", "cv")
         )
-
-    if kernel == "numpy":
-        return _kmeans_numpy_loop(pts, centroids, iters, k)
 
     def _assign_hof(points: DataFrame, cents: DataFrame) -> DataFrame:
         dist2 = F.aggregate(
@@ -659,7 +745,7 @@ def kmeans_lite(
 
 
 def _kmeans_numpy_loop(
-    pts: DataFrame, init_centroids: DataFrame, iters: int, k: int
+    pts: DataFrame, cmat: list[list[float]], iters: int, k: int
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd iterations with DRIVER-RESIDENT centroids (numpy kernel).
 
@@ -668,18 +754,20 @@ def _kmeans_numpy_loop(
     as a driver-side list between rounds removes the per-iteration
     localCheckpoint job AND the per-iteration re-collect — ONE Spark job
     per Lloyd round (the centroid-update aggregate) instead of two.
-    Centroid state is k×d doubles (even 4096×1024 ≈ 32 MB), the same
-    payload the closure already shipped per round; the full corpus never
-    leaves the cluster. Numerics are identical to the DataFrame loop:
-    the update is the same Spark avg aggregate, merely collected."""
+    Round-13 opt: the init centroids now ARRIVE as that driver-side list
+    (every init path already had them driver-resident), dropping the
+    former re-collect of a just-created local centroid frame — at bench
+    SFs that orderBy("cid") re-collect alone cost two 32-task jobs per
+    training. Centroid state is k×d doubles (even 4096×1024 ≈ 32 MB),
+    the same payload the closure already shipped per round; the full
+    corpus never leaves the cluster. Numerics are identical to the
+    DataFrame loop: the update is the same Spark avg aggregate, merely
+    collected."""
     import pandas as pd
     from pyspark.sql.types import LongType
 
     spark = pts.sparkSession
-    cmat = [
-        [float(x) for x in r["cv"]]
-        for r in init_centroids.orderBy("cid").collect()
-    ]
+    cmat = [[float(x) for x in cv] for cv in cmat]
 
     def _nearest_udf(cmat_now: list[list[float]]):
         @F.pandas_udf(LongType())
