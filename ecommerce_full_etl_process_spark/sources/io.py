@@ -302,6 +302,44 @@ class TableStore:
         writer.parquet(self._data_dir(table, new_version))
         self._set_version(table, new_version)
 
+    def overwrite_staged(
+        self, table: str, df: DataFrame, partition_by: list[str] | None = None
+    ):
+        """Write the next version's DATA now, flip the manifest LATER:
+        returns ``(staged_version, commit)`` where ``commit()`` performs
+        the atomic manifest flip. Readers keep seeing the old version
+        until ``commit()``; an abandoned staged dir is exactly the torn
+        output the versioned protocol already tolerates (vacuum reclaims
+        it, and a retry re-stages the same version number and overwrites
+        it).
+
+        This exists for multi-table maintenance loops (round-13 opt): a
+        consumer that must derive something FROM the new version before
+        publishing it previously had to materialize the frame twice —
+        once into executor memory (``localCheckpoint``) to compute the
+        derivation, once onto disk for the overwrite. Staging writes the
+        bytes once to their final columnar home; the derivation reads
+        them back with column pruning, and the commit point (the flip)
+        stays exactly where the tear-healing protocol needs it.
+
+        Single-writer contract (same as ``vacuum``): the writer lock is
+        held for the data write and re-acquired for the flip; a SECOND
+        writer overwriting between the two would reuse the staged
+        version number — don't interleave writers on a staged table."""
+        with self._writer_lock(table):
+            current = self._current_version(table)
+            new_version = (current or 0) + 1
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(self._data_dir(table, new_version))
+
+        def commit() -> None:
+            with self._writer_lock(table):
+                self._set_version(table, new_version)
+
+        return new_version, commit
+
     def overwrite_partitions(
         self,
         table: str,

@@ -1115,7 +1115,7 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog entry (round 11): the streaming ANN ingest END-TO-END
     under the oracle gate. Centroids train on the vec_id % 3 != 0
     two-thirds of the corpus (k=8), the remaining third arrives as TWO
-    stream files (split by vec_id parity) and drains through
+    stream files (one 2-way split write) and drains through
     :func:`run_streaming_ivf_ingest` — one frozen-centroid assignment
     pass + exactly-once two-table appends per micro-batch — and the
     query probes ALL cells of the persisted (training ∪ streamed) index
@@ -1143,10 +1143,11 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src = os.path.join(root, "src")
         os.makedirs(src)
-        for m in (0, 1):
-            late.where(F.col("vec_id") % 2 == m).coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
+        # two stream files in ONE write job (round-13 opt: the exactly-once
+        # append protocol makes the result independent of HOW the late
+        # third splits across files, so the former two per-parity
+        # coalesce(1) writes were an extra sequential job for nothing)
+        late.repartition(2).write.mode("append").parquet(src)
         store = TableStore(spark, os.path.join(root, "wh"))
         cents, assigns = kmeans_lite(train, k=8, iters=2)
         init_streaming_ivf_index(store, cents, train, assigns)
@@ -1234,8 +1235,8 @@ def streaming_dedup_within_watermark(
     """Catalog entry (round 10): BOUNDED-STATE streaming dedup
     (``dropDuplicatesWithinWatermark``) end-to-end under the oracle
     gate. A duplicated events feed — every event whose id ≡ 0 (mod 7)
-    appears TWICE — lands as three stream files (ts-tertile splits) and
-    drains through a real AvailableNow query that dedups on
+    appears TWICE — lands as three stream files (one 3-way split write)
+    and drains through a real AvailableNow query that dedups on
     ``event_id``; the survivors aggregate per event type. The oracle
     aggregates the ORIGINAL events only, so the entry passes iff the
     streaming operator dropped every injected duplicate and nothing
@@ -1260,13 +1261,12 @@ def streaming_dedup_within_watermark(
     try:
         src = os.path.join(root, "src")
         os.makedirs(src)
-        d = F.dayofmonth("ts")
-        for part in (
-            feed.where(d <= 10),
-            feed.where((d > 10) & (d <= 20)),
-            feed.where(d > 20),
-        ):
-            part.coalesce(1).write.mode("append").parquet(src)
+        # three stream files in ONE write job (round-13 opt: the former
+        # per-tertile coalesce(1) writes paid three sequential jobs; the
+        # entry's own contract — the 35-day watermark exceeds the corpus
+        # span — makes the result independent of HOW rows split across
+        # files, so any deterministic 3-way split serves)
+        feed.repartition(3).write.mode("overwrite").parquet(src)
         stream = (
             spark.readStream.schema(feed.schema)
             .option("maxFilesPerTrigger", "1")
@@ -1349,9 +1349,12 @@ def apply_agg_state_batch(
     states = []
     if store.exists(state_table):
         state = store.read(state_table)
-        if state.take(1):
-            applied = state.agg(F.max("last_batch")).collect()[0][0]
-            if applied is not None and applied >= batch_id:
+        # one collect: max(last_batch) is NULL iff the table is empty, so
+        # the former emptiness take(1) probe was a redundant extra job
+        # per batch (round-13 opt)
+        applied = state.agg(F.max("last_batch")).collect()[0][0]
+        if applied is not None:
+            if applied >= batch_id:
                 return False  # at-least-once replay of an applied batch
             states.append(state.drop("last_batch"))
     states.append(partial_agg(batch, keys, value_col))
@@ -1501,9 +1504,11 @@ def apply_quantile_state_batch(
     states = []
     if store.exists(state_table):
         state = store.read(state_table)
-        if state.take(1):
-            applied = state.agg(F.max("last_batch")).collect()[0][0]
-            if applied is not None and applied >= batch_id:
+        # one collect: NULL max(last_batch) == empty table (round-13 opt,
+        # same as apply_agg_state_batch)
+        applied = state.agg(F.max("last_batch")).collect()[0][0]
+        if applied is not None:
+            if applied >= batch_id:
                 return False  # at-least-once replay of an applied batch
             states.append(state.drop("last_batch"))
     states.append(histogram_partial(batch, keys, value_col, lo, hi, bins))
@@ -1668,9 +1673,11 @@ def apply_adaptive_quantile_state_batch(
     states = []
     if store.exists(state_table):
         state = store.read(state_table)
-        if state.take(1):
-            applied = state.agg(F.max("last_batch")).collect()[0][0]
-            if applied is not None and applied >= batch_id:
+        # one collect: NULL max(last_batch) == empty table (round-13 opt,
+        # same as apply_agg_state_batch)
+        applied = state.agg(F.max("last_batch")).collect()[0][0]
+        if applied is not None:
+            if applied >= batch_id:
                 return False  # at-least-once replay of an applied batch
             states.append(state.drop("last_batch"))
     states.append(
@@ -1866,14 +1873,22 @@ def apply_cdc_mv_batch(
     rescan.
 
     Torn-batch safety across TWO tables without a distributed
-    transaction: each table embeds its own ``last_batch`` marker
-    (committing atomically with that table's versioned overwrite), the
-    AGGREGATE is written FIRST, and its recompute reads the post-apply
-    snapshot frame built in memory — never the persisted snapshot table.
-    So the only possible tear is "aggregate new, snapshot old", and the
-    at-least-once replay heals it: the aggregate skips on its marker
-    while the snapshot re-applies the batch (``apply_cdc_versioned`` is
-    idempotent), converging both tables. The reverse tear cannot exist.
+    transaction: each table embeds its own ``last_batch`` marker, the
+    AGGREGATE is COMMITTED first, and its recompute reads the post-apply
+    snapshot — never the possibly-stale published snapshot table. The
+    post-apply snapshot is STAGED (data written to its next version dir,
+    manifest flip deferred — ``TableStore.overwrite_staged``): the
+    recompute reads those bytes back columnar instead of holding a
+    second in-memory copy (round-13 opt: the former ``localCheckpoint``
+    materialized the full snapshot into executor memory AND then wrote
+    it again), and the snapshot's manifest flips only AFTER the
+    aggregate committed. Commit order is therefore unchanged: the only
+    possible tear is still "aggregate new, snapshot old" (a crash
+    leaves the staged dir unpublished — torn output the versioned
+    protocol already tolerates), and the at-least-once replay heals it:
+    the aggregate skips on its marker while the snapshot re-applies the
+    batch (``apply_cdc_versioned`` is idempotent), converging both
+    tables. The reverse tear cannot exist.
     """
     from ..operators.cdc import apply_cdc_versioned, strip_versioned
     from ..operators.incremental import partial_agg
@@ -1882,24 +1897,43 @@ def apply_cdc_mv_batch(
     if not batch.take(1):
         return False
 
-    def _marker(table: str) -> int:
+    # round-13 opt: read each maintained table ONCE and derive its marker
+    # from a single max(last_batch) collect (NULL == empty/missing) — the
+    # previous per-table read + take(1) + max chain cost three extra jobs
+    # per batch, and the snapshot was then re-read a third time below.
+    def _read_and_marker(table: str):
         if not store.exists(table):
-            return -(2**62)
+            return None, -(2**62)
         t = store.read(table)
-        if not t.take(1):
-            return -(2**62)
         m = t.agg(F.max("last_batch")).collect()[0][0]
-        return -(2**62) if m is None else m
+        return t, (-(2**62) if m is None else m)
 
-    snap_applied = _marker(snapshot_table) >= batch_id
-    state_applied = _marker(state_table) >= batch_id
+    snap_df, snap_marker = _read_and_marker(snapshot_table)
+    state_df, state_marker = _read_and_marker(state_table)
+    snap_applied = snap_marker >= batch_id
+    state_applied = state_marker >= batch_id
     if snap_applied and state_applied:
         return False  # clean replay of a fully-applied batch
 
-    cur_vsnap = store.read(snapshot_table).drop("last_batch")
-    new_vsnap = apply_cdc_versioned(
-        cur_vsnap, batch, key_cols, seq_col, op_col
-    ).localCheckpoint(eager=True)
+    cur_vsnap = snap_df.drop("last_batch")
+    if snap_applied:
+        # the published snapshot already contains this batch (the healed
+        # tear): it IS the post-apply frame — no re-apply, no staging
+        new_vsnap = cur_vsnap
+        commit_snap = None
+    else:
+        # stage the post-apply snapshot: ONE materialization, straight to
+        # its final columnar home; the manifest flip waits until after
+        # the aggregate commits (see docstring — commit order unchanged)
+        staged_ver, commit_snap = store.overwrite_staged(
+            snapshot_table,
+            apply_cdc_versioned(
+                cur_vsnap, batch, key_cols, seq_col, op_col
+            ).withColumn("last_batch", F.lit(batch_id).cast("long")),
+        )
+        new_vsnap = store.read(snapshot_table, version=staged_ver).drop(
+            "last_batch"
+        )
 
     if not state_applied:
         changed_keys = batch.select(*key_cols).distinct()
@@ -1935,21 +1969,14 @@ def apply_cdc_mv_batch(
             group_cols,
             value_col,
         )
-        untouched = _null_safe(
-            store.read(state_table).drop("last_batch"), "left_anti"
-        )
+        untouched = _null_safe(state_df.drop("last_batch"), "left_anti")
         new_state = untouched.unionByName(recomputed).withColumn(
             "last_batch", F.lit(batch_id).cast("long")
         )
         store.overwrite(state_table, new_state)
 
-    if not snap_applied:
-        store.overwrite(
-            snapshot_table,
-            new_vsnap.withColumn(
-                "last_batch", F.lit(batch_id).cast("long")
-            ),
-        )
+    if commit_snap is not None:
+        commit_snap()  # manifest flip only — the data is already staged
     return True
 
 
