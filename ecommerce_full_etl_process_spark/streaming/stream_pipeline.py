@@ -191,27 +191,87 @@ def configure_state_store(spark: SparkSession, provider: str | None = None):
     spark.conf.set(STATE_STORE_PROVIDER_CONF, mapping[name])
 
 
-def _drain_to_memory_sink(agg: DataFrame, prefix: str, output_mode: str):
+def _stream_state_partitions(spark: SparkSession, source_path: str) -> int:
+    """Size a stateful streaming query's shuffle (== its state-store
+    count) by the stream's INPUT VOLUME instead of the session's
+    core-count default: ~32 MB of source bytes per state partition,
+    clamped to [1, session ``spark.sql.shuffle.partitions``].
+
+    Rationale (guide §2.2/§2.5 applied to state stores): every stateful
+    operator keeps one file-backed state store PER shuffle partition and
+    pays its setup + snapshot + commit EVERY micro-batch, so partition
+    count is pure per-batch overhead until state volume fills it —
+    measured at sf0.1 on this host: ``streaming_dedup_within_watermark``
+    3.64 s at 32 partitions vs 1.84 s at 8/4, identical results. The
+    session default (sized to the cluster) stays the CEILING, so on a
+    real deployment a 10 TB/day stream still fans out to the full
+    configured width; it is the floor case — a stream far smaller than
+    the cluster — that stops paying for idle state stores. Unlike batch
+    plans, AQE cannot coalesce these (state partitioning is pinned at
+    query start), hence the explicit derivation.
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` overrides for experiments.
+
+    NOTE for checkpoint compatibility: the partition count is baked into
+    a checkpoint at first start; this helper is for drains that create a
+    fresh checkpoint (all catalog entries here do)."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "")
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if env:
+        return max(1, min(sess, int(env)))
+    nbytes = 0
+    if os.path.isdir(source_path):
+        for base, _dirs, files in os.walk(source_path):
+            nbytes += sum(
+                os.path.getsize(os.path.join(base, f)) for f in files
+            )
+    elif os.path.exists(source_path):
+        nbytes = os.path.getsize(source_path)
+    else:
+        return sess
+    return max(1, min(sess, -(-nbytes // (32 << 20))))
+
+
+def _drain_to_memory_sink(
+    agg: DataFrame,
+    prefix: str,
+    output_mode: str,
+    shuffle_partitions: int | None = None,
+):
     """Run ``agg`` as an AvailableNow streaming query into a uniquely-named
     memory sink; returns (sink_name, spark). Fails loudly on timeout —
     returning a partially-filled sink would surface downstream as a
-    confusing oracle value-mismatch instead of a clear error."""
+    confusing oracle value-mismatch instead of a clear error.
+
+    ``shuffle_partitions`` (usually from :func:`_stream_state_partitions`)
+    pins the stateful operators' state-store count for THIS query: the
+    conf is read once at ``start()`` and restored right after the drain,
+    so the session's setting is untouched for everything else."""
     import uuid
 
-    configure_state_store(agg.sparkSession)
+    spark = agg.sparkSession
+    configure_state_store(spark)
     sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            f"{prefix}: AvailableNow query did not finish within 300s"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                f"{prefix}: AvailableNow query did not finish within 300s"
+            )
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return sink
 
 
@@ -221,6 +281,8 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trigger.AvailableNow, complete-mode memory sink — then returned as the
     sink's batch contents. AvailableNow processes the whole table, so the
     result equals the batch aggregation and is oracle-checkable."""
+    import os
+
     from pyspark.sql import functions as F
 
     # window() is NTZ-native since Spark 3.4; the stream shares the batch
@@ -231,7 +293,14 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
     # unique sink name: re-invocation in a shared session must not collide
     # with a previous run's registered memory table / query name
-    sink = _drain_to_memory_sink(agg, "streaming_event_counts", "complete")
+    sink = _drain_to_memory_sink(
+        agg,
+        "streaming_event_counts",
+        "complete",
+        shuffle_partitions=_stream_state_partitions(
+            spark, os.path.join(sf_dir, "events.parquet")
+        ),
+    )
     # window over an NTZ event time is itself NTZ (naive UTC wall time),
     # so collection is host/session-TZ independent; the cast is a no-op
     # guard in case a future corpus reverts ts to an LTZ representation
@@ -382,7 +451,12 @@ def streaming_enriched_segment_counts(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     sink = _drain_to_memory_sink(
-        agg, "streaming_enriched_segment_counts", "complete"
+        agg,
+        "streaming_enriched_segment_counts",
+        "complete",
+        shuffle_partitions=_stream_state_partitions(
+            spark, os.path.join(sf_dir, "events.parquet")
+        ),
     )
     out = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
@@ -1186,6 +1260,8 @@ def streaming_hopping_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same day-slice filter to keep the window table compact). With live
     data the same query runs append-mode with a watermark and only the
     4×(arrival-rate × horizon) open-window state is retained."""
+    import os
+
     from pyspark.sql import functions as F
 
     evt = _events_stream(spark, sf_dir).where(
@@ -1198,7 +1274,14 @@ def streaming_hopping_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    sink = _drain_to_memory_sink(agg, "streaming_hopping_rates", "complete")
+    sink = _drain_to_memory_sink(
+        agg,
+        "streaming_hopping_rates",
+        "complete",
+        shuffle_partitions=_stream_state_partitions(
+            spark, os.path.join(sf_dir, "events.parquet")
+        ),
+    )
     out = spark.table(sink).select(
         F.col("w.start").cast("timestamp_ntz").alias("win_start"),
         "event_type",
@@ -1282,7 +1365,10 @@ def streaming_dedup_within_watermark(
             .dropDuplicatesWithinWatermark(["event_id"])
         )
         sink = _drain_to_memory_sink(
-            ded, "streaming_dedup_within_watermark", "append"
+            ded,
+            "streaming_dedup_within_watermark",
+            "append",
+            shuffle_partitions=_stream_state_partitions(spark, src),
         )
         out = (
             spark.table(sink)
