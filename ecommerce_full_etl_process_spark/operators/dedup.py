@@ -837,7 +837,16 @@ def simhash_band_pairs(
     lower guaranteed-recall radius."""
     width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
-    fps = simhash_fingerprints(df, id_col, text_col)
+    # materialize the fingerprints ONCE (round-13 opt): the self-join's
+    # two sides are Arrow-UDF subplans, and the measured physical plan
+    # did NOT reuse their exchange — each side re-ran the whole
+    # scan → spread → per-doc simhash kernel (stage metrics showed the
+    # fingerprint stage twice at identical shuffle volumes). The frame is
+    # skinny (id + one long per doc), so the checkpoint is cheap at any
+    # corpus size and both join sides read the materialized rows.
+    fps = simhash_fingerprints(df, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     banded = fps.select(
         F.col(id_col).alias("doc_id"),
         "simhash",
@@ -858,17 +867,26 @@ def simhash_band_pairs(
     rhs = banded.select(
         "band", "bv", F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b")
     )
-    cands = (
+    # verify BEFORE deduplicating (round-13 opt, guide §2.3 "shuffle
+    # fewer bytes"): a pair colliding in several bands is emitted once
+    # either way, but the popcount filter is a per-row expression while
+    # distinct is an exchange — running the filter first shrinks the
+    # distinct's shuffle from EVERY raw band collision (quadratic in the
+    # per-bucket population: 6-bit slices give 64 bucket values per
+    # band, ~43 MB of collision rows at sf0.1) to just the verified
+    # near-dup pairs (kilobytes). Same rows out: hamming is a function
+    # of the pair, so filter∘distinct == distinct∘filter.
+    return (
         lhs.join(rhs, ["band", "bv"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select(
+            "id_a",
+            "id_b",
+            hamming60(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cands.select(
-        "id_a",
-        "id_b",
-        hamming60(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
-    ).where(F.col("hamming") <= max_hamming)
 
 
 def simhash_neardup_pairs(

@@ -121,7 +121,21 @@ def heavy_hitter_terms(
     so Spark and the oracle agree on boundary ties). Correct by
     construction: the MG superset guarantee means no true heavy hitter
     can be missing, and the exact rescore removes every false candidate.
+
+    Round-13 opt: the corpus is spread to the cluster's parallelism
+    when the source is under-partitioned (a single small parquet file
+    read as ONE split) — the MG kernel is per-partition bounded state
+    and the rescore's n-gram explode is per-row, so both stages were
+    running SERIALLY in that case (measured at sf0.1: one 2.3 s
+    single-task stage). MG survivors per partition change with the
+    partitioning, but the result does not: the superset guarantee holds
+    for any partitioning and the exact rescore + threshold make the
+    output identical. At 100 TB the scan's natural splits already
+    provide the parallelism and the repartition is a no-op.
     """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.select(text_col).repartition(target)
     mg = misra_gries_candidates(df, text_col, k, ngram).localCheckpoint(
         eager=True
     )
