@@ -75,10 +75,26 @@ FRAMES_SCHEMA = T.StructType(
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition an under-partitioned source up to the cluster's
+    parallelism (round-13 opt, guide §2.5 input skew): every kernel in
+    this module is row-local CPU work (codec encode/decode in numpy), so
+    a single small parquet split serializes the whole modality pass —
+    measured at sf0.1, the PNG entry's generate+inflate+decode chain ran
+    as ONE 4.3 s task on a 32-core host. No-op at scale, where the
+    scan's natural splits already cover the cluster; the shuffle it adds
+    on tiny inputs moves only the doc ids the generators consume."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Deterministic fake media table: each document's text bytes become the
     payload (stands in for image/audio bytes; real pipelines read the bytes
     from object storage with ``binaryFile`` or a manifest join)."""
+    docs = _spread(docs)
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
@@ -463,7 +479,9 @@ def _synthetic_image_media(docs: DataFrame, enc) -> DataFrame:
                 }
             )
 
-    flat = docs.select("doc_id").mapInPandas(_batches, schema=gen_schema)
+    flat = _spread(docs.select("doc_id")).mapInPandas(
+        _batches, schema=gen_schema
+    )
     return flat.select(
         "media_id",
         "payload",
@@ -641,7 +659,9 @@ def synthetic_wav_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    flat = docs.select("doc_id").mapInPandas(_batches, schema=gen_schema)
+    flat = _spread(docs.select("doc_id")).mapInPandas(
+        _batches, schema=gen_schema
+    )
     return flat.select(
         "media_id",
         "payload",
@@ -860,7 +880,9 @@ def synthetic_ppm_video(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    flat = docs.select("doc_id").mapInPandas(_batches, schema=gen_schema)
+    flat = _spread(docs.select("doc_id")).mapInPandas(
+        _batches, schema=gen_schema
+    )
     return flat.select(
         "media_id",
         "payload",
