@@ -322,7 +322,7 @@ FROM events GROUP BY ALL
 
 
 def streaming_click_purchase_join(
-    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+    spark: SparkSession, sf_dir: str, state_partitions: int | None = None
 ) -> DataFrame:
     """Stream-stream INTERVAL JOIN (SURVEY §2.12 extension): click →
     purchase attribution — every (click, purchase) pair of the same user
@@ -343,13 +343,23 @@ def streaming_click_purchase_join(
     join keeps FOUR stores per partition per side, each paying file-backed
     setup + commit every micro-batch, so the per-partition overhead — not
     the data — dominates until arrival rate × horizon outgrows it
-    (measured at sf0.1: 32 partitions 5.9 s vs 8 partitions 2.3 s,
-    identical results). Size it to state volume per horizon — raise it on
-    a real cluster exactly like ``spark.sql.shuffle.partitions``. The
+    (measured at sf0.1: 32 partitions 5.9 s vs 8 partitions 2.3 s vs the
+    input-derived 1–2 partitions 2.4 s at a quarter the state stores;
+    identical results). ``None`` (the default since round 13) derives it
+    from the stream's input volume via :func:`_stream_state_partitions`
+    — the session's (cluster-sized) shuffle setting stays the ceiling,
+    so this only stops a small stream from paying for idle stores. The
     session's shuffle setting is restored after the query drains."""
+    import os
+
     from pyspark.sql import functions as F
 
     from ..plans.operator_queries import ntz_epoch_micros
+
+    if state_partitions is None:
+        state_partitions = _stream_state_partitions(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
 
     ev = _events_stream(spark, sf_dir)
     # watermarks demand TIMESTAMP (LTZ): pin the naive NTZ instant to the
