@@ -1439,7 +1439,13 @@ def apply_agg_state_batch(
     """
     from ..operators.incremental import merge_partials, partial_agg
 
-    batch = batch_df.localCheckpoint(eager=True)
+    # no localCheckpoint (round-13 opt): foreachBatch's frame is backed
+    # by the batch's FIXED file list, so re-evaluation is deterministic,
+    # the take(1) probe below reads only its first split, and each later
+    # consumer fuses the scan into its own job — the eager checkpoint
+    # was a full extra materialization (plus pinned executor memory for
+    # the whole batch) per micro-batch
+    batch = batch_df
     if not batch.take(1):
         return False
     states = []
@@ -1594,7 +1600,13 @@ def apply_quantile_state_batch(
         merge_histogram_partials,
     )
 
-    batch = batch_df.localCheckpoint(eager=True)
+    # no localCheckpoint (round-13 opt): foreachBatch's frame is backed
+    # by the batch's FIXED file list, so re-evaluation is deterministic,
+    # the take(1) probe below reads only its first split, and each later
+    # consumer fuses the scan into its own job — the eager checkpoint
+    # was a full extra materialization (plus pinned executor memory for
+    # the whole batch) per micro-batch
+    batch = batch_df
     if not batch.take(1):
         return False
     states = []
@@ -1763,7 +1775,13 @@ def apply_adaptive_quantile_state_batch(
         merge_adaptive_histogram_partials,
     )
 
-    batch = batch_df.localCheckpoint(eager=True)
+    # no localCheckpoint (round-13 opt): foreachBatch's frame is backed
+    # by the batch's FIXED file list, so re-evaluation is deterministic,
+    # the take(1) probe below reads only its first split, and each later
+    # consumer fuses the scan into its own job — the eager checkpoint
+    # was a full extra materialization (plus pinned executor memory for
+    # the whole batch) per micro-batch
+    batch = batch_df
     if not batch.take(1):
         return False
     states = []
@@ -1989,7 +2007,13 @@ def apply_cdc_mv_batch(
     from ..operators.cdc import apply_cdc_versioned, strip_versioned
     from ..operators.incremental import partial_agg
 
-    batch = batch_df.localCheckpoint(eager=True)
+    # no localCheckpoint (round-13 opt): foreachBatch's frame is backed
+    # by the batch's FIXED file list, so re-evaluation is deterministic,
+    # the take(1) probe below reads only its first split, and each later
+    # consumer fuses the scan into its own job — the eager checkpoint
+    # was a full extra materialization (plus pinned executor memory for
+    # the whole batch) per micro-batch
+    batch = batch_df
     if not batch.take(1):
         return False
 
@@ -2350,7 +2374,13 @@ def apply_cdc_partitioned_warehouse_batch(
     """
     from ..operators.cdc import apply_cdc_partitioned_versioned
 
-    batch = batch_df.localCheckpoint(eager=True)
+    # no localCheckpoint (round-13 opt): foreachBatch's frame is backed
+    # by the batch's FIXED file list, so re-evaluation is deterministic,
+    # the take(1) probe below reads only its first split, and each later
+    # consumer fuses the scan into its own job — the eager checkpoint
+    # was a full extra materialization (plus pinned executor memory for
+    # the whole batch) per micro-batch
+    batch = batch_df
     if not batch.take(1):
         return []
     t = store.read(table)
