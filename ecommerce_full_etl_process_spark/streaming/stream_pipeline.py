@@ -2075,21 +2075,52 @@ def apply_cdc_mv_batch(
         # group) — plain column-equality joins silently drop them, which
         # would leave the null group's aggregate stale forever. Null-safe
         # equality keeps the retraction exact for every group.
-        def _null_safe(left: DataFrame, how: str) -> DataFrame:
-            aff = affected.alias("__aff")
-            l = left.alias("__l")
-            cond = None
-            for c in group_cols:
-                term = F.col(f"__l.{c}").eqNullSafe(F.col(f"__aff.{c}"))
-                cond = term if cond is None else (cond & term)
-            return l.join(F.broadcast(aff), cond, how)
+        #
+        # Round-13 opt: the affected-group set is change-bounded by
+        # construction, so COLLECT it once (one job) and filter both
+        # consumers with a literal null-safe predicate — the previous
+        # shape re-ran the whole distinct-groups subplan as TWO separate
+        # broadcast builds (semi for the recompute, anti for the carried
+        # state). Fallback to the broadcast joins only if a pathological
+        # batch touches more groups than a sane expression tree holds.
+        affected_rows = affected.limit(513).collect()
+        if len(affected_rows) <= 512:
 
-        recomputed = partial_agg(
-            _null_safe(strip_versioned(new_vsnap), "left_semi"),
-            group_cols,
-            value_col,
-        )
-        untouched = _null_safe(state_df.drop("last_batch"), "left_anti")
+            def _pred():
+                conds = []
+                for row in affected_rows:
+                    term = None
+                    for c in group_cols:
+                        t = F.col(c).eqNullSafe(F.lit(row[c]))
+                        term = t if term is None else (term & t)
+                    conds.append(term)
+                out = F.lit(False)
+                for cnd in conds:
+                    out = out | cnd
+                return out
+
+            hit = _pred()
+            recomputed = partial_agg(
+                strip_versioned(new_vsnap).where(hit), group_cols, value_col
+            )
+            untouched = state_df.drop("last_batch").where(~hit)
+        else:
+
+            def _null_safe(left: DataFrame, how: str) -> DataFrame:
+                aff = affected.alias("__aff")
+                l = left.alias("__l")
+                cond = None
+                for c in group_cols:
+                    term = F.col(f"__l.{c}").eqNullSafe(F.col(f"__aff.{c}"))
+                    cond = term if cond is None else (cond & term)
+                return l.join(F.broadcast(aff), cond, how)
+
+            recomputed = partial_agg(
+                _null_safe(strip_versioned(new_vsnap), "left_semi"),
+                group_cols,
+                value_col,
+            )
+            untouched = _null_safe(state_df.drop("last_batch"), "left_anti")
         new_state = untouched.unionByName(recomputed).withColumn(
             "last_batch", F.lit(batch_id).cast("long")
         )
