@@ -94,7 +94,11 @@ def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Deterministic fake media table: each document's text bytes become the
     payload (stands in for image/audio bytes; real pipelines read the bytes
     from object storage with ``binaryFile`` or a manifest join)."""
-    docs = _spread(docs)
+    # project to the two consumed columns BEFORE spreading (r13 ADVICE
+    # fix): the repartition otherwise shuffles every extra doc column
+    # alongside the text payload (guide §2.3 "project before the
+    # exchange")
+    docs = _spread(docs.select("doc_id", "text"))
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("payload"),

@@ -632,6 +632,11 @@ def kmeans_lite(
     """
     from pyspark.sql.window import Window
 
+    if iters < 1:
+        # iters=0 would leave both kernels' assignment variable unbound
+        # (neither loop body runs) — a confusing TypeError deep in the
+        # finish path instead of a contract error here (r13 ADVICE fix)
+        raise ValueError(f"kmeans_lite requires iters >= 1, got {iters}")
     v = embeddings.select(
         F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
     )
@@ -815,7 +820,15 @@ def _kmeans_numpy_loop(
             # stop early (this is what makes the round-13 iters=15 default
             # affordable: converged trainings pay only the rounds they use,
             # and a kernel="hof" run at the same iters cannot diverge, its
-            # extra rounds are the same no-ops)
+            # extra rounds are the same no-ops).
+            # One documented exception to that numpy/hof parity: corpora
+            # with N <= INIT_COLLECT_CAP never reach this loop — they
+            # finish driver-side (_kmeans_driver_finish), whose
+            # per-cluster means use numpy row-order summation instead of
+            # this Spark avg aggregate, so a last-ulp mean difference at
+            # an assignment boundary could in principle flip a point
+            # between kernels there (absorbed by the catalog-standard
+            # round(·,6) and the recall-floor contracts downstream).
             break
         cmat = merged
 

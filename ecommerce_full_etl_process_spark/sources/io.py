@@ -325,10 +325,29 @@ class TableStore:
         Single-writer contract (same as ``vacuum``): the writer lock is
         held for the data write and re-acquired for the flip; a SECOND
         writer overwriting between the two would reuse the staged
-        version number — don't interleave writers on a staged table."""
+        version number — don't interleave writers on a staged table.
+
+        Vacuum safety across the stage→commit window (r13 ADVICE fix):
+        the lock is NOT held between the data write and ``commit()``, so
+        a concurrent ``vacuum()`` would otherwise acquire it cleanly and
+        delete the staged ``v=n+1`` dir as torn debris — and the later
+        ``commit()`` would flip the manifest to a nonexistent dir,
+        leaving the table unreadable. Two guards close that: a
+        ``_staged.json`` marker (written under the SAME lock as the data,
+        before any bytes land) names the staged version and its writer
+        pid, and ``vacuum`` spares that version while the pid is alive
+        (a dead pid's marker is debris and is reclaimed with the dir);
+        ``commit()`` additionally verifies the staged dir still exists
+        before flipping, so a lost race can only fail loudly, never
+        publish a dangling manifest."""
         with self._writer_lock(table):
             current = self._current_version(table)
             new_version = (current or 0) + 1
+            d = self._table_dir(table)
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".staged")
+            with os.fdopen(fd, "w") as f:
+                json.dump({"version": new_version, "pid": os.getpid()}, f)
+            os.replace(tmp, self._staged_path(table))
             writer = df.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
@@ -336,9 +355,50 @@ class TableStore:
 
         def commit() -> None:
             with self._writer_lock(table):
+                if not os.path.isdir(self._data_dir(table, new_version)):
+                    raise FileNotFoundError(
+                        f"table {table!r}: staged version {new_version} "
+                        "vanished before commit (vacuumed or removed) — "
+                        "manifest NOT flipped"
+                    )
                 self._set_version(table, new_version)
+                try:
+                    os.unlink(self._staged_path(table))
+                except FileNotFoundError:
+                    pass
 
         return new_version, commit
+
+    def _staged_path(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "_staged.json")
+
+    def _staged_live_version(self, table: str) -> int | None:
+        """The version a LIVE writer has staged but not yet committed
+        (``overwrite_staged``), or None. A marker whose pid is dead is a
+        crashed writer's debris: removed here, and its dir falls back to
+        the normal torn-output reclaim path."""
+        path = self._staged_path(table)
+        try:
+            with open(path) as f:
+                info = json.load(f)
+            pid, ver = int(info["pid"]), int(info["version"])
+        except FileNotFoundError:
+            return None
+        except (OSError, ValueError, KeyError, TypeError):
+            return None  # corrupt marker: impossible via the atomic
+            # replace protocol; treat as absent rather than pin forever
+        try:
+            os.kill(pid, 0)
+            return ver  # live writer
+        except ProcessLookupError:
+            pass  # definitely dead — reclaim the marker
+        except OSError:
+            return ver  # alive under another user / unknown: never steal
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+        return None
 
     def overwrite_partitions(
         self,
@@ -1022,6 +1082,10 @@ class TableStore:
         writer exclusion is ENFORCED: vacuum takes the same per-table
         writer lock as overwrite/append, so racing a live writer raises
         ConcurrentWriteError instead of deleting its in-flight version.
+        The one writer state the lock does NOT cover is a staged-but-
+        uncommitted ``overwrite_staged`` window (the lock is released
+        between stage and commit); its ``_staged.json`` marker makes
+        vacuum spare that version while the staging pid is alive.
         """
         import re
         import shutil
@@ -1037,7 +1101,16 @@ class TableStore:
                 if (m := re.fullmatch(r"v=(\d+)", name))
             )
             keep_floor = current - max(keep_versions, 1) + 1
-            doomed = [v for v in versions if v > current or v < keep_floor]
+            # a LIVE writer's staged-but-uncommitted version looks exactly
+            # like torn debris (v > current) — spare it (r13 ADVICE fix;
+            # see overwrite_staged). Dead writers' staged dirs still
+            # reclaim via the normal debris path.
+            staged = self._staged_live_version(table)
+            doomed = [
+                v
+                for v in versions
+                if (v > current or v < keep_floor) and v != staged
+            ]
             removed = []
             for v in doomed:
                 path = self._data_dir(table, v)

@@ -321,3 +321,52 @@ def test_writer_lock_atomic_content_and_tmp_cleanup(spark, tmp_path):
     with pytest.raises(ConcurrentWriteError):
         store.overwrite("t", df)
     assert glob.glob(os.path.join(tdir, "_writer.lock.tmp.*")) == []
+
+
+# ---------------------------------------------------------------------------
+# staged-overwrite vs vacuum (round-14, r13 ADVICE medium): the lock is
+# released between overwrite_staged's data write and commit(), so vacuum
+# must spare the live writer's staged version via the _staged.json marker,
+# and commit() must verify the dir before flipping.
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_spares_live_staged_version(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    store.overwrite("t", _df(spark, "v1"))
+    staged_ver, commit = store.overwrite_staged("t", _df(spark, "v2"))
+    # a vacuum inside the stage->commit window must NOT delete the staged
+    # dir (this process is the live staging writer)
+    removed = store.vacuum("t", keep_versions=1)
+    assert store._data_dir("t", staged_ver) not in removed
+    assert os.path.isdir(store._data_dir("t", staged_ver))
+    commit()
+    assert _values(store, "t") == {"v2-0", "v2-1", "v2-2"}
+    # marker consumed by the commit; a later vacuum reclaims nothing new
+    assert not os.path.exists(store._staged_path("t"))
+
+
+def test_staged_commit_refuses_missing_dir(spark, tmp_path):
+    import shutil
+
+    store = TableStore(spark, str(tmp_path))
+    store.overwrite("t", _df(spark, "v1"))
+    staged_ver, commit = store.overwrite_staged("t", _df(spark, "v2"))
+    shutil.rmtree(store._data_dir("t", staged_ver))
+    with pytest.raises(FileNotFoundError):
+        commit()
+    # manifest untouched: readers still see v1
+    assert _values(store, "t") == {"v1-0", "v1-1", "v1-2"}
+
+
+def test_vacuum_reclaims_dead_writers_staged_version(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    store.overwrite("t", _df(spark, "v1"))
+    staged_ver, _commit = store.overwrite_staged("t", _df(spark, "v2"))
+    # forge the marker to a dead pid (a staging writer that crashed)
+    with open(store._staged_path("t"), "w") as f:
+        json.dump({"version": staged_ver, "pid": 2**22 + 12345}, f)
+    removed = store.vacuum("t", keep_versions=1)
+    assert store._data_dir("t", staged_ver) in removed
+    assert not os.path.exists(store._staged_path("t"))
+    assert _values(store, "t") == {"v1-0", "v1-1", "v1-2"}
