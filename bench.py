@@ -179,6 +179,63 @@ def summary_line(full: dict) -> str:
     )
 
 
+def _release_persistent_rdds(spark) -> int:
+    """Unpersist every still-persisted RDD — the localCheckpoint analogue
+    of the clearCache() below (round-14 session hygiene, guide §5).
+
+    Catalog entries materialize results (and iteration frontiers) with
+    ``localCheckpoint(eager=True)``; the blocks are released only when
+    py4j's periodic GC gets around to detaching the JVM references, so a
+    long bench session (80 queries × ~6 timed executions) accumulates
+    hundreds of dead checkpoint block sets. Measured on this host: by the
+    tail of the full run the block manager is evicting, and the
+    Python-kernel entries degrade 5-7× (multimodal_frame_sample 9.6 s in
+    the full run vs 1.4 s isolated, identical code — r14 baseline).
+    Between queries nothing can still need a prior query's blocks, so the
+    explicit synchronous release restores query independence — the same
+    contract clearCache()+gc.collect() (round 5) already established."""
+    sc = spark.sparkContext
+    jrdds = sc._jsc.getPersistentRDDs()  # py4j JavaMap view
+    n = 0
+    for jrdd in jrdds.values():
+        jrdd.unpersist(False)
+        n += 1
+    return n
+
+
+def per_query_lines(timings: dict[str, float], budget: int = 600) -> list[str]:
+    """Per-query timings as SMALL self-contained JSON lines that survive
+    the driver's ~2000-char stdout tail capture (round-13 verdict item 2:
+    PERF_r13 lost its whole per-query/geomean/scaling analysis because the
+    only per-query carrier was the full detail line, which outgrew the
+    window rounds ago).
+
+    Format: ``{"queries_cs": {name: centiseconds-int, ...}}`` — compact
+    separators, each line <= ``budget`` chars so tail truncation can only
+    eat WHOLE leading lines, never corrupt a trailing one. Queries are
+    ordered cheapest-first across the lines: the lines nearest the end of
+    stdout (the guaranteed-surviving ones, right before the summary) carry
+    the most expensive queries, which is what per-round perf attribution
+    and the core-count scaling comparison need most. ~55 of 80 entries fit
+    the 2000-char window at current name lengths; the FULL set is always
+    in bench_out.json."""
+    ordered = sorted(timings, key=lambda n: (timings[n], n))
+    lines: list[str] = []
+    chunk: dict[str, int] = {}
+    for name in ordered:
+        chunk[name] = int(round(timings[name] * 100))
+        if len(json.dumps({"queries_cs": chunk}, separators=(",", ":"))) > budget:
+            last = chunk.popitem()
+            if chunk:
+                lines.append(
+                    json.dumps({"queries_cs": chunk}, separators=(",", ":"))
+                )
+            chunk = dict([last])
+    if chunk:
+        lines.append(json.dumps({"queries_cs": chunk}, separators=(",", ":")))
+    return lines
+
+
 def _ab_worktree(base_commit: str) -> str:
     """Materialize (once) a detached git worktree of ``base_commit`` under
     ``.ab_worktrees/`` so the A/B runner can execute the OLD code in its
@@ -387,7 +444,9 @@ def main() -> None:
             # collect py-side garbage so query N+1 isn't paying for the
             # residue of queries 1..N.
             spark.catalog.clearCache()
+            df = None  # drop the last result ref before releasing blocks
             gc.collect()
+            _release_persistent_rdds(spark)
 
     # with any failed query, a summed total would silently cover fewer
     # queries and read as a round-over-round speedup — null it out and
@@ -422,6 +481,10 @@ def main() -> None:
         json.dump(full, fh, indent=1)
         fh.write("\n")
     print(json.dumps(full))
+    # penultimate lines: per-query timings in tail-survivable chunks
+    # (round-13 verdict item 2); slowest queries land nearest the summary
+    for line in per_query_lines(timings):
+        print(line)
     # LAST line = compact summary — must survive the driver's tail capture
     print(summary_line(full))
 

@@ -162,3 +162,31 @@ def test_bench_out_matches_latest_round_artifact():
         )
     assert parsed["n_queries"] == len(out["queries"])
     assert parsed["n_errors"] == len(out["errors"])
+
+
+def test_per_query_lines_survive_tail_capture():
+    """Round-14 (r13 verdict item 2): per-query timings must reach the
+    driver through its ~2000-char stdout tail. Pins: every line parses
+    standalone, stays under the chunk budget, centisecond values round-trip,
+    and the SLOWEST queries sit in the LAST line (the guaranteed-surviving
+    one, right before the summary)."""
+    timings = {f"query_with_a_rather_long_name_{i:04d}": i / 100.0 for i in range(80)}
+    lines = bench.per_query_lines(timings)
+    assert lines
+    merged = {}
+    for line in lines:
+        assert len(line) <= 600
+        parsed = json.loads(line)
+        assert set(parsed) == {"queries_cs"}
+        merged.update(parsed["queries_cs"])
+    assert merged == {n: int(round(t * 100)) for n, t in timings.items()}
+    last_chunk = json.loads(lines[-1])["queries_cs"]
+    assert max(merged.values()) in last_chunk.values()
+    first_chunk = json.loads(lines[0])["queries_cs"]
+    assert min(merged.values()) in first_chunk.values()
+
+
+def test_per_query_lines_empty_and_single():
+    assert bench.per_query_lines({}) == []
+    (line,) = bench.per_query_lines({"q": 1.234})
+    assert json.loads(line) == {"queries_cs": {"q": 123}}
