@@ -246,8 +246,13 @@ def _drain_to_memory_sink(
 
     ``shuffle_partitions`` (usually from :func:`_stream_state_partitions`)
     pins the stateful operators' state-store count for THIS query: the
-    conf is read once at ``start()`` and restored right after the drain,
-    so the session's setting is untouched for everything else."""
+    conf is read once at ``start()`` and restored right after the drain.
+    NOTE the override is session-GLOBAL while the drain runs (up to
+    300 s): a concurrent query started on the same session in that
+    window would silently inherit the stream-sized partition count.
+    Single-threaded callers (bench, the grading driver, every catalog
+    entry) are unaffected; concurrent use needs a per-query mechanism
+    (e.g. a cloned session) instead (r13 ADVICE note)."""
     import uuid
 
     spark = agg.sparkSession
@@ -893,6 +898,7 @@ def run_streaming_dedup_ingest(
     warehouse_root: str,
     n: int = 3,
     min_jaccard: float = 0.5,
+    max_files_per_trigger: int | None = None,
 ):
     """Continuous corpus ingestion with near-dup screening — the
     production dedup loop composed from the incremental-LSH operator and
@@ -1031,10 +1037,8 @@ def run_streaming_dedup_ingest(
             "batch_commits", spark.createDataFrame([(batch_id,)], "batch_id long")
         )
 
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(source_dir)
+    stream = _backlog_file_stream(
+        spark, "doc_id long, text string", source_dir, max_files_per_trigger
     )
     return (
         stream.writeStream.foreachBatch(_process)
@@ -1079,6 +1083,7 @@ def run_streaming_ivf_ingest(
     checkpoint_dir: str,
     warehouse_root: str,
     kernel: str = "numpy",
+    max_files_per_trigger: int | None = None,
 ):
     """Continuous embedding ingestion into a persisted IVF ANN index —
     the ANN twin of :func:`run_streaming_dedup_ingest` (round 11,
@@ -1182,10 +1187,11 @@ def run_streaming_ivf_ingest(
             spark.createDataFrame([(batch_id,)], "batch_id long"),
         )
 
-    stream = (
-        spark.readStream.schema("vec_id long, embedding array<float>")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(source_dir)
+    stream = _backlog_file_stream(
+        spark,
+        "vec_id long, embedding array<float>",
+        source_dir,
+        max_files_per_trigger,
     )
     return (
         stream.writeStream.foreachBatch(_process)
@@ -1403,6 +1409,81 @@ FROM events GROUP BY event_type
 """
 
 
+def _backlog_file_stream(
+    spark: SparkSession,
+    schema,
+    source_dir: str,
+    max_files_per_trigger: int | None,
+) -> DataFrame:
+    """File-source stream for the foreachBatch maintenance runners.
+
+    ``max_files_per_trigger=None`` (the round-14 default for every
+    runner) lets an AvailableNow drain take the WHOLE backlog as one
+    micro-batch — the production backlog-drain shape: each micro-batch
+    pays fixed machinery (offset/commit log writes, replay probe, one
+    versioned overwrite per maintained table, and one scheduled job per
+    AQE stage of each of those actions), so per-file batches multiply
+    pure overhead by the file count. Measured at sf0.1 on the CDC × MV
+    loop: 67 jobs / ~5.2 s at one-file batches vs ~1/3 the jobs in one
+    batch — r13 verdict item 3 (guide §1.2: remove jobs, not tasks).
+    The split-log/multi-batch semantics (late sequences across batches,
+    replay skips, torn-batch healing) stay pinned by the pytest suites,
+    which pass an explicit ``max_files_per_trigger=1``; a live consumer
+    (not AvailableNow) gets one batch per arrival wave either way."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return reader.parquet(source_dir)
+
+
+def _probe_batch_and_state(batch: DataFrame, states: dict):
+    """ONE Spark job probing micro-batch emptiness AND every maintained
+    table's replay marker + row count (round-14 opt, guide §1.2: the
+    former ``take(1)`` + per-table ``max(last_batch)`` collect chains
+    cost 2-3 separately-scheduled jobs per micro-batch, and at bench
+    scale the applies are driver-gap-bound, not task-bound — the r13
+    REST profile showed ~4.5 s of driver gaps in an 8.5 s
+    ``cdc_mv_maintenance_state`` wall).
+
+    ``states``: {name: DataFrame-with-last_batch or None (missing
+    table)}. Returns ``(batch_nonempty, {name: (marker, n_rows)})``
+    where ``marker`` is ``max(last_batch)`` (None == empty table or
+    all-NULL markers) and ``n_rows`` the table's row count — callers
+    must carry non-empty state forward even when the marker is NULL (a
+    bootstrapped state table without markers was previously dropped
+    silently; r13 ADVICE).
+
+    The batch probe is ``limit(1)`` over the batch's fixed file list —
+    like the former ``take(1)`` it reads only enough splits to find one
+    row; the state aggregates are column-pruned scans of the (small)
+    state tables, unioned so the whole probe is one collect."""
+    probe = batch.select(
+        F.lit("__batch").alias("t"),
+        F.lit(None).cast("long").alias("m"),
+        F.lit(1).cast("long").alias("n"),
+    ).limit(1)
+    for name, df in states.items():
+        if df is None:
+            continue
+        probe = probe.unionAll(
+            df.agg(
+                F.max("last_batch").alias("m"),
+                F.count(F.lit(1)).alias("n"),
+            ).select(F.lit(name).alias("t"), "m", "n")
+        )
+    rows = {r["t"]: r for r in probe.collect()}
+    out = {}
+    for name, df in states.items():
+        if df is None:
+            out[name] = (None, 0)
+        else:
+            r = rows[name]
+            out[name] = (r["m"], int(r["n"]))
+    return "__batch" in rows, out
+
+
 def apply_agg_state_batch(
     spark: SparkSession,
     store,
@@ -1441,24 +1522,25 @@ def apply_agg_state_batch(
 
     # no localCheckpoint (round-13 opt): foreachBatch's frame is backed
     # by the batch's FIXED file list, so re-evaluation is deterministic,
-    # the take(1) probe below reads only its first split, and each later
-    # consumer fuses the scan into its own job — the eager checkpoint
-    # was a full extra materialization (plus pinned executor memory for
-    # the whole batch) per micro-batch
+    # the probe below reads only enough of it to find one row, and each
+    # later consumer fuses the scan into its own job — the eager
+    # checkpoint was a full extra materialization (plus pinned executor
+    # memory for the whole batch) per micro-batch
     batch = batch_df
-    if not batch.take(1):
+    state = store.read(state_table) if store.exists(state_table) else None
+    # ONE probe job for batch emptiness + marker + state row count
+    # (round-14 opt; was take(1) + a separate max() collect)
+    nonempty, probes = _probe_batch_and_state(batch, {"s": state})
+    if not nonempty:
         return False
+    marker, n_rows = probes["s"]
+    if marker is not None and marker >= batch_id:
+        return False  # at-least-once replay of an applied batch
     states = []
-    if store.exists(state_table):
-        state = store.read(state_table)
-        # one collect: max(last_batch) is NULL iff the table is empty, so
-        # the former emptiness take(1) probe was a redundant extra job
-        # per batch (round-13 opt)
-        applied = state.agg(F.max("last_batch")).collect()[0][0]
-        if applied is not None:
-            if applied >= batch_id:
-                return False  # at-least-once replay of an applied batch
-            states.append(state.drop("last_batch"))
+    if state is not None and n_rows > 0:
+        # carried whenever the table is NON-EMPTY — a NULL marker no
+        # longer drops bootstrapped state (r13 ADVICE fix)
+        states.append(state.drop("last_batch"))
     states.append(partial_agg(batch, keys, value_col))
     new_state = (
         merge_partials(states, keys)
@@ -1477,6 +1559,7 @@ def run_streaming_agg_maintenance(
     keys: list[str],
     value_col: str,
     state_table: str = "agg_state",
+    max_files_per_trigger: int | None = None,
 ):
     """Continuous materialized-view maintenance: a file stream of fact
     rows keeps the persisted partial-aggregate state table current via
@@ -1484,7 +1567,8 @@ def run_streaming_agg_maintenance(
     never a history rescan). Consumers read the state table and
     finalize with ``operators.incremental.finalize_aggs`` — at any
     point between batches the finalized state equals a full recompute
-    over every row ingested so far."""
+    over every row ingested so far. ``max_files_per_trigger``: see
+    :func:`_backlog_file_stream` (None = whole backlog in one batch)."""
     from ..sources.io import TableStore
 
     store = TableStore(spark, warehouse_root)
@@ -1497,10 +1581,8 @@ def run_streaming_agg_maintenance(
     schema = ", ".join(
         [f"{k} string" for k in keys] + [f"{value_col} double"]
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(source_dir)
+    stream = _backlog_file_stream(
+        spark, schema, source_dir, max_files_per_trigger
     )
     return (
         stream.writeStream.foreachBatch(_process)
@@ -1535,7 +1617,11 @@ def streaming_agg_maintenance_state(spark: SparkSession, sf_dir: str) -> DataFra
         ).select(
             "event_type", F.col("value").cast("double").alias("value")
         )
-        # three part files -> three micro-batches under maxFilesPerTrigger=1
+        # three part files; the AvailableNow drain takes the whole
+        # backlog as ONE micro-batch (round-14, _backlog_file_stream) —
+        # per-file batches only multiplied fixed apply machinery, and the
+        # multi-batch merge/replay semantics stay pinned by the pytest
+        # suite, which passes max_files_per_trigger=1
         ev.repartition(3).write.parquet(src)
         q = run_streaming_agg_maintenance(
             spark,
@@ -1600,25 +1686,20 @@ def apply_quantile_state_batch(
         merge_histogram_partials,
     )
 
-    # no localCheckpoint (round-13 opt): foreachBatch's frame is backed
-    # by the batch's FIXED file list, so re-evaluation is deterministic,
-    # the take(1) probe below reads only its first split, and each later
-    # consumer fuses the scan into its own job — the eager checkpoint
-    # was a full extra materialization (plus pinned executor memory for
-    # the whole batch) per micro-batch
+    # no localCheckpoint (round-13 opt): see apply_agg_state_batch
     batch = batch_df
-    if not batch.take(1):
+    state = store.read(state_table) if store.exists(state_table) else None
+    # ONE probe job (round-14 opt, same as apply_agg_state_batch), and
+    # non-empty state is carried even with a NULL marker (r13 ADVICE fix)
+    nonempty, probes = _probe_batch_and_state(batch, {"s": state})
+    if not nonempty:
         return False
+    marker, n_rows = probes["s"]
+    if marker is not None and marker >= batch_id:
+        return False  # at-least-once replay of an applied batch
     states = []
-    if store.exists(state_table):
-        state = store.read(state_table)
-        # one collect: NULL max(last_batch) == empty table (round-13 opt,
-        # same as apply_agg_state_batch)
-        applied = state.agg(F.max("last_batch")).collect()[0][0]
-        if applied is not None:
-            if applied >= batch_id:
-                return False  # at-least-once replay of an applied batch
-            states.append(state.drop("last_batch"))
+    if state is not None and n_rows > 0:
+        states.append(state.drop("last_batch"))
     states.append(histogram_partial(batch, keys, value_col, lo, hi, bins))
     new_state = (
         merge_histogram_partials(states, keys)
@@ -1640,6 +1721,7 @@ def run_streaming_quantile_maintenance(
     hi: float,
     bins: int,
     state_table: str = "quantile_state",
+    max_files_per_trigger: int | None = None,
 ):
     """Continuous quantile-dashboard maintenance: a fact file stream
     keeps the persisted histogram state current (one state-sized
@@ -1647,7 +1729,8 @@ def run_streaming_quantile_maintenance(
     read the state and finalize with
     ``operators.incremental.quantiles_from_histogram`` at any point —
     the read-out equals a one-pass histogram over every row ingested so
-    far, with error ≤ one bin width versus the exact quantile."""
+    far, with error ≤ one bin width versus the exact quantile.
+    ``max_files_per_trigger``: see :func:`_backlog_file_stream`."""
     from ..sources.io import TableStore
 
     store = TableStore(spark, warehouse_root)
@@ -1669,10 +1752,8 @@ def run_streaming_quantile_maintenance(
     schema = ", ".join(
         [f"{k} string" for k in keys] + [f"{value_col} double"]
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(source_dir)
+    stream = _backlog_file_stream(
+        spark, schema, source_dir, max_files_per_trigger
     )
     return (
         stream.writeStream.foreachBatch(_process)
@@ -1688,8 +1769,8 @@ def streaming_quantile_maintenance_state(
     """Catalog entry (round 10): the streaming QUANTILE maintenance
     loop end-to-end under the oracle gate — orders split into three
     stream files, drained through
-    :func:`run_streaming_quantile_maintenance` (three foreachBatch
-    bin-wise state merges, each an atomic versioned overwrite with the
+    :func:`run_streaming_quantile_maintenance` (foreachBatch bin-wise
+    state merges, each an atomic versioned overwrite with the
     state-embedded batch marker), then P50/P90/P99 per order priority
     finalized from the persisted histogram state. Histogram merging is
     split-invariant and the read-out arithmetic is engine-exact, so the
@@ -1775,25 +1856,20 @@ def apply_adaptive_quantile_state_batch(
         merge_adaptive_histogram_partials,
     )
 
-    # no localCheckpoint (round-13 opt): foreachBatch's frame is backed
-    # by the batch's FIXED file list, so re-evaluation is deterministic,
-    # the take(1) probe below reads only its first split, and each later
-    # consumer fuses the scan into its own job — the eager checkpoint
-    # was a full extra materialization (plus pinned executor memory for
-    # the whole batch) per micro-batch
+    # no localCheckpoint (round-13 opt): see apply_agg_state_batch
     batch = batch_df
-    if not batch.take(1):
+    state = store.read(state_table) if store.exists(state_table) else None
+    # ONE probe job (round-14 opt, same as apply_agg_state_batch), and
+    # non-empty state is carried even with a NULL marker (r13 ADVICE fix)
+    nonempty, probes = _probe_batch_and_state(batch, {"s": state})
+    if not nonempty:
         return False
+    marker, n_rows = probes["s"]
+    if marker is not None and marker >= batch_id:
+        return False  # at-least-once replay of an applied batch
     states = []
-    if store.exists(state_table):
-        state = store.read(state_table)
-        # one collect: NULL max(last_batch) == empty table (round-13 opt,
-        # same as apply_agg_state_batch)
-        applied = state.agg(F.max("last_batch")).collect()[0][0]
-        if applied is not None:
-            if applied >= batch_id:
-                return False  # at-least-once replay of an applied batch
-            states.append(state.drop("last_batch"))
+    if state is not None and n_rows > 0:
+        states.append(state.drop("last_batch"))
     states.append(
         adaptive_histogram_partial(
             batch, keys, value_col, lo, bins, base_width
@@ -1819,6 +1895,7 @@ def run_streaming_adaptive_quantile_maintenance(
     bins: int,
     base_width: float,
     state_table: str = "adaptive_quantile_state",
+    max_files_per_trigger: int | None = None,
 ):
     """Continuous quantile-dashboard maintenance with NO a-priori value
     range — the production form for metrics whose scale drifts (latency
@@ -1848,10 +1925,8 @@ def run_streaming_adaptive_quantile_maintenance(
     schema = ", ".join(
         [f"{k} string" for k in keys] + [f"{value_col} double"]
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(source_dir)
+    stream = _backlog_file_stream(
+        spark, schema, source_dir, max_files_per_trigger
     )
     return (
         stream.writeStream.foreachBatch(_process)
@@ -2009,27 +2084,27 @@ def apply_cdc_mv_batch(
 
     # no localCheckpoint (round-13 opt): foreachBatch's frame is backed
     # by the batch's FIXED file list, so re-evaluation is deterministic,
-    # the take(1) probe below reads only its first split, and each later
-    # consumer fuses the scan into its own job — the eager checkpoint
-    # was a full extra materialization (plus pinned executor memory for
-    # the whole batch) per micro-batch
+    # the probe below reads only enough of it to find one row, and each
+    # later consumer fuses the scan into its own job — the eager
+    # checkpoint was a full extra materialization (plus pinned executor
+    # memory for the whole batch) per micro-batch
     batch = batch_df
-    if not batch.take(1):
+    # ONE probe job for batch emptiness + BOTH tables' markers (round-14
+    # opt; the round-13 shape still paid three jobs per batch: take(1)
+    # plus one max(last_batch) collect per maintained table)
+    snap_df = (
+        store.read(snapshot_table) if store.exists(snapshot_table) else None
+    )
+    state_df = store.read(state_table) if store.exists(state_table) else None
+    nonempty, probes = _probe_batch_and_state(
+        batch, {"snap": snap_df, "state": state_df}
+    )
+    if not nonempty:
         return False
-
-    # round-13 opt: read each maintained table ONCE and derive its marker
-    # from a single max(last_batch) collect (NULL == empty/missing) — the
-    # previous per-table read + take(1) + max chain cost three extra jobs
-    # per batch, and the snapshot was then re-read a third time below.
-    def _read_and_marker(table: str):
-        if not store.exists(table):
-            return None, -(2**62)
-        t = store.read(table)
-        m = t.agg(F.max("last_batch")).collect()[0][0]
-        return t, (-(2**62) if m is None else m)
-
-    snap_df, snap_marker = _read_and_marker(snapshot_table)
-    state_df, state_marker = _read_and_marker(state_table)
+    snap_marker = probes["snap"][0]
+    state_marker = probes["state"][0]
+    snap_marker = -(2**62) if snap_marker is None else snap_marker
+    state_marker = -(2**62) if state_marker is None else state_marker
     snap_applied = snap_marker >= batch_id
     state_applied = state_marker >= batch_id
     if snap_applied and state_applied:
@@ -2141,13 +2216,15 @@ def run_cdc_mv_maintenance(
     seq_col: str,
     group_cols: list[str],
     value_col: str,
+    max_files_per_trigger: int | None = None,
 ):
     """Continuous CDC consumption with materialized-view co-maintenance:
     a file stream of change rows keeps BOTH the versioned snapshot and
     its group aggregate current via :func:`apply_cdc_mv_batch` — split-
     and order-invariant (versioned apply tolerates late sequences across
     batches), so the final state equals a whole-log batch apply no
-    matter how the log lands in files."""
+    matter how the log lands in files. ``max_files_per_trigger``: see
+    :func:`_backlog_file_stream` (None = whole backlog in one batch)."""
     from ..sources.io import TableStore
 
     store = TableStore(spark, warehouse_root)
@@ -2164,10 +2241,8 @@ def run_cdc_mv_maintenance(
             value_col,
         )
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(source_dir)
+    stream = _backlog_file_stream(
+        spark, schema, source_dir, max_files_per_trigger
     )
     return (
         stream.writeStream.foreachBatch(_process)
@@ -2184,8 +2259,10 @@ def cdc_mv_maintenance_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts of cloned keys (%101), and GROUP-MOVING priority updates
     (%53, the case that forces retraction from the old group) — is split
     into three stream files in arbitrary row order, drained through
-    ``run_cdc_mv_maintenance`` (three foreachBatch applies maintaining
-    snapshot + aggregate together), and the finalized aggregate state is
+    ``run_cdc_mv_maintenance`` (foreachBatch applies maintaining
+    snapshot + aggregate together; the bench drain takes the backlog in
+    one batch — multi-batch splits stay pinned by the pytest suite), and
+    the finalized aggregate state is
     returned. Split-invariance of the versioned apply + the bounded
     group re-aggregate must reproduce the oracle's whole-log replay
     aggregated in one pass — grading the CDC fold, the affected-group
@@ -2407,15 +2484,18 @@ def apply_cdc_partitioned_warehouse_batch(
 
     # no localCheckpoint (round-13 opt): foreachBatch's frame is backed
     # by the batch's FIXED file list, so re-evaluation is deterministic,
-    # the take(1) probe below reads only its first split, and each later
-    # consumer fuses the scan into its own job — the eager checkpoint
-    # was a full extra materialization (plus pinned executor memory for
-    # the whole batch) per micro-batch
+    # the probe below reads only enough of it to find one row, and each
+    # later consumer fuses the scan into its own job — the eager
+    # checkpoint was a full extra materialization (plus pinned executor
+    # memory for the whole batch) per micro-batch
     batch = batch_df
-    if not batch.take(1):
-        return []
+    # ONE probe job for batch emptiness + the table's replay marker
+    # (round-14 opt; was take(1) plus a separate max(last_batch) collect)
     t = store.read(table)
-    marker = t.agg(F.max("last_batch")).collect()[0][0]
+    nonempty, probes = _probe_batch_and_state(batch, {"t": t})
+    if not nonempty:
+        return []
+    marker = probes["t"][0]
     if marker is not None and marker >= batch_id:
         return []  # clean replay of an already-applied batch
     replaced = apply_cdc_partitioned_versioned(
@@ -2449,6 +2529,7 @@ def run_cdc_partitioned_warehouse(
     table: str = "snapshot",
     keep_versions: int | None = None,
     compact_max_files: int | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Continuous CDC consumption into a PARTITIONED versioned
     warehouse: a file stream of change rows (a Debezium-style log
@@ -2481,10 +2562,8 @@ def run_cdc_partitioned_warehouse(
             compact_max_files=compact_max_files,
         )
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(source_dir)
+    stream = _backlog_file_stream(
+        spark, schema, source_dir, max_files_per_trigger
     )
     return (
         stream.writeStream.foreachBatch(_process)

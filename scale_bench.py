@@ -770,7 +770,8 @@ def main() -> None:
             wh = tempfile.mkdtemp(prefix=f"aggwh_x{m}_")
             t0 = time.perf_counter()
             q = run_streaming_agg_maintenance(
-                spark, ev_dir, ckpt, wh, ["event_type"], "value"
+                spark, ev_dir, ckpt, wh, ["event_type"], "value",
+                max_files_per_trigger=1,
             )
             if not q.awaitTermination(600):
                 q.stop()
@@ -1065,6 +1066,7 @@ def main() -> None:
                 "pk",
                 keep_versions=3,
                 compact_max_files=4,
+                max_files_per_trigger=1,
             )
             if not q.awaitTermination(900):
                 q.stop()

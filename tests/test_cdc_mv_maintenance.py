@@ -102,6 +102,7 @@ def test_split_log_stream_equals_whole_log_apply(spark, tmp_path):
     q = run_cdc_mv_maintenance(
         spark, src, str(tmp_path / "ckpt"), str(tmp_path / "wh"),
         CHG_SCHEMA, ["k"], "seq", ["g"], "v",
+        max_files_per_trigger=1,
     )
     q.awaitTermination()
     whole = apply_cdc(
@@ -121,6 +122,7 @@ def test_split_log_stream_equals_whole_log_apply(spark, tmp_path):
     q = run_cdc_mv_maintenance(
         spark, src, str(tmp_path / "ckpt"), str(tmp_path / "wh"),
         CHG_SCHEMA, ["k"], "seq", ["g"], "v",
+        max_files_per_trigger=1,
     )
     q.awaitTermination()
     whole3 = apply_cdc(

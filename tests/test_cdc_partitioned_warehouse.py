@@ -75,6 +75,7 @@ def _run(spark, src, tmp_path):
         ["k"],
         "seq",
         "p",
+        max_files_per_trigger=1,
     )
     assert q.awaitTermination(300)
 

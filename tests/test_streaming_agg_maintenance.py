@@ -69,14 +69,18 @@ def test_stream_equals_full_recompute_and_restart(spark, tmp_path):
     f2 = [("a", 3.0), ("c", 4.0)]
     _write_file(spark, src, f1)
     _write_file(spark, src, f2)
-    q = run_streaming_agg_maintenance(spark, src, ckpt, wh, ["g"], "v")
+    q = run_streaming_agg_maintenance(
+        spark, src, ckpt, wh, ["g"], "v", max_files_per_trigger=1
+    )
     q.awaitTermination()
     assert _finalized(spark, wh) == _expected(spark, f1 + f2)
 
     # restart with one more file: only the new file is applied
     f3 = [("b", 10.0), ("d", -1.0)]
     _write_file(spark, src, f3)
-    q = run_streaming_agg_maintenance(spark, src, ckpt, wh, ["g"], "v")
+    q = run_streaming_agg_maintenance(
+        spark, src, ckpt, wh, ["g"], "v", max_files_per_trigger=1
+    )
     q.awaitTermination()
     assert _finalized(spark, wh) == _expected(spark, f1 + f2 + f3)
 
@@ -172,7 +176,8 @@ def test_quantile_stream_equals_one_pass_and_restart(spark, tmp_path):
     _write_file(spark, src, f1)
     _write_file(spark, src, f2)
     q = run_streaming_quantile_maintenance(
-        spark, src, ckpt, wh, ["g"], "v", 0.0, 100.0, 10
+        spark, src, ckpt, wh, ["g"], "v", 0.0, 100.0, 10,
+        max_files_per_trigger=1,
     )
     q.awaitTermination()
     assert _q_read(spark, wh) == _q_expected(spark, f1 + f2)
@@ -182,7 +187,8 @@ def test_quantile_stream_equals_one_pass_and_restart(spark, tmp_path):
     f3 = [("a", 99.0), ("c", 50.0)]
     _write_file(spark, src, f3)
     q = run_streaming_quantile_maintenance(
-        spark, src, ckpt, wh, ["g"], "v", 0.0, 100.0, 10
+        spark, src, ckpt, wh, ["g"], "v", 0.0, 100.0, 10,
+        max_files_per_trigger=1,
     )
     q.awaitTermination()
     assert _q_read(spark, wh) == _q_expected(spark, f1 + f2 + f3)
@@ -271,7 +277,8 @@ def test_adaptive_quantile_stream_coarsens_grid_and_restarts(
     _write_file(spark, src, f1)
     _write_file(spark, src, f2)
     q = run_streaming_adaptive_quantile_maintenance(
-        spark, src, ckpt, wh, ["g"], "v", 0.0, 16, 1.0
+        spark, src, ckpt, wh, ["g"], "v", 0.0, 16, 1.0,
+        max_files_per_trigger=1,
     )
     q.awaitTermination()
     assert _aq_read(spark, wh) == _aq_expected(spark, f1 + f2)
@@ -291,7 +298,8 @@ def test_adaptive_quantile_stream_coarsens_grid_and_restarts(
     f3 = [("a", 5000.0), ("b", 1.0)]
     _write_file(spark, src, f3)
     q = run_streaming_adaptive_quantile_maintenance(
-        spark, src, ckpt, wh, ["g"], "v", 0.0, 16, 1.0
+        spark, src, ckpt, wh, ["g"], "v", 0.0, 16, 1.0,
+        max_files_per_trigger=1,
     )
     q.awaitTermination()
     assert _aq_read(spark, wh) == _aq_expected(spark, f1 + f2 + f3)

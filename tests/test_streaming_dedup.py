@@ -27,7 +27,9 @@ def _write_batch(spark, src_dir, name, rows):
 
 
 def _run(spark, src, ckpt, wh):
-    q = run_streaming_dedup_ingest(spark, src, ckpt, wh)
+    q = run_streaming_dedup_ingest(
+        spark, src, ckpt, wh, max_files_per_trigger=1
+    )
     q.awaitTermination(120)
     return TableStore(spark, wh)
 

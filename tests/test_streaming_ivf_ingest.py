@@ -32,7 +32,9 @@ def _write_batch(spark, src_dir, df):
 
 
 def _run(spark, src, ckpt, wh):
-    q = run_streaming_ivf_ingest(spark, src, ckpt, wh)
+    q = run_streaming_ivf_ingest(
+        spark, src, ckpt, wh, max_files_per_trigger=1
+    )
     q.awaitTermination(180)
     return TableStore(spark, wh)
 
