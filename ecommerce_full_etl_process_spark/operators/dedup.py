@@ -245,8 +245,20 @@ def minhash_lsh_pairs_incremental(
         .join(cand_ids, "doc_id", "left_semi")
         .select("doc_id", word_shingles(F.col("__text"), n).alias("shingles"))
     )
-    sh = new_sh.join(cand_ids, "doc_id", "left_semi").unionByName(
-        old_sh
+    # cache the pruned shingle set (round-14 opt, guide §1.2): the pair
+    # join below references ``sh`` TWICE (id_a and id_b sides). new_sh is
+    # already cached, but old_sh re-reads the ARCHIVE corpus and
+    # re-shingles its candidate docs — uncached, that whole
+    # scan → semi-join → word_shingles subplan ran once per join side
+    # (the batch form avoids this by deriving both sides from its cached
+    # corpus-wide shingle frame; here the corpus is deliberately never
+    # shingled corpus-wide, so the candidate-sized union is what must be
+    # shared). The cache fills as a side effect of the one checkpoint
+    # job, costing no extra action, and is candidate-bounded in size.
+    sh = (
+        new_sh.join(cand_ids, "doc_id", "left_semi")
+        .unionByName(old_sh)
+        .cache()
     )
     pairs = candidates.join(
         sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
@@ -261,6 +273,7 @@ def minhash_lsh_pairs_incremental(
         .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
         .localCheckpoint(eager=True)
     )
+    sh.unpersist()
     candidates.unpersist()
     banded_new.unpersist()
     new_sh.unpersist()

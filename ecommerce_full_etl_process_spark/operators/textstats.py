@@ -681,7 +681,20 @@ def content_defined_chunks(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    # spread an under-partitioned source to the cluster's parallelism
+    # (round-14, guide §2.5 — same discipline as the multimodal/MG
+    # kernels in r13): the rolling hash + per-chunk md5 are row-local
+    # CPU work, and a single small parquet split serialized the whole
+    # pass (one task at any core count — the r13 verdict's 32c-slower-
+    # than-8c inversion was this entry running on idle cores). The
+    # projection happens BEFORE the repartition so only (id, text)
+    # shuffles; no-op at scale where the scan's splits already cover
+    # the cluster.
+    src = df.select(id_col, text_col)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInPandas(
         _batches,
         schema=f"{id_col} long, chunk_idx long, chunk_len long, "
         "chunk_md5 string",
