@@ -322,11 +322,19 @@ def minhash_lsh_pairs(
     # plan barrier that stops Catalyst's projection collapse from inlining
     # (= recomputing) the md5 pass into downstream references. The band
     # hashes are computed INSIDE the cached frame (8 md5 columns over
-    # signature slices), so the one cached frame is skinny (doc_id +
+    # signature slices), so the one materialized frame is skinny (doc_id +
     # 8 hashes per doc) and every downstream consumer derives its band rows
-    # with a free posexplode — no 8×-exploded frame is ever cached and no
-    # separate signature materialization job runs.
-    bands_df = _band_hashes(shingled).cache()
+    # with a free posexplode — no 8×-exploded frame is ever materialized.
+    # localCheckpoint, NOT cache (round-14 opt, same lesson as the r13
+    # simhash fix): the self-join's two band sides are separate concurrent
+    # stages of the ONE final job, and with a lazy cache both sides found
+    # it empty and re-ran the whole shingle → explode → 32-min-aggregate
+    # kernel (stage metrics: three ~32-task signature-weight stages per
+    # run, ~2× the kernel's executor time — wall-hidden at local core
+    # counts, pure duplicated cluster cost at scale). The eager checkpoint
+    # is one extra (signature-sized) job that runs the kernel exactly
+    # once; it also fills the shingle cache race-free for phase 2.
+    bands_df = _band_hashes(shingled).localCheckpoint(eager=True)
     n_bands = NUM_HASHES // ROWS_PER_BAND
     banded = bands_df.select(
         "doc_id",
@@ -390,7 +398,10 @@ def minhash_lsh_pairs(
         .localCheckpoint(eager=True)
     )
     candidates.unpersist()
-    bands_df.unpersist()
+    # bands_df is a localCheckpoint now — nothing to unpersist (its
+    # blocks are dead once `result` materialized; the bench's
+    # between-queries RDD release reclaims them, like every other
+    # internal checkpoint in this module)
     shingled.unpersist()
     return result
 

@@ -832,85 +832,86 @@ _REGISTRY: dict[
 }
 
 # ---------------------------------------------------------------------------
-# The graded window, round-13 rotation (staleness-first re-grading policy).
+# The graded window, round-14 rotation (staleness-first re-grading policy).
 #
 # "Graded at least once" closed in round 10; the standing target is now
 # "no entry's last driver grade older than ~4 rounds". This list IS the
 # window: spark_queries()/oracle_queries() emit these names first, so the
 # driver grades exactly these 50. Composition (last-grade data from
-# CORRECTNESS_r01..r12):
-#   - the 18 remaining round-9-graded entries — the stalest cohort
-#     (staleness 4 of the MAX_STALENESS=5 lint), heading the window per
-#     the r12 verdict;
-#   - 21 of the 48 round-10-graded entries, in catalog order (the
-#     next-stalest cohort; the other 27 plus the r11s head round 14);
-#   - 9 CHANGED-CODE re-grades: entries whose implementation this round
-#     touched (similarity.py k-means|| init + iters=15 default + early
-#     stop -> every kmeans_lite consumer; dedup.py incremental-path
-#     broadcast un-pin; multimodal.py PNM header validation on the
-#     decode='real' path; the content_defined_chunks oracle NULL-text
-#     coalesce) — the re-grade-after-change policy from round 9;
-#   - the 2 new round-13 builds (stdlib-zlib PNG decode across all five
-#     scanline filters, and the clustered-corpus IVF recall contract at
-#     nprobe = 15% of cells).
-# Every demoted entry was graded green in r11/r12 and stays
+# CORRECTNESS_r01..r13; r13 verdict item 1):
+#   - the 12 entries the r13 verdict ordered back into the window: their
+#     code changed in round 13 AFTER their last driver grade (state-
+#     partition sizing, maintenance-apply job trims, MG spread, the
+#     multimodal spread), so the driver has only ever graded their
+#     PRE-change implementations;
+#   - the round-14 CHANGED-CODE re-grades: the one-batch backlog drains +
+#     single-job replay probes (cdc warehouses, agg/quantile/adaptive
+#     maintenance, ivf ingest — several overlap the 12 above), the
+#     incremental-minhash shared shingle cache, and the
+#     content_defined_chunks input spread;
+#   - the 25 remaining round-10-graded entries — the stalest cohort
+#     (staleness 4 of the MAX_STALENESS=5 lint);
+#   - dedup_keep_best_quality (r12-graded, examined/profiled this round)
+#     and the 8 oldest round-11-graded entries in catalog order.
+# Every demoted entry was graded green in r12/r13 and stays
 # oracle-checked in every pytest run (tests/test_catalog_oracle.py).
 # ---------------------------------------------------------------------------
 TIER1: list[str] = [
-    # --- last graded round 9 (all 18 remaining) ---
-    "bilateral_trade_volume",
-    "corpus_curation_stats",
-    "customer_order_distribution",
-    "dedup_exact_summary",
-    "discount_band_revenue",
-    "embedding_neardup_pairs",
-    "language_id_heuristic",
-    "multiformat_date_parse",
-    "price_tolerance_check",
-    "regex_predicate",
-    "simhash_planted_pairs",
-    "snapshot_diff_orders",
-    "suppliers_who_kept_waiting",
-    "surplus_part_suppliers",
-    "text_quality_stats",
-    "token_budget_packing",
-    "token_count_bpe",
-    "validation_rule_counts",
-    # --- last graded round 10 (21 of 48, catalog order) ---
-    "flagship_revenue_by_nation",
-    "returned_item_revenue",
-    "product_type_profit",
-    "top_revenue_supplier",
-    "scd2_merge_customers",
+    # --- r13-changed, last graded pre-change (verdict item 1; several
+    #     also changed again this round) ---
+    "streaming_event_counts",
+    "streaming_hopping_rates",
+    "streaming_enriched_segment_counts",
+    "streaming_dedup_within_watermark",
+    "streaming_click_purchase_join",
+    "streaming_agg_maintenance_state",
+    "streaming_quantile_maintenance_state",
+    "streaming_adaptive_quantile_state",
+    "cdc_mv_maintenance_state",
+    "heavy_hitter_bigrams",
+    "multimodal_audio_decode",
+    "multimodal_features",
+    # --- round-14 changed-code re-grades (rest) ---
     "streaming_cdc_partitioned_warehouse",
-    "data_quality_expectations",
-    "quality_filter_docs",
-    "gap_filled_daily_order_counts",
-    "customer_revenue_deciles",
-    "revenue_deciles_distributed",
-    "line_dedup_corpus",
-    "simhash_banded_neardups",
-    "semantic_dedup_components",
-    "corpus_prep_pipeline",
-    "pii_scrub_docs",
-    "bigram_pmi",
-    "repeated_ngram_spans",
-    "repetition_stats_docs",
-    "unicode_normalize_docs",
-    "tfidf_top_terms",
-    # --- changed-code re-grades (9) ---
-    "similarity_topk_ivf",
-    "similarity_topk_ivf_incremental",
-    "similarity_topk_ivf_recall",
     "streaming_ivf_ingest",
     "minhash_incremental_pairs",
-    "multimodal_real_decode",
-    "multimodal_resize_decode",
-    "multimodal_frame_sample",
     "content_defined_chunks",
-    # --- new round-13 builds (2) ---
-    "multimodal_png_decode",
-    "similarity_topk_ivf_clustered",
+    "dedup_keep_best_quality",
+    # --- last graded round 10 (all 25 remaining) ---
+    "fuzzy_name_match",
+    "epoch_shuffle_docs",
+    "incremental_value_quantiles",
+    "cdc_patch_orders",
+    "cdc_partitioned_apply_orders",
+    "cdc_partitioned_versioned_orders",
+    "compacted_partition_scan",
+    "nation_market_share",
+    "bucketed_colocated_revenue",
+    "important_part_revenue",
+    "shipping_delay_priority_mix",
+    "part_supplier_diversity",
+    "small_quantity_revenue",
+    "disjunctive_promo_revenue",
+    "best_price_supplier_per_part",
+    "stratified_sample_docs",
+    "similarity_topk_bruteforce",
+    "embedding_dimension_stats",
+    "salted_join_revenue",
+    "weighted_source_sample",
+    "chunk_documents",
+    "contamination_ngram_overlap",
+    "bpe_merge_candidates",
+    "embedding_preprocess",
+    "lapsed_high_balance_customers",
+    # --- oldest round-11-graded, catalog order (8) ---
+    "latest_order_per_customer",
+    "change_comparison_join",
+    "change_detect_events",
+    "first_occurrence_dedup",
+    "conditional_counters",
+    "union_split_streams",
+    "string_functions",
+    "top_orders_by_value",
 ]
 
 # Families that MUST sit inside the graded window (lint-enforced) — with

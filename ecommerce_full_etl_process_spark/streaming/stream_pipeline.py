@@ -952,20 +952,23 @@ def run_streaming_dedup_ingest(
 
     store = TableStore(spark, warehouse_root)
 
-    def _marker_has(table: str, batch_id: int) -> bool:
-        return store.exists(table) and bool(
-            store.read(table).where(F.col("batch_id") == batch_id).take(1)
-        )
-
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
-        if not batch.take(1):
+        # no localCheckpoint (round-14, same as the maintenance applies):
+        # the foreachBatch frame is file-list-backed; the incremental LSH
+        # prober caches what it re-reads, every other consumer is a
+        # one-pass scan of the (small) batch files
+        batch = batch_df.select("doc_id", "text")
+        # ONE probe job for batch emptiness + both marker tables
+        # (round-14; was take(1) + one filtered take(1) per marker table)
+        nonempty, committed, torn = _probe_batch_and_markers(
+            store, batch, batch_id
+        )
+        if not nonempty:
             return
-        if _marker_has("batch_commits", batch_id):
+        if committed:
             return  # at-least-once replay of an already-committed batch
         # torn = a previous attempt started but never committed; its data
         # appends may be partially present and must not be doubled
-        torn = _marker_has("batch_attempts", batch_id)
         if not torn:
             store.append(
                 "batch_attempts",
@@ -1123,20 +1126,21 @@ def run_streaming_ivf_ingest(
 
     store = TableStore(spark, warehouse_root)
 
-    def _marker_has(table: str, batch_id: int) -> bool:
-        return store.exists(table) and bool(
-            store.read(table).where(F.col("batch_id") == batch_id).take(1)
-        )
-
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.select("vec_id", "embedding").localCheckpoint(
-            eager=True
+        # no localCheckpoint (round-14, same as the maintenance applies):
+        # the foreachBatch frame is file-list-backed, so each consumer
+        # fuses the (small) batch scan into its own job instead of paying
+        # an up-front materialization job + pinned executor memory
+        batch = batch_df.select("vec_id", "embedding")
+        # ONE probe job for batch emptiness + both marker tables
+        # (round-14; was take(1) + one filtered take(1) per marker table)
+        nonempty, committed, torn = _probe_batch_and_markers(
+            store, batch, batch_id
         )
-        if not batch.take(1):
+        if not nonempty:
             return
-        if _marker_has("batch_commits", batch_id):
+        if committed:
             return  # at-least-once replay of an already-committed batch
-        torn = _marker_has("batch_attempts", batch_id)
         if not torn:
             store.append(
                 "batch_attempts",
@@ -1366,11 +1370,13 @@ def streaming_dedup_within_watermark(
         # span — makes the result independent of HOW rows split across
         # files, so any deterministic 3-way split serves)
         feed.repartition(3).write.mode("overwrite").parquet(src)
-        stream = (
-            spark.readStream.schema(feed.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-        )
+        # whole backlog in ONE micro-batch (round-14, same §1.2 move as
+        # the maintenance drains): per-file batches paid the per-batch
+        # state-store commit + offset-log machinery three extra times for
+        # identical output (the 35-day watermark makes the result
+        # arrival-order independent); cross-batch dedup semantics stay
+        # pinned by tests/test_streaming_pipeline.py
+        stream = spark.readStream.schema(feed.schema).parquet(src)
         # watermarks require an LTZ event-time column; the NTZ corpus ts
         # is reinterpreted in the (run-constant) session TZ, which shifts
         # every row and the watermark by the same offset — and the ts
@@ -1436,6 +1442,27 @@ def _backlog_file_stream(
             "maxFilesPerTrigger", str(max_files_per_trigger)
         )
     return reader.parquet(source_dir)
+
+
+def _probe_batch_and_markers(store, batch: DataFrame, batch_id: int):
+    """ONE Spark job probing micro-batch emptiness + the intent/commit
+    marker tables of the two-table append ingesters (round-14 opt, same
+    §1.2 rationale as :func:`_probe_batch_and_state`): returns
+    ``(batch_nonempty, committed, torn)``. Each marker probe is a
+    stats-prunable ``batch_id`` filter + ``limit(1)``, unioned with the
+    batch's own ``limit(1)`` so the whole test is a single collect
+    instead of three separately scheduled jobs per micro-batch."""
+    probe = batch.select(F.lit("b").alias("t")).limit(1)
+    for tag, table in (("c", "batch_commits"), ("a", "batch_attempts")):
+        if store.exists(table):
+            probe = probe.unionAll(
+                store.read(table)
+                .where(F.col("batch_id") == batch_id)
+                .select(F.lit(tag).alias("t"))
+                .limit(1)
+            )
+    seen = {r["t"] for r in probe.collect()}
+    return "b" in seen, "c" in seen, "a" in seen
 
 
 def _probe_batch_and_state(batch: DataFrame, states: dict):
